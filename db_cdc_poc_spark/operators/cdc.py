@@ -1,0 +1,92 @@
+"""CDC apply — the engine's re-expression of DLT ``apply_changes``.
+
+The reference upserts a Debezium changelog into a keyed silver table with
+``dlt.apply_changes(keys=['item_id','store_id'], sequence_by='ts_ms',
+apply_as_deletes op='d', except_column_list=[...])``
+(reference: notebooks/03_Data_Ingestion.py:318-326). OSS Spark has no
+one-liner for this; this module provides the batch operator, and
+``db_cdc_poc_spark.streaming.cdc`` provides the incremental/streaming form
+on top of it.
+
+Implementation choice — ``groupBy + max_by(struct(*), sequence)`` instead
+of a ranking window:
+
+* a window (`row_number() over (partition by keys order by seq desc)`)
+  shuffles EVERY changelog row to its key's partition, then sorts;
+* `max_by` is a declarative aggregate with a **map-side partial**: each
+  input partition first reduces to one candidate row per key locally, so
+  the shuffle carries at most (distinct keys x upstream partitions) rows
+  instead of all rows. On a 100 TB changelog where each key has many
+  versions, that is the difference between shuffling the dataset and
+  shuffling roughly the key space.
+
+Ties on the sequence column are broken by ``tie_breakers`` (appended to
+the ordering struct); DLT leaves ties unspecified, we make them
+deterministic so results are oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_list(x: str | Sequence[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    sequence_by: str | Sequence[str],
+    tie_breakers: str | Sequence[str] = (),
+) -> DataFrame:
+    """One row per key: the row with the greatest (sequence, tie_breakers).
+
+    Columns and their order are preserved. Deterministic iff
+    (sequence_by + tie_breakers) is unique per key.
+    """
+    keys = _as_list(keys)
+    order_cols = _as_list(sequence_by) + _as_list(tie_breakers)
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    ordering = F.struct(*[F.col(c) for c in order_cols])
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(payload, ordering).alias("__row"))
+        .select("__row.*")
+    )
+
+
+def apply_changes(
+    source: DataFrame,
+    keys: str | Sequence[str],
+    sequence_by: str | Sequence[str],
+    apply_as_deletes: Column | str | None = None,
+    except_columns: Sequence[str] = (),
+    tie_breakers: str | Sequence[str] = (),
+) -> DataFrame:
+    """Batch CDC apply: latest row per key, deletes applied, bookkeeping
+    columns dropped.
+
+    Parameters mirror the reference's call site (03_Data_Ingestion.py:320-326):
+      keys                 upsert key columns
+      sequence_by          ordering column(s) — e.g. Debezium ts_ms
+      apply_as_deletes     boolean Column/SQL string; a key whose LATEST
+                           row matches is absent from the result
+                           (delete-then-reinsert keeps the reinsert,
+                           because only the latest row is consulted)
+      except_columns       columns to drop from the output
+      tie_breakers         extra ordering columns for deterministic ties
+    """
+    latest = latest_by_key(source, keys, sequence_by, tie_breakers)
+    if apply_as_deletes is not None:
+        cond = (
+            F.expr(apply_as_deletes)
+            if isinstance(apply_as_deletes, str)
+            else apply_as_deletes
+        )
+        latest = latest.filter(~cond)
+    drop = [c for c in except_columns if c in latest.columns]
+    return latest.drop(*drop) if drop else latest

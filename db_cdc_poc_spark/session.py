@@ -1,0 +1,74 @@
+"""SparkSession construction tuned for this engine.
+
+The reference runs a single-node DLT pipeline (reference:
+notebooks/pipeline.json:5-13 — num_workers 0, photon off). We target plain
+OSS Spark: local[N] in tests/bench, any cluster in production. All knobs
+here are standard Spark SQL configs; nothing proprietary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime (non-static) confs we also (re-)apply to sessions we did not
+#: create, e.g. the harness-provided session in ``__spark_entry__``.
+RUNTIME_CONFS = {
+    # Deterministic timestamp semantics regardless of host TZ — required
+    # for DuckDB-oracle value parity.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+    # At 100 TB this is what keeps a static shuffle.partitions choice from
+    # being wrong in both directions at once.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any toPandas / pandas_udf exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (driver-owned
+    sessions included). Safe: none of these are static SQL confs."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked down
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "db-cdc-poc-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a session sized for local[N] testing.
+
+    ``spark.sql.shuffle.partitions`` defaults to the core count: small
+    enough that tiny test inputs don't drown in task overhead, and AQE
+    coalesces below it anyway. On a real cluster you'd set this to
+    2-3x total cores and let AQE coalesce.
+    """
+    cpus = cpus or default_parallelism()
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)
