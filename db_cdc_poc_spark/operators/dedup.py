@@ -138,12 +138,17 @@ def minhash_signatures(
     shuffle. Empty docs get an empty signature and never match.
     """
     shingles = word_shingles_col(text_col, shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
+
+    # One-arg lambda per seed via a closure factory. A two-parameter lambda
+    # handed to F.transform is interpreted as (element, index) — the array
+    # index would silently shadow the seed and every hash family collapses
+    # to the same function.
+    def _minhash(seed: int) -> F.Column:
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
     return (
         df.select(F.col(id_col).alias("id"), shingles.alias("__sh"))
         .filter(F.size("__sh") > 0)
@@ -205,11 +210,24 @@ def minhash_lsh_pairs(
     ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     if not verify_exact:
         return est.filter(F.col("est_jaccard") >= threshold)
-    exact = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold=0.0).select(
-        "id_a", "id_b", "jaccard"
+    # Exact verification on CANDIDATE pairs only: re-join the candidate ids
+    # to the per-doc shingle arrays and compute Jaccard from
+    # array_intersect/array sizes. Cost scales with |candidates|, never with
+    # the corpus pair space — the whole point of LSH at 100 TB.
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_col(text_col, shingle_n).alias("shingles"),
     )
-    return est.join(exact, ["id_a", "id_b"], "left").filter(
-        F.coalesce(F.col("jaccard"), F.lit(0.0)) >= threshold
+    return (
+        est.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -227,23 +245,26 @@ def simhash_col(text: str = "text", bits: int = 64) -> F.Column:
     """
     toks = tokens_col(text)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_votes = [
-        F.aggregate(
+
+    # Two-arg merge lambda built by a closure factory: a 3-parameter lambda
+    # handed to F.aggregate binds the third parameter to a lambda-variable
+    # Column, and F.shiftright needs a Python int for the shift amount.
+    def _vote(bit: int) -> F.Column:
+        return F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        for i in range(bits)
-    ]
+
     fp = F.lit(0).cast("long")
-    for i, vote in enumerate(bit_votes):
-        fp = fp + F.when(vote > 0, F.lit(1).cast("long") * F.lit(2 ** i).cast("long")).otherwise(
+    for i in range(min(bits, 63)):
+        fp = fp + F.when(_vote(i) > 0, F.lit(2 ** i).cast("long")).otherwise(
             F.lit(0).cast("long")
-        ) if i < 63 else fp  # bit 63 would overflow signed long; fold below
-    # bit 63: use negative contribution to stay in signed-long space
+        )
     if bits == 64:
-        fp = fp + F.when(bit_votes[63] > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(
+        # bit 63 would overflow a signed long as +2^63; add it as the sign bit
+        fp = fp + F.when(_vote(63) > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return fp

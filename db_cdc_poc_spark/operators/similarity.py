@@ -1,0 +1,219 @@
+"""Embedding similarity search — exact cosine top-k and LSH-bucketed ANN.
+
+The reference has no vector operators; this is the training-data-pipeline
+extension (SURVEY.md §7 step 5) over the driver's ``embeddings`` fixture
+(vec_id bigint, embedding array<float>, label int).
+
+Everything is pure Column expressions — ``zip_with`` + ``aggregate`` for
+dot products stay inside JVM codegen; no per-row Python, no driver loops.
+The exact path is the correctness baseline (O(|Q|·|C|), broadcast the
+query side); the hyperplane-bucketed path is the 100 TB candidate
+generator (shuffle by bucket, never a cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length array<numeric> columns (double).
+
+    Sequential fold over the zipped array — deterministic summation order,
+    so results are bit-stable across engines given the same element order.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(vec: Column | str) -> Column:
+    """L2 norm of an array<numeric> column."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def normalized(vec: Column | str) -> Column:
+    """L2-normalized copy of an array<numeric> column (array<double>).
+
+    Zero vectors normalize to zero vectors (not NaN) so downstream cosine
+    against them is 0, never null-poisoned.
+    """
+    v = F.col(vec) if isinstance(vec, str) else vec
+    n = norm(v)
+    return F.when(
+        n > 0, F.transform(v, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two raw (unnormalized) vectors."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector (brute force).
+
+    Plan: normalize both sides once, **broadcast the query side** (top-k
+    search has a small query set against a huge corpus — the corpus never
+    moves), dot product as the join projection, per-query ranking window.
+    Self-matches (same id) are excluded.
+
+    Scale: cost is |Q|·|C| multiply-adds, embarrassingly parallel over
+    corpus partitions; the ranking window shuffles only (query_id, k·P)
+    candidate rows after AQE. This is the correctness baseline the
+    bucketed ANN path is validated against.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken
+    by neighbor_id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), normalized(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), normalized(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def hyperplane_buckets(
+    vec: Column | str, tables: int = 4, bits: int = 8
+) -> Column:
+    """array<struct<table_id:int, bucket:bigint>> LSH bucket per hash table.
+
+    Random-hyperplane (SimHash-for-cosine) signs: hyperplane (t,p)
+    component j is a Rademacher ±1 weight derived from
+    ``xxhash64(t*1e6 + p*4096 + j)`` — deterministic, seedable, and
+    computed inline in codegen, so there is no hyperplane matrix to
+    broadcast and no Python on the executor. Bucket for table t packs
+    ``bits`` sign bits of the projections.
+
+    P[same bucket] = (1 - theta/pi)^bits per table; multiple tables give
+    the OR. Candidate join is an equi-join on (table_id, bucket).
+    """
+    v = F.col(vec) if isinstance(vec, str) else vec
+
+    def _proj(t: int, p: int) -> Column:
+        # transform's (element, index) two-arg form is intentional here:
+        # the index seeds the per-component weight.
+        plane_seed = t * 1_000_000 + p * 4096
+        return F.aggregate(
+            F.transform(
+                v,
+                lambda x, j: x.cast("double")
+                * F.when(
+                    F.xxhash64(F.lit(plane_seed) + j).bitwiseAND(F.lit(1)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _bucket(t: int) -> Column:
+        b = F.lit(0).cast("long")
+        for p in range(bits):
+            b = b + F.when(_proj(t, p) >= 0, F.lit(2 ** p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return b
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"), _bucket(t).alias("bucket")
+            )
+            for t in range(tables)
+        ]
+    )
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 4,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k via hyperplane bucketing, cosine re-rank.
+
+    Candidates = corpus vectors sharing any (table_id, bucket) with the
+    query. The candidate join is an equi-join shuffled by bucket — the
+    corpus is never cross-joined. Exact cosine re-ranks candidates; recall
+    is tunable with (tables, bits). At 100 TB: corpus bucket table is
+    computed once and can be persisted/bucketed by (table_id, bucket).
+
+    Output schema matches ``cosine_topk`` so the two are comparable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        normalized(vec_col).alias("qv"),
+        hyperplane_buckets(vec_col, tables, bits).alias("qb"),
+    ).select("query_id", "qv", F.explode("qb").alias("b"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        normalized(vec_col).alias("cv"),
+        hyperplane_buckets(vec_col, tables, bits).alias("cb"),
+    ).select("neighbor_id", "cv", F.explode("cb").alias("b"))
+    cand = (
+        q.join(
+            c,
+            (q["b.table_id"] == c["b.table_id"])
+            & (q["b.bucket"] == c["b.bucket"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("cosine", dot("qv", "cv"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
