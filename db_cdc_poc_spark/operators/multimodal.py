@@ -1,0 +1,164 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary.
+
+Design: media travels as an opaque ``binary`` column plus a typed
+metadata struct; all decode/feature work happens in Arrow-batched
+``mapInPandas`` stages so bytes cross the JVM/Python boundary once per
+batch, never per row. The decode kernels themselves are STUBBED —
+image/audio libraries are not in this container — behind
+``DecodeUnavailable`` or a clearly-marked deterministic fake, but the
+Spark-side plumbing (schema, partitioning, UDF signature, batch shape)
+is real and tested.
+
+At 100 TB: media rows are large, so the knobs that matter are
+``spark.sql.files.maxPartitionBytes`` (bound partition size by bytes,
+not rows), ``spark.sql.execution.arrow.maxRecordsPerBatch`` (bound
+Arrow batch memory), and keeping metadata-only queries off the binary
+column entirely (column pruning — the scan never reads the blob).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Typed metadata carried alongside every media blob.
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("format", StringType()),      # png|jpeg|wav|mp4|...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content_sha256", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by the real-decoder path: media codecs are not installed
+    in this environment. Use ``fake_decode=True`` for deterministic
+    plumbing tests."""
+
+
+def _fake_features(content: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in feature vector: bytes of the sha256 digest
+    stretched to ``dim`` floats in [0, 1). Stable across runs/engines —
+    lets tests assert end-to-end plumbing without a codec."""
+    digest = hashlib.sha256(content).digest()
+    return [digest[i % len(digest)] / 256.0 for i in range(dim)]
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 16,
+    fake_decode: bool = True,
+    batch_size: int | None = None,
+) -> DataFrame:
+    """media(media_id, content, meta) -> (media_id, content_sha256,
+    n_bytes, features array<double>).
+
+    Arrow-batched ``mapInPandas``: one Python invocation per Arrow
+    batch; the binary column is materialized only inside the stage. With
+    ``fake_decode=False`` this is where a real image/audio model would
+    run — it raises ``DecodeUnavailable`` here because codecs are not in
+    the container.
+    """
+    if batch_size is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise DecodeUnavailable(
+                    "media codecs not installed; pass fake_decode=True"
+                )
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content_sha256": content.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "n_bytes": content.map(len).astype("int64"),
+                    "features": content.map(lambda b: _fake_features(bytes(b), dim)),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _extract, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Expand each video row into (media_id, frame_no, frame_ts_ms)
+    sample points — pure Column expressions (sequence + explode), no
+    decode needed; the decode of each sampled frame happens downstream
+    in ``extract_features``-style stages.
+    """
+    return (
+        media.filter(F.col("meta.media_type") == "video")
+        .select(
+            "media_id",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.col("meta.duration_ms") / every_ms).cast("long") - 1,
+                        F.lit(0),
+                    ),
+                )
+            ).alias("frame_no", "frame_idx"),
+        )
+        .select(
+            "media_id",
+            "frame_no",
+            (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
+        )
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — never touches the binary column, so
+    column pruning keeps the blob out of the scan entirely."""
+    return (
+        media.groupBy(F.col("meta.media_type").alias("media_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("meta.duration_ms").alias("avg_duration_ms"),
+        )
+    )

@@ -1,0 +1,155 @@
+"""Text analysis operators for training-data pipelines.
+
+The reference has no text operators (its strings are ids and names);
+this module is the LLM-data-pipeline extension (SURVEY.md §7 step 5)
+over the driver's ``documents`` fixture (doc_id, text, lang, source,
+n_chars).
+
+Everything here is pure ``pyspark.sql.functions`` Column expressions —
+JVM-side, whole-stage codegen, no Python in the hot path. Each operator
+is deliberately expressible in ANSI SQL too, so the DuckDB oracle can
+check it value-for-value.
+
+At 100 TB these are embarrassingly parallel map-only projections: no
+shuffle, no state; they pipeline with the scan and prune to the single
+``text`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword language
+# heuristic. Tiny on purpose: the point is the Spark-side plumbing —
+# swap in real lists for production.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "pas", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "no"],
+}
+
+#: BPE-ish tokenizer regex: word pieces, numbers, or single non-space
+#: symbols — the shape GPT-style byte-pair pretokenizers use.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    """array<string> of whitespace tokens, empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    return F.size(whitespace_tokens(text))
+
+
+def regex_token_count(text: Column | str, pattern: str = TOKEN_REGEX) -> Column:
+    """Count of BPE-ish pretokens via regexp_count (JVM regex engine)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of lowercase whitespace tokens that are stopwords."""
+    toks = F.transform(whitespace_tokens(text), lambda t: F.lower(t))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation characters / total characters."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column | str) -> Column:
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit ratio columns (the lang-ID signal)."""
+    return {lang: stopword_ratio(text, lang) for lang in STOPWORDS}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax stopword ratio; 'und' if all zero.
+
+    A deterministic n-gram-free heuristic (stopword voting). Ties break
+    by dict order via strictly-greater chaining.
+    """
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality features as one map-only projection.
+
+    Output: (id, n_chars, n_tokens, n_pretokens, stopword_ratio,
+    punct_ratio, mean_word_len, quality_score). quality_score in [0,1]:
+    penalizes too-short docs, low stopword ratio (non-linguistic text),
+    and high punctuation density — the standard cheap pre-filter before
+    expensive model-based scoring.
+    """
+    t = F.col(text_col)
+    n_tokens = whitespace_token_count(t)
+    sw = stopword_ratio(t)
+    pr = punct_ratio(t)
+    length_ok = F.least(n_tokens.cast("double") / F.lit(20.0), F.lit(1.0))
+    sw_ok = F.least(sw / F.lit(0.2), F.lit(1.0))
+    punct_ok = F.greatest(F.lit(1.0) - pr * 4, F.lit(0.0))
+    score = F.round((length_ok + sw_ok + punct_ok) / 3, 6)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        regex_token_count(t).alias("n_pretokens"),
+        F.round(sw, 6).alias("stopword_ratio"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text
+    (lowercased, whitespace collapsed). md5 is bit-identical in Spark
+    and DuckDB, so the oracle can verify fingerprints value-for-value.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def rolling_hashes(text: Column | str, window: int = 5) -> Column:
+    """array<bigint> rolling window hashes over whitespace tokens
+    (xxhash64 of each ``window``-gram) — the winnowing/fingerprint basis
+    used for plagiarism-style containment detection. Map-only.
+    """
+    toks = whitespace_tokens(text)
+    count = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - F.lit(1))
+    return F.when(
+        count > 0,
+        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))),
+    ).otherwise(F.array().cast("array<bigint>"))

@@ -1,0 +1,899 @@
+"""The engine's query registry: every operator from SURVEY.md §2 as a
+named (Spark builder, DuckDB oracle SQL) pair over the driver testdata.
+
+Each entry is a callable ``(spark, sf_dir) -> DataFrame`` plus, when the
+semantics are ANSI-SQL-expressible, an oracle string DuckDB runs on the
+same parquet files. The driver compares row-count + schema + an
+order-insensitive value hash, with columns sorted by name — so every
+computed column carries the SAME alias on both sides, and types are
+cast to match (DuckDB len()/row_number() return BIGINT where Spark
+returns INT, etc.).
+
+Float discipline (what makes the value hashes reproducible):
+- raw parquet doubles pass through UNCHANGED (identical bits on both
+  engines);
+- money-style sums are computed as ``sum(round(x*100)) :: long`` —
+  per-row rounding makes every addend integer-valued, and integer-
+  valued double sums are exact and order-independent, so shuffle/
+  aggregation order can't perturb the result;
+- row-level arithmetic (same expression, same inputs) is bit-identical
+  across engines and safe at full precision;
+- ratios of small integers divide exactly the same on both engines.
+
+Reference parity notes cite /root/reference file:line in each entry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators import dedup as dd
+from db_cdc_poc_spark.operators import multimodal as mm
+from db_cdc_poc_spark.operators import similarity as sim
+from db_cdc_poc_spark.operators import text as tx
+from db_cdc_poc_spark.operators.cdc import apply_changes, latest_by_key
+from db_cdc_poc_spark.session import apply_runtime_confs
+from db_cdc_poc_spark.sources.testdata import load_table
+
+
+@dataclass(frozen=True)
+class Query:
+    """One registry entry: Spark builder + optional DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => driver does rows-only check
+    headline: bool = False  # include in bench.py
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Order-independent money sum: per-row round to integer cents."""
+    return F.sum(F.round(col * 100, 0)).cast("long")
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def _q(name: str, oracle: str | None = None, headline: bool = False):
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A1/A4/A5 aggregations (reference: 02_Data_Generation.py:65-70,
+# 04_Current_Inventory.sql:14-17)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT)                            AS sum_qty,
+       CAST(sum(round(l_extendedprice*100, 0)) AS BIGINT)         AS base_price_cents,
+       CAST(sum(round(l_extendedprice*(1-l_discount)*100, 0)) AS BIGINT)
+                                                                  AS disc_price_cents,
+       round(avg(l_quantity), 6)                                  AS avg_qty,
+       count(*)                                                   AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    headline=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key hash aggregate (A1) — TPC-H Q1 shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        _cents(F.col("l_extendedprice")).alias("base_price_cents"),
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "disc_price_cents"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "q02_filter_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity >= 30
+""",
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive filter + derived column (P2/P4; reference 02:63-64,
+    02:230). Derived money is integer cents: Spark's round(x, 2) goes
+    through exact BigDecimal expansion while DuckDB rounds x*100 — they
+    disagree on edge rows, but both agree on round(y, 0) of the same
+    product."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 30)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+@_q(
+    "q03_dim_join_agg",
+    oracle="""
+SELECT n_name,
+       CAST(sum(round(l_extendedprice*(1-l_discount)*100, 0)) AS BIGINT)
+           AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    headline=True,
+)
+def q03_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact × broadcast dims, then aggregate (J1; reference 04:26-27).
+    supplier (100 rows) and nation (25) are explicit broadcasts — at
+    100 TB the fact side never shuffles for these joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_cents"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q04_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q04_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct projection (P6/A8; reference 02:113-118)."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@_q(
+    "q05_negated_filter",
+    oracle="""
+SELECT c_mktsegment, event_type,
+       count(*) AS n,
+       CAST(sum(round(value*100, 0)) AS BIGINT) AS value_cents
+FROM events JOIN customer ON user_id = c_custkey
+WHERE NOT (c_mktsegment = 'BUILDING' AND event_type = 'error')
+GROUP BY c_mktsegment, event_type
+""",
+)
+def q05_negated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated conjunction over a joined dim — the BOPIS-correction
+    predicate shape (P5; reference 04:28)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .filter(~((F.col("c_mktsegment") == "BUILDING") & (F.col("event_type") == "error")))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), _cents(F.col("value")).alias("value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC / dedup core (A6/A7/W1; reference 03:219, 03:320-326)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q06_latest_per_key",
+    oracle="""
+SELECT user_id, event_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+    headline=True,
+)
+def q06_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key via groupBy+max_by — the engine's window-free
+    A7 core (reference 03:320-326). Map-side partial: the shuffle
+    carries ~|keys| rows, not the changelog."""
+    ev = _t(spark, sf_dir, "events")
+    return latest_by_key(ev, "user_id", "ts", tie_breakers="event_id").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+@_q(
+    "q07_cdc_apply",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+""",
+    headline=True,
+)
+def q07_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply semantics (A7): events as a changelog keyed by
+    user_id, sequenced by (ts, event_id), 'error' rows acting as
+    deletes, bookkeeping column dropped (reference 03:320-326)."""
+    ev = _t(spark, sf_dir, "events")
+    return apply_changes(
+        ev,
+        keys="user_id",
+        sequence_by="ts",
+        apply_as_deletes="event_type = 'error'",
+        except_columns=["props"],
+        tie_breakers="event_id",
+    )
+
+
+@_q(
+    "q08_dedup_exact",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+)
+def q08_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor (A6; reference 03:219 —
+    dropDuplicates made deterministic so the oracle can check it)."""
+    ev = _t(spark, sf_dir, "events")
+    return dd.dedup_exact(ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Transaction assembly + windows + sorts (A3/O1/W1; reference 02:63-73)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q09_txn_assembly",
+    oracle="""
+SELECT l_orderkey,
+       count(*) AS n_items,
+       string_agg(CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR),
+                  ',' ORDER BY l_linenumber, l_partkey) AS items
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def q09_txn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list(struct) per group with deterministic array order
+    (A1/A3/O1; reference 02:63-73). Serialized to a string so the
+    oracle hash is stable across engines' array encodings."""
+    li = _t(spark, sf_dir, "lineitem")
+    item = F.struct(F.col("l_linenumber"), F.col("l_partkey"))
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(item)),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["l_linenumber"].cast("string"),
+                    s["l_partkey"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("items"),
+    )
+
+
+@_q(
+    "q10_left_join_agg",
+    oracle="""
+SELECT c_custkey, c_name,
+       coalesce(CAST(sum(round(o_totalprice*100, 0)) AS BIGINT), 0) AS total_cents,
+       max(o_orderdate) AS last_order,
+       count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+)
+def q10_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + COALESCE'd SUM + MAX (J2-lite/A4/A5/F8;
+    reference 04:15-17)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.coalesce(_cents(F.col("o_totalprice")), F.lit(0)).alias("total_cents"),
+            F.max("o_orderdate").alias("last_order"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "q11_current_state",
+    oracle="""
+WITH snap AS (
+    SELECT user_id, value AS snapshot_value, ts AS snapshot_ts
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_type = 'view')
+    WHERE rn = 1
+), changes AS (
+    SELECT e.user_id, e.ts, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type IN ('click', 'purchase')
+      AND NOT (c.c_mktsegment = 'BUILDING' AND e.event_type = 'click')
+)
+SELECT s.user_id,
+       CAST(round(s.snapshot_value*100, 0) AS BIGINT) AS snapshot_cents,
+       coalesce(CAST(sum(round(b.value*100, 0)) AS BIGINT), 0) AS change_cents,
+       CAST(round(s.snapshot_value*100, 0) AS BIGINT)
+         + coalesce(CAST(sum(round(b.value*100, 0)) AS BIGINT), 0) AS current_cents,
+       count(b.ts) AS n_changes,
+       greatest(s.snapshot_ts, coalesce(max(b.ts), s.snapshot_ts)) AS last_ts
+FROM snap s
+LEFT JOIN changes b ON s.user_id = b.user_id AND s.snapshot_ts <= b.ts
+GROUP BY s.user_id, s.snapshot_value, s.snapshot_ts
+""",
+    headline=True,
+)
+def q11_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: the gold current-inventory shape (reference
+    04_Current_Inventory.sql:11-38) over testdata. snapshot (latest
+    'view' per user) LEFT JOIN post-snapshot changes on equi key +
+    range predicate, BOPIS-style negated dim filter, COALESCE(SUM),
+    MAX, GREATEST. Covers J1/J2/J3/A2/A4/A5/F8/F9/P5 in one query.
+
+    Scale shape: snapshot is a max_by aggregate (map-side partial);
+    the snapshot-changes join shuffles on user_id with the range
+    predicate as a residual (SortMergeJoin); the dim join broadcasts.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    snap = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.max_by(F.col("value"), F.struct("ts", "event_id")).alias("snapshot_value"),
+            F.max_by(F.col("ts"), F.struct("ts", "event_id")).alias("snapshot_ts"),
+        )
+    )
+    changes = (
+        ev.join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(~((F.col("c_mktsegment") == "BUILDING") & (F.col("event_type") == "click")))
+        .select(F.col("user_id").alias("ch_user_id"), F.col("ts").alias("ch_ts"),
+                F.col("value").alias("ch_value"))
+    )
+    snap_cents = F.round(F.col("snapshot_value") * 100, 0).cast("long")
+    return (
+        snap.join(
+            changes,
+            (F.col("user_id") == F.col("ch_user_id"))
+            & (F.col("snapshot_ts") <= F.col("ch_ts")),
+            "left",
+        )
+        .groupBy("user_id", "snapshot_value", "snapshot_ts")
+        .agg(
+            F.coalesce(_cents(F.col("ch_value")), F.lit(0)).alias("change_cents"),
+            F.count("ch_ts").alias("n_changes"),
+            F.greatest(
+                F.col("snapshot_ts"),
+                F.coalesce(F.max("ch_ts"), F.col("snapshot_ts")),
+            ).alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            snap_cents.alias("snapshot_cents"),
+            "change_cents",
+            (snap_cents + F.col("change_cents")).alias("current_cents"),
+            "n_changes",
+            "last_ts",
+        )
+    )
+
+
+@_q(
+    "q12_union",
+    oracle="""
+SELECT event_id, user_id, 'c' AS tag FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, user_id, 'p' AS tag FROM events WHERE event_type = 'purchase'
+""",
+)
+def q12_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (U1/S2; reference multi-file scan 02:48-62)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.lit("c").alias("tag")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.lit("p").alias("tag")
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function family (F1-F10; reference 02:63,231, 03:205-217,310-315)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q13_from_json",
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+""",
+)
+def q13_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parse against a declared schema (F3/F4; reference
+    03:205-206,310-313)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.from_json("props", "k INT").getField("k").alias("k")
+    )
+
+
+@_q(
+    "q14_explode",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents WHERE doc_id < 50
+""",
+)
+def q14_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (F5; reference explode_outer 03:213)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
+    )
+
+
+@_q(
+    "q15_date_format",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+       count(*) AS n,
+       CAST(sum(round(value*100, 0)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1
+""",
+)
+def q15_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp formatting + time-bucketed aggregate (F6; reference
+    02:231)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour_bucket")
+    ).agg(F.count("*").alias("n"), _cents(F.col("value")).alias("value_cents"))
+
+
+@_q(
+    "q16_epoch_us",
+    oracle="""
+SELECT event_id, epoch_us(ts) AS ts_us, make_timestamp(epoch_us(ts)) AS ts_rt
+FROM events
+""",
+)
+def q16_epoch_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-microseconds round trip (F7; reference 03:315 — Debezium
+    after.date_time is epoch µs)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.timestamp_micros(F.unix_micros("ts")).alias("ts_rt"),
+    )
+
+
+@_q(
+    "q17_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       substr(p_name, 2, CAST(length(p_name) AS INTEGER) - 2) AS name_inner,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       upper(p_brand) AS brand_uc
+FROM part
+""",
+)
+def q17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring/length — the brace-strip shape (F1; reference 02:63:
+    substring(trans_id, 2, length(trans_id)-2))."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr("substring(p_name, 2, length(p_name) - 2)").alias("name_inner"),
+        F.length("p_name").alias("name_len"),
+        F.upper("p_brand").alias("brand_uc"),
+    )
+
+
+@_q(
+    "q18_window_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3
+""",
+)
+def q18_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window — the documented A7 window rewrite (W1; SURVEY
+    §2.5)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@_q(
+    "q19_topk_sort",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+)
+def q19_topk_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + deterministic top-k (O1/O2; reference 02:71,
+    04:37-38). Spark plans TakeOrderedAndProject — no full sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup family over documents (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q20_ngram_jaccard",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 1, 1))]) AS shingles
+    FROM tk WHERE len(toks) >= 3
+), ex AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sz AS (
+    SELECT doc_id, len(shingles) AS n FROM sh
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+""",
+    headline=True,
+)
+def q20_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (threshold 0.5) —
+    the verifiable fuzzy-dedup baseline. The testdata plants ~25
+    pairs with Jaccard >= 0.9."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+@_q("q21_minhash_lsh", headline=True)  # rows-only: xxhash64 not in DuckDB
+def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with candidate-only exact verify —
+    the 100 TB fuzzy-dedup path. Driver check is rows-only; exact
+    parity with q20 on planted pairs is asserted in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        docs, num_hashes=128, bands=32, threshold=0.5, verify_exact=True
+    ).select("id_a", "id_b", "jaccard")
+
+
+@_q("q22_simhash")  # rows-only: xxhash64-based fingerprints
+def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole-blocked Hamming join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, max_hamming=7, blocks=8)
+
+
+@_q(
+    "q23_embedding_neardup",
+    oracle="""
+WITH v AS (
+    SELECT vec_id,
+           CASE WHEN nrm > 0
+                THEN list_transform(e, x -> x / nrm)
+                ELSE list_transform(e, x -> 0.0) END AS nv
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                     AS nrm
+          FROM embeddings)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.nv, b.nv), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.nv, b.nv) >= 0.4
+""",
+)
+def q23_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs over the embeddings table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+@_q(
+    "q24_cosine_topk",
+    oracle="""
+WITH v AS (
+    SELECT vec_id,
+           CASE WHEN nrm > 0
+                THEN list_transform(e, x -> x / nrm)
+                ELSE list_transform(e, x -> 0.0) END AS nv
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                     AS nrm
+          FROM embeddings)
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.nv, c.nv), 6) AS cosine,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.nv, c.nv) DESC,
+                                       c.vec_id) AS rank
+    FROM v q JOIN v c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+)
+WHERE rank <= 5
+""",
+    headline=True,
+)
+def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: 10 query vectors against the
+    corpus (similarity-search baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@_q("q25_ann_topk")  # rows-only: hash-derived hyperplanes
+def q25_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-bucketed approximate top-k (the scale path); recall
+    vs q24 is asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, tables=8, bits=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+_Q26_STOPWORD_SQL = """
+    CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                         t -> list_contains({words}, t))) AS DOUBLE)
+        / greatest(len(toks), 1)
+"""
+
+
+@_q(
+    "q26_text_quality",
+    oracle="""
+WITH base AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), feat AS (
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_pretokens,
+           CASE WHEN len(toks) > 0 THEN
+                CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                     t -> list_contains(['the','a','and','of','to','in','is','it','that','for'], t)))
+                     AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS sw_raw,
+           CASE WHEN length(text) > 0 THEN
+                CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                     AS DOUBLE) / length(text)
+                ELSE 0.0 END AS pr_raw,
+           CASE WHEN len(toks) > 0 THEN
+                CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS mwl_raw
+    FROM base
+)
+SELECT doc_id AS id, n_chars, n_tokens, n_pretokens,
+       round(sw_raw, 6) AS stopword_ratio,
+       round(pr_raw, 6) AS punct_ratio,
+       round(mwl_raw, 6) AS mean_word_len,
+       round((least(n_tokens / 20.0, 1.0)
+              + least(sw_raw / 0.2, 1.0)
+              + greatest(1.0 - pr_raw * 4, 0.0)) / 3, 6) AS quality_score
+FROM feat
+""",
+    headline=True,
+)
+def q26_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score — the cheap
+    pre-filter stage of a training-data pipeline. Map-only projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.quality_features(docs)
+
+
+@_q(
+    "q27_lang_id",
+    oracle="""
+WITH base AS (
+    SELECT doc_id, lang,
+           list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> ''), t -> lower(t)) AS toks
+    FROM documents
+), scores AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(
+                ['the','a','and','of','to','in','is','it','that','for'], t))) AS DOUBLE)/len(toks) ELSE 0.0 END AS s_en,
+           CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(
+                ['der','die','das','und','ist','ein','eine','zu','nicht','mit'], t))) AS DOUBLE)/len(toks) ELSE 0.0 END AS s_de,
+           CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(
+                ['le','la','les','et','est','un','une','de','pas','pour'], t))) AS DOUBLE)/len(toks) ELSE 0.0 END AS s_fr,
+           CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(
+                ['el','la','los','las','y','es','un','una','de','no'], t))) AS DOUBLE)/len(toks) ELSE 0.0 END AS s_es
+    FROM base
+)
+SELECT doc_id, lang,
+       CASE WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr AND s_es > 0 THEN 'es'
+            WHEN s_fr > s_en AND s_fr > s_de AND s_fr > 0 THEN 'fr'
+            WHEN s_de > s_en AND s_de > 0 THEN 'de'
+            WHEN s_en > 0 THEN 'en'
+            ELSE 'und' END AS lang_pred
+FROM scores
+""",
+)
+def q27_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID next to the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", tx.lang_id("text").alias("lang_pred"))
+
+
+@_q(
+    "q28_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+)
+def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint (md5 is bit-identical across
+    Spark and DuckDB — the cross-engine-deterministic hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.doc_fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + Arrow-batched mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q29_media_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       sha256(text) AS content_sha256,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def q29_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: documents' text re-encoded as opaque
+    binary blobs, pushed through the Arrow-batched mapInPandas feature
+    extractor (decode kernel stubbed — see operators/multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit(None).cast(mm.MEDIA_META_SCHEMA).alias("meta"),
+    )
+    return mm.extract_features(media, dim=8).select(
+        "media_id", "content_sha256", "n_bytes"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming (T1/T2/T3) — availableNow file streams, deterministic output
+# ---------------------------------------------------------------------------
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Materialize the events table into a streaming-friendly directory
+    (micros timestamps — Spark's streaming parquet source rejects the
+    raw nanos files — split into n_files so availableNow processes
+    multiple micro-batches with maxFilesPerTrigger=1)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="events_staged_") + "/events"
+    _t(spark, sf_dir, "events").repartition(n_files).write.mode("overwrite").parquet(out)
+    return out
+
+
+@_q(
+    "q30_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q30_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming stateful dedup (T1/T2; reference 03:218-219):
+    file source -> withWatermark -> dropDuplicates, availableNow
+    trigger, memory sink. Output is the key set (survivor-independent,
+    so the oracle is plain DISTINCT)."""
+    from db_cdc_poc_spark.streaming.jobs import stream_dedup_keys
+
+    return stream_dedup_keys(
+        spark, _staged_events_dir(spark, sf_dir), keys=["user_id", "event_type"]
+    )
+
+
+@_q(
+    "q31_stream_cdc_apply",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def q31_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (T3; reference 03:320-326): file stream ->
+    foreachBatch incremental upsert into a keyed state table; final
+    state must equal the batch apply_changes result (same oracle as
+    q07)."""
+    from db_cdc_poc_spark.streaming.cdc import stream_apply_changes
+
+    return stream_apply_changes(
+        spark,
+        _staged_events_dir(spark, sf_dir),
+        keys="user_id",
+        sequence_by="ts",
+        apply_as_deletes="event_type = 'error'",
+        except_columns=["props"],
+        tie_breakers="event_id",
+    )
+
+
+def registry() -> dict[str, Query]:
+    return dict(REGISTRY)

@@ -26,6 +26,12 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any toPandas / pandas_udf exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Spark has no TIMESTAMP(NANOS) type; without this, scanning
+    # nanosecond-precision parquet (e.g. pandas-written testdata) throws
+    # PARQUET_TYPE_ILLEGAL. With it, nanos columns surface as LongType
+    # and sources/testdata.py converts them to micros timestamps
+    # (floor-division, matching DuckDB's nanos->micros truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

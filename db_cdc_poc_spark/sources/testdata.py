@@ -1,8 +1,20 @@
-"""Loaders for the driver-generated synthetic tables (TESTDATA.md)."""
+"""Loaders for the driver-generated synthetic tables (TESTDATA.md).
+
+The testdata is pandas-written parquet with nanosecond TIMESTAMP
+columns, which Spark has no type for: with
+``spark.sql.legacy.parquet.nanosAsLong`` (set in session.RUNTIME_CONFS)
+they scan as LongType nanoseconds. ``load_table`` restores proper
+TimestampType via floor-division to micros — the same truncation DuckDB
+applies when it reads the file, so oracle comparisons see identical
+values.
+"""
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -18,8 +30,25 @@ TABLES = (
 )
 
 
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Names of timestamp[ns] columns in a parquet file's footer."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for col in _nanos_columns(path):
+        # ns -> µs truncation (floor), matching DuckDB's conversion.
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

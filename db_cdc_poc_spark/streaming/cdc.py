@@ -1,0 +1,153 @@
+"""Incremental CDC apply — the streaming form of ``dlt.apply_changes``.
+
+The batch operator (operators/cdc.py) reduces a whole changelog at
+once; this module maintains a keyed state table across micro-batches
+via ``foreachBatch`` (reference: 03_Ingestion.py:318-326 —
+``dlt.create_target_table`` + ``dlt.apply_changes``; OSS Spark has no
+managed upsert sink, so we build one on parquet).
+
+State layout: the target stores the LATEST CHANGELOG ROW per key —
+including delete markers and the sequencing columns — in versioned
+parquet directories (``v_00000001``, ...). Keeping delete rows in state
+(rather than physically removing keys) makes the merge associative:
+
+    latest(state ∪ batch) == latest(full changelog so far)
+
+so out-of-order rows *across* micro-batches resolve correctly: a stale
+update arriving after a newer one (or after a delete) loses the max_by
+and leaves state unchanged. Reads filter deletes and drop bookkeeping
+columns.
+
+Versioned directories exist because Spark cannot overwrite a parquet
+path it is concurrently reading (self-overwrite corrupts the scan);
+each micro-batch writes ``v_{n+1}`` from ``v_n`` ∪ batch, then old
+versions are pruned. On a cluster this same pattern is how
+foreachBatch-upserts-to-parquet work when Delta/Iceberg (which hide
+the versioning) aren't available; swap in MERGE INTO when they are.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators.cdc import latest_by_key
+
+
+class CdcTarget:
+    """A keyed upsert target backed by versioned parquet state
+    (S6/S8: the engine's stand-in for ``dlt.create_target_table``)."""
+
+    def __init__(
+        self,
+        path: str,
+        keys: str | Sequence[str],
+        sequence_by: str | Sequence[str],
+        apply_as_deletes: str | None = None,
+        except_columns: Sequence[str] = (),
+        tie_breakers: str | Sequence[str] = (),
+        keep_versions: int = 2,
+    ) -> None:
+        self.path = Path(path)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.sequence_by = sequence_by
+        self.apply_as_deletes = apply_as_deletes
+        self.except_columns = list(except_columns)
+        self.tie_breakers = tie_breakers
+        self.keep_versions = keep_versions
+        self.path.mkdir(parents=True, exist_ok=True)
+
+    # -- state versioning -------------------------------------------------
+
+    def _versions(self) -> list[Path]:
+        return sorted(p for p in self.path.glob("v_*") if p.is_dir())
+
+    def _latest_state(self, spark: SparkSession) -> DataFrame | None:
+        versions = self._versions()
+        if not versions:
+            return None
+        return spark.read.parquet(str(versions[-1]))
+
+    # -- merge ------------------------------------------------------------
+
+    def upsert_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        """Merge one micro-batch: new state = latest(state ∪ batch).
+
+        Writes the merged latest-row-per-key table as the next state
+        version, then prunes old versions. Called from foreachBatch.
+        """
+        spark = batch.sparkSession
+        state = self._latest_state(spark)
+        merged = state.unionByName(batch) if state is not None else batch
+        new_state = latest_by_key(
+            merged, self.keys, self.sequence_by, self.tie_breakers
+        )
+        versions = self._versions()
+        next_n = int(versions[-1].name[2:]) + 1 if versions else 0
+        out = self.path / f"v_{next_n:08d}"
+        new_state.write.mode("overwrite").parquet(str(out))
+        for old in self._versions()[: -self.keep_versions]:
+            shutil.rmtree(old, ignore_errors=True)
+
+    # -- read -------------------------------------------------------------
+
+    def current(self, spark: SparkSession) -> DataFrame:
+        """The applied table: latest rows, deletes filtered, bookkeeping
+        columns dropped — what ``dlt.apply_changes`` exposes."""
+        state = self._latest_state(spark)
+        if state is None:
+            raise ValueError(f"CDC target {self.path} has no state yet")
+        if self.apply_as_deletes is not None:
+            state = state.filter(~F.expr(self.apply_as_deletes))
+        drop = [c for c in self.except_columns if c in state.columns]
+        return state.drop(*drop) if drop else state
+
+
+def stream_apply_changes(
+    spark: SparkSession,
+    source_path: str,
+    keys: str | Sequence[str],
+    sequence_by: str | Sequence[str],
+    apply_as_deletes: str | None = None,
+    except_columns: Sequence[str] = (),
+    tie_breakers: str | Sequence[str] = (),
+    state_path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File stream -> foreachBatch incremental CDC apply -> final table.
+
+    Drains ``source_path`` with an ``availableNow`` trigger, merging
+    each micro-batch into a ``CdcTarget``, and returns the final
+    applied table. Equals batch ``apply_changes`` over the same data
+    regardless of how rows split across micro-batches (asserted in
+    tests with ``max_files_per_trigger=1`` over multi-file input).
+    """
+    target = CdcTarget(
+        state_path or tempfile.mkdtemp(prefix="cdc_state_"),
+        keys=keys,
+        sequence_by=sequence_by,
+        apply_as_deletes=apply_as_deletes,
+        except_columns=except_columns,
+        tie_breakers=tie_breakers,
+    )
+    static = spark.read.parquet(source_path)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_path)
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_cdc_")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, epoch: target.upsert_batch(batch, epoch)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+    return target.current(spark)

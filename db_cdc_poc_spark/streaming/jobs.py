@@ -1,0 +1,61 @@
+"""Streaming jobs: watermarked stateful dedup over a file stream.
+
+Re-expresses the reference's silver dedup (reference:
+03_Ingestion.py:218-219 — ``withWatermark('date_time', '1 hour')`` then
+``dropDuplicates(['trans_id','item_id'])``) as an OSS file-source
+stream.
+
+Watermark choice (the SURVEY §2.9 T1 trap): the reference's 1-hour
+watermark is SHORTER than the 2-13.7 h lag between its BOPIS duplicate
+pairs, so streaming state can expire before the second copy arrives and
+the dup survives; the gold query's filter is the backstop. Our default
+here is deliberately wide (35 days) so streaming output matches batch
+``dropDuplicates`` exactly; callers trade state size for dedup reach by
+narrowing it.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def stream_dedup_keys(
+    spark: SparkSession,
+    source_path: str,
+    keys: Sequence[str],
+    watermark_col: str = "ts",
+    watermark_delay: str = "35 days",
+) -> DataFrame:
+    """File stream -> watermark -> stateful dropDuplicates -> memory sink.
+
+    Returns the deduped KEY set as a batch DataFrame (survivor payloads
+    are arrival-order-dependent in a stream; the key set is
+    deterministic). ``availableNow`` drains the source and stops, so
+    the call is synchronous and repeatable.
+
+    Scale: dropDuplicates state is one entry per key in the state
+    store, partitioned by key hash; the watermark bounds its lifetime.
+    """
+    static = spark.read.parquet(source_path)
+    stream = spark.readStream.schema(static.schema).parquet(source_path)
+    deduped = (
+        stream.withWatermark(watermark_col, watermark_delay)
+        .dropDuplicates(list(keys))
+        .select(*keys)
+    )
+    name = f"dedup_keys_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_dedup_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
