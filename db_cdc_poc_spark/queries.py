@@ -636,19 +636,18 @@ def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q23_embedding_neardup",
     oracle="""
 WITH v AS (
-    SELECT vec_id,
-           CASE WHEN nrm > 0
-                THEN list_transform(e, x -> x / nrm)
-                ELSE list_transform(e, x -> 0.0) END AS nv
-    FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
-                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                     AS nrm
-          FROM embeddings)
+    SELECT vec_id, e,
+           sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+), scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CASE WHEN a.nrm * b.nrm > 0
+                THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                ELSE 0.0 END AS cos_raw
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.nv, b.nv), 6) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.nv, b.nv) >= 0.4
+SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+FROM scored WHERE cos_raw >= 0.4
 """,
 )
 def q23_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -661,26 +660,23 @@ def q23_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_cosine_topk",
     oracle="""
 WITH v AS (
-    SELECT vec_id,
-           CASE WHEN nrm > 0
-                THEN list_transform(e, x -> x / nrm)
-                ELSE list_transform(e, x -> 0.0) END AS nv
-    FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
-                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                     AS nrm
-          FROM embeddings)
-)
-SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
-FROM (
+    SELECT vec_id, e,
+           sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+), scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           round(list_dot_product(q.nv, c.nv), 6) AS cosine,
-           row_number() OVER (PARTITION BY q.vec_id
-                              ORDER BY list_dot_product(q.nv, c.nv) DESC,
-                                       c.vec_id) AS rank
+           CASE WHEN q.nrm * c.nrm > 0
+                THEN list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                ELSE 0.0 END AS cos_raw
     FROM v q JOIN v c ON q.vec_id <> c.vec_id
     WHERE q.vec_id < 10
 )
-WHERE rank <= 5
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
 """,
     headline=True,
 )
