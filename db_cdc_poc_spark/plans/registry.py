@@ -1,0 +1,130 @@
+"""Mini-DLT table registry — the engine's replacement for the
+Databricks-proprietary orchestration surface (SURVEY.md §2.11;
+reference: @dlt.table decorators at 03_Data_Ingestion.py:59-64,...,
+LIVE.x references at 04_Current_Inventory.sql:18,25-27).
+
+A registry entry is (name -> builder function, tier, trigger hint).
+Builders declare dependencies by calling ``registry.read('other')``,
+mirroring ``dlt.read``/``LIVE.other``; resolution is lazy, memoized,
+and cycle-checked, so ``build()`` walks the DAG in topological order
+implicitly. Everything stays a DataFrame (one logical plan end-to-end
+— Catalyst sees THROUGH table boundaries and can push filters across
+them) until ``materialize()`` writes parquet.
+
+Trigger hints (`'24 hours'`, `'5 minute'`, 'continuous') are carried
+as metadata: this engine runs batch/availableNow builds; a scheduler
+driving per-table refresh uses the hints. That matches the reference,
+where triggers are DLT pipeline config, not dataflow semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class TableDef:
+    name: str
+    builder: Callable[[], DataFrame]
+    tier: str | None = None  # bronze | silver | gold
+    comment: str | None = None
+    trigger: str | None = None  # e.g. '24 hours', '5 minute', 'continuous'
+    deps: set[str] = field(default_factory=set)
+
+
+class TableRegistry:
+    """Declare tables with ``@registry.table(...)``; resolve with
+    ``registry.read(name)`` inside builders; ``build(name)`` returns the
+    DataFrame, building upstream tables as needed."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._defs: dict[str, TableDef] = {}
+        self._built: dict[str, DataFrame] = {}
+        self._building: list[str] = []  # stack, for cycle detection + dep edges
+
+    # -- declaration ------------------------------------------------------
+
+    def table(
+        self,
+        name: str | None = None,
+        tier: str | None = None,
+        comment: str | None = None,
+        trigger: str | None = None,
+    ):
+        """Decorator registering ``fn`` as the builder of dataset
+        ``name`` (default: the function name) — the engine's
+        ``@dlt.table``."""
+
+        def deco(fn: Callable[[], DataFrame]):
+            tname = name or fn.__name__
+            if tname in self._defs:
+                raise ValueError(f"table {tname!r} already registered")
+            self._defs[tname] = TableDef(
+                name=tname, builder=fn, tier=tier, comment=comment, trigger=trigger
+            )
+            return fn
+
+        return deco
+
+    # -- resolution -------------------------------------------------------
+
+    def read(self, name: str) -> DataFrame:
+        """Resolve a dependency from inside a builder (``LIVE.name``)."""
+        if self._building:
+            self._defs[self._building[-1]].deps.add(name)
+        return self.build(name)
+
+    def build(self, name: str) -> DataFrame:
+        if name in self._built:
+            return self._built[name]
+        if name not in self._defs:
+            raise KeyError(f"unknown table {name!r}; registered: {sorted(self._defs)}")
+        if name in self._building:
+            cycle = " -> ".join([*self._building, name])
+            raise ValueError(f"dependency cycle: {cycle}")
+        self._building.append(name)
+        try:
+            df = self._defs[name].builder()
+        finally:
+            self._building.pop()
+        self._built[name] = df
+        return df
+
+    def build_all(self) -> dict[str, DataFrame]:
+        return {name: self.build(name) for name in self._defs}
+
+    # -- introspection ----------------------------------------------------
+
+    def topological_order(self) -> list[str]:
+        """Dependency-first ordering (builds everything to learn edges)."""
+        self.build_all()
+        seen: list[str] = []
+
+        def visit(n: str) -> None:
+            if n in seen:
+                return
+            for d in sorted(self._defs[n].deps):
+                visit(d)
+            seen.append(n)
+
+        for n in self._defs:
+            visit(n)
+        return seen
+
+    def definition(self, name: str) -> TableDef:
+        return self._defs[name]
+
+    # -- materialization --------------------------------------------------
+
+    def materialize(self, root: str, tables: list[str] | None = None) -> None:
+        """Write tables as parquet under ``root/<name>`` in dependency
+        order (the engine's managed-table sink, S7)."""
+        order = self.topological_order()
+        wanted = set(tables) if tables is not None else set(order)
+        for name in order:
+            if name in wanted:
+                self.build(name).write.mode("overwrite").parquet(f"{root}/{name}")

@@ -1,0 +1,137 @@
+"""Dedup family: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding near-dup. Includes the regression tests for the round-1
+lambda-arity bugs (constant signatures / unbuildable SimHash plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators import dedup as dd
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river shore"),
+    (3, "completely different text about spark sql engines and query plans"),
+    (4, "completely different text about spark sql engines and query planners"),
+    (5, "unrelated short doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 5)], "k long, payload string, seq long"
+    )
+    out = {r.k: r.payload for r in dd.dedup_exact(df, "k", "seq").collect()}
+    assert out == {1: "b", 2: "c"}
+
+
+def test_ngram_jaccard_known_value(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    # docs 1/2: 13 tokens -> 11 trigrams each, 10 shared (only the
+    # final bank/shore trigram differs): J = 10 / (11+11-10) = 10/12
+    assert pairs[(1, 2)] == pytest.approx(10 / 12, abs=1e-6)
+    assert (3, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_signatures_are_not_degenerate(spark, docs):
+    # round-1 bug: (element, index) lambda shadowed the seed and every
+    # signature position held the same value
+    sigs = dd.minhash_signatures(docs, num_hashes=16).collect()
+    for r in sigs:
+        assert len(set(r.sig)) > 8, f"degenerate signature for doc {r.id}"
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs(
+            docs, num_hashes=128, bands=64, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs
+
+
+def test_minhash_exact_verification_matches_ngram(spark, docs):
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_pairs(
+            docs, num_hashes=128, bands=64, threshold=0.3
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    for pair, j in lsh.items():
+        assert exact[pair] == pytest.approx(j, abs=1e-6)
+
+
+def test_simhash_plan_builds_and_finds_near_pairs(spark, docs):
+    # round-1 bug: 3-ary aggregate lambda made every call raise
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_pairs(docs, max_hamming=12, blocks=16).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 12
+    assert (3, 4) in pairs
+
+
+def test_simhash_fingerprints_match_simhash_col(spark, docs):
+    fast = {r.id: r.fp for r in dd.simhash_fingerprints(docs).collect()}
+    slow = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", dd.simhash_col("text").alias("fp")).collect()
+    }
+    assert fast == slow
+
+
+def test_degenerate_docs_do_not_crash_or_match(spark):
+    weird = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, None)], "doc_id long, text string"
+    )
+    assert dd.ngram_jaccard_pairs(weird, threshold=0.0).count() == 0
+    assert dd.minhash_lsh_pairs(weird, num_hashes=8, bands=4).count() == 0
+
+
+def test_embedding_neardup(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [1.0, 1e-4, 0.0, 0.0]),
+            (4, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_neardup_pairs(vecs, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(2, 3)}
+    assert pairs[(2, 3)] > 0.999
+
+
+def test_lsh_verify_plan_has_no_full_corpus_pair_join(spark, docs):
+    # round-1 scale bug: verify_exact joined the FULL threshold-0 pair
+    # set via the shingle inverted-index self-join; now exact Jaccard
+    # touches candidates only, so no Join in the plan may key on the
+    # exploded `shingle` column (joins on id_a/id_b/band are fine)
+    plan = (
+        dd.minhash_lsh_pairs(docs, num_hashes=16, bands=8, verify_exact=True)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, "expected join operators in the LSH plan"
+    for ln in join_lines:
+        assert "shingle#" not in ln, f"shingle-keyed join found: {ln}"

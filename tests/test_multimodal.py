@@ -1,0 +1,70 @@
+"""Multimodal plumbing: binary columns through Arrow-batched
+mapInPandas with a stubbed decode kernel."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, b"fake-image-bytes", ("image", "png", 64, 64, None, None)),
+        (2, b"fake-audio-bytes-longer", ("audio", "wav", None, None, 5000, 16000)),
+        (3, b"fake-video", ("video", "mp4", 320, 240, 3500, None)),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_extract_features_plumbing(spark, media):
+    out = {r.media_id: r for r in mm.extract_features(media, dim=8).collect()}
+    assert set(out) == {1, 2, 3}
+    for mid, r in out.items():
+        assert len(r.features) == 8
+        assert all(0.0 <= x < 1.0 for x in r.features)
+    assert out[1].content_sha256 == hashlib.sha256(b"fake-image-bytes").hexdigest()
+    assert out[2].n_bytes == len(b"fake-audio-bytes-longer")
+
+
+def test_extract_features_deterministic(spark, media):
+    a = sorted(mm.extract_features(media, dim=4).collect())
+    b = sorted(mm.extract_features(media, dim=4).collect())
+    assert a == b
+
+
+def test_real_decode_raises_decode_unavailable(spark, media):
+    with pytest.raises(Exception) as exc_info:
+        mm.extract_features(media, fake_decode=False).collect()
+    assert "DecodeUnavailable" in str(exc_info.value) or "codecs not installed" in str(
+        exc_info.value
+    )
+
+
+def test_frame_sample_plan(spark, media):
+    rows = mm.frame_sample_plan(media, every_ms=1000).collect()
+    # only the video row (3.5 s) expands: frames at 0, 1000, 2000 ms
+    assert {r.media_id for r in rows} == {3}
+    assert sorted(r.frame_ts_ms for r in rows) == [0, 1000, 2000]
+
+
+def test_media_stats_prunes_binary_column(spark, media):
+    # pruning is visible on a file scan (ReadSchema), not a local
+    # relation — stage the table as parquet first
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="media_") + "/media"
+    media.write.parquet(path)
+    stats = mm.media_stats(spark.read.parquet(path))
+    assert {r.media_type: r.n for r in stats.collect()} == {
+        "image": 1, "audio": 1, "video": 1,
+    }
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all(
+        "content" not in ln for ln in read_schema
+    ), "binary column must be pruned from metadata scans"

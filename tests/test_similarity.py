@@ -1,0 +1,89 @@
+"""Similarity search: exact cosine top-k and LSH-bucketed ANN."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators import similarity as sim
+from db_cdc_poc_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r.c for r in df.select(sim.cosine("a", "b").alias("c")).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == 0.0  # zero vector -> 0, not NaN
+
+
+def test_paired_cosine_equals_cosine(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(20)
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        sim.norm("embedding").alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        sim.paired_cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")).alias("p"),
+        sim.cosine(F.col("a.v"), F.col("b.v")).alias("c"),
+    )
+    for r in pairs.collect():
+        assert r.p == r.c  # bit-identical, not just approx
+
+
+def test_cosine_topk_matches_brute_force(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = sim.cosine_topk(queries, emb, k=4)
+    rows = topk.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    # python-side brute force
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (da * db) if da * db else 0.0
+
+    for qid, got in by_q.items():
+        got = sorted(got, key=lambda r: r.rank)
+        expect = sorted(
+            ((cos(vecs[qid], v), nid) for nid, v in vecs.items() if nid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        assert [r.neighbor_id for r in got] == [nid for _, nid in expect]
+        for r, (c, _) in zip(got, expect):
+            assert r.cosine == pytest.approx(c, abs=1e-4)
+
+
+def test_ann_topk_recall_against_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(queries, emb, k=5).collect()
+    approx = sim.ann_topk(queries, emb, k=5, tables=16, bits=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_ann_candidate_join_is_bucket_equi_join(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = (
+        sim.ann_topk(emb.limit(5), emb, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the candidate generator must be a hash join on bucket, never a
+    # nested-loop cross product over the corpus
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,110 @@
+"""Streaming-vs-batch parity (SURVEY §5.4): the availableNow streams
+must produce exactly the batch operators' results, including when the
+input is split across multiple micro-batches."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators.cdc import apply_changes
+from db_cdc_poc_spark.sources.testdata import load_table
+from db_cdc_poc_spark.streaming.cdc import CdcTarget, stream_apply_changes
+from db_cdc_poc_spark.streaming.jobs import stream_dedup_keys
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """events table staged as 4 parquet files (micros timestamps)."""
+    out = tempfile.mkdtemp(prefix="events_multi_") + "/events"
+    load_table(spark, SF_DIR, "events").repartition(4).write.parquet(out)
+    return out
+
+
+def test_stream_dedup_keys_equals_distinct(spark, events_dir):
+    got = sorted(
+        (r.user_id, r.event_type)
+        for r in stream_dedup_keys(spark, events_dir, ["user_id", "event_type"]).collect()
+    )
+    want = sorted(
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(events_dir)
+        .select("user_id", "event_type").distinct().collect()
+    )
+    assert got == want
+
+
+def test_stream_cdc_apply_single_batch_parity(spark, events_dir):
+    batch = apply_changes(
+        spark.read.parquet(events_dir),
+        keys="user_id", sequence_by="ts",
+        apply_as_deletes="event_type = 'error'",
+        except_columns=["props"], tie_breakers="event_id",
+    )
+    streamed = stream_apply_changes(
+        spark, events_dir,
+        keys="user_id", sequence_by="ts",
+        apply_as_deletes="event_type = 'error'",
+        except_columns=["props"], tie_breakers="event_id",
+    )
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, streamed.collect()))
+
+
+def test_stream_cdc_apply_multi_batch_parity(spark, events_dir):
+    # maxFilesPerTrigger=1 forces 4 micro-batches; the incremental merge
+    # must be associative: final state == batch apply over everything,
+    # regardless of which rows arrived in which batch
+    batch = apply_changes(
+        spark.read.parquet(events_dir),
+        keys="user_id", sequence_by="ts",
+        apply_as_deletes="event_type = 'error'",
+        except_columns=["props"], tie_breakers="event_id",
+    )
+    streamed = stream_apply_changes(
+        spark, events_dir,
+        keys="user_id", sequence_by="ts",
+        apply_as_deletes="event_type = 'error'",
+        except_columns=["props"], tie_breakers="event_id",
+        max_files_per_trigger=1,
+    )
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, streamed.collect()))
+
+
+def test_cdc_target_delete_then_reinsert_across_batches(spark):
+    target = CdcTarget(
+        tempfile.mkdtemp(prefix="cdc_t_"),
+        keys="k", sequence_by="seq", apply_as_deletes="op = 'd'",
+        except_columns=["op", "seq"],
+    )
+    b1 = spark.createDataFrame([(1, "a", "u", 10), (2, "b", "u", 10)],
+                               "k long, v string, op string, seq long")
+    b2 = spark.createDataFrame([(1, "x", "d", 20)],
+                               "k long, v string, op string, seq long")
+    b3 = spark.createDataFrame([(1, "c", "u", 30)],
+                               "k long, v string, op string, seq long")
+    target.upsert_batch(b1)
+    target.upsert_batch(b2)
+    mid = {(r.k, r.v) for r in target.current(spark).collect()}
+    assert mid == {(2, "b")}  # key 1 deleted
+    target.upsert_batch(b3)
+    end = {(r.k, r.v) for r in target.current(spark).collect()}
+    assert end == {(1, "c"), (2, "b")}  # reinsert after delete survives
+
+
+def test_cdc_target_stale_update_across_batches_ignored(spark):
+    target = CdcTarget(
+        tempfile.mkdtemp(prefix="cdc_t2_"),
+        keys="k", sequence_by="seq", except_columns=["seq"],
+    )
+    target.upsert_batch(
+        spark.createDataFrame([(1, "new", 200)], "k long, v string, seq long")
+    )
+    target.upsert_batch(
+        spark.createDataFrame([(1, "old", 100)], "k long, v string, seq long")
+    )
+    [r] = target.current(spark).collect()
+    assert r.v == "new"

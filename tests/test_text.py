@@ -1,0 +1,89 @@
+"""Text analysis: token counting, quality features, language ID,
+fingerprints."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a good mat for cats"),
+            (2, "der hund ist ein guter hund und das ist gut"),
+            (3, "le chat est un bon chat et la vie est pour les chats"),
+            (4, "xyzzy qwerty plugh"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_counts(spark, docs):
+    out = {r.doc_id: r for r in docs.select(
+        "doc_id",
+        tx.whitespace_token_count("text").alias("n"),
+        tx.regex_token_count("text").alias("p"),
+    ).collect()}
+    assert out[1].n == 14
+    assert out[5].n == 0
+    assert out[4].p == 3
+
+
+def test_regex_token_count_counts_symbols(spark):
+    df = spark.createDataFrame([("hello, world! x2",)], "text string")
+    [r] = df.select(tx.regex_token_count("text").alias("p")).collect()
+    # hello , world ! x 2 -> 6 pretokens
+    assert r.p == 6
+
+
+def test_quality_features_shapes_and_bounds(spark, docs):
+    rows = tx.quality_features(docs, id_col="doc_id").collect()
+    assert {r.id for r in rows} == {1, 2, 3, 4, 5}
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+    by_id = {r.id: r for r in rows}
+    # English stopword-rich doc scores above gibberish
+    assert by_id[1].stopword_ratio > by_id[4].stopword_ratio
+    # empty doc: length and stopword terms are 0, punct term is 1
+    assert by_id[5].n_tokens == 0
+    assert by_id[5].quality_score == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_lang_id(spark, docs):
+    out = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", tx.lang_id("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "und"
+    assert out[5] == "und"
+
+
+def test_doc_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "  hello WORLD \t")],
+        "doc_id long, text string",
+    )
+    fps = [r.fp for r in df.select(tx.doc_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_rolling_hashes(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c"), (3, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.h for r in df.select(
+        "doc_id", tx.rolling_hashes("text", window=5).alias("h")).collect()}
+    assert len(out[1]) == 2  # 6 tokens, window 5 -> 2 windows
+    assert len(out[2]) == 0  # shorter than window
+    assert len(out[3]) == 0
