@@ -1,0 +1,53 @@
+"""Driver exchange surface (S9/S10/S11): the three ways the reference
+pulls results to the driver, wrapped with the engine's guard rails.
+
+Reference call sites: ``collect()`` (02_Data_Generation.py:73,118),
+``toPandas()`` (02:233), ``toJSON().collect()`` (02:72). All three are
+driver-memory hazards at 100 TB, so every wrapper takes a row cap and
+refuses unbounded pulls by default — an engine-level guard the
+reference lacks. Arrow transfer is enabled session-wide
+(session.RUNTIME_CONFS) so ``toPandas`` takes the columnar path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+
+class DriverExchangeTooLarge(RuntimeError):
+    pass
+
+
+def _guard(df: DataFrame, max_rows: int | None) -> None:
+    if max_rows is None:
+        return
+    # limit+count is cheap: stops scanning at max_rows+1
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise DriverExchangeTooLarge(
+            f"result exceeds max_rows={max_rows}; aggregate or raise the cap"
+        )
+
+
+def collect_rows(df: DataFrame, max_rows: int | None = 100_000) -> list[Row]:
+    """S9: ``collect()`` with a size guard."""
+    _guard(df, max_rows)
+    return df.collect()
+
+
+def to_pandas(df: DataFrame, max_rows: int | None = 1_000_000) -> pd.DataFrame:
+    """S10: Arrow-path ``toPandas()`` with a size guard."""
+    _guard(df, max_rows)
+    return df.toPandas()
+
+
+def to_json_strings(df: DataFrame, max_rows: int | None = 100_000) -> list[str]:
+    """S11: one JSON document per row, like ``toJSON().collect()``.
+
+    Columnar form: ``to_json(struct(*))`` stays a JVM expression, so
+    serialization happens on executors, not the driver.
+    """
+    _guard(df, max_rows)
+    out = df.select(F.to_json(F.struct(*df.columns)).alias("js"))
+    return [r.js for r in out.collect()]
