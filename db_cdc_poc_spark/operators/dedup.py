@@ -102,6 +102,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) whose word-n-gram Jaccard similarity >= threshold.
 
@@ -111,13 +112,29 @@ def ngram_jaccard_pairs(
     Set sizes come from a count aggregate over the SAME exploded rows,
     not a second evaluation of the shingle arrays.
 
-    Scale: the shingle join is the classic candidate generator; extremely
-    frequent shingles create skew — AQE skew-join splits those partitions.
-    For 100 TB corpora prefer ``minhash_lsh_pairs`` below (candidates per
-    band bucket, not per shingle). Output: (id_a, id_b, jaccard).
+    Scale: the shingle join is the classic candidate generator; a
+    shingle appearing in d documents contributes d^2 joined rows, so
+    corpus-frequent shingles (stop-word n-grams) blow the join up
+    quadratically. AQE skew-join splits the partitions, but the real
+    fix is ``max_doc_freq``: drop shingles whose document frequency
+    exceeds the cap BEFORE the join — a shingle shared by thousands of
+    documents carries almost no similarity signal, and the candidate
+    count drops from d^2 to 0 for those. NOTE this makes the Jaccard
+    approximate (set sizes still count capped shingles; common counts
+    don't), so the oracle-checked default keeps it off. For 100 TB
+    corpora prefer ``minhash_lsh_pairs`` below (candidates per band
+    bucket, not per shingle). Output: (id_a, id_b, jaccard).
     """
     sh = shingle_rows(df, id_col, text_col, n)
     counts = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (

@@ -617,11 +617,14 @@ def q20_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("q21_minhash_lsh", headline=True)  # rows-only: xxhash64 not in DuckDB
 def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with candidate-only exact verify —
-    the 100 TB fuzzy-dedup path. Driver check is rows-only; exact
-    parity with q20 on planted pairs is asserted in tests."""
+    the 100 TB fuzzy-dedup path. 64 hashes / 16 bands (r=4: S-curve
+    midpoint ~0.42, matched to the 0.5 threshold; planted pairs sit at
+    J>=0.9 where miss probability is ~(1-0.9^4)^16 ~ 1e-8). Driver
+    check is rows-only; exact parity with q20 on planted pairs is
+    asserted in tests."""
     docs = _t(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
-        docs, num_hashes=128, bands=32, threshold=0.5, verify_exact=True
+        docs, num_hashes=64, bands=16, threshold=0.5, verify_exact=True
     ).select("id_a", "id_b", "jaccard")
 
 
@@ -888,6 +891,50 @@ def q31_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_as_deletes="event_type = 'error'",
         except_columns=["props"],
         tie_breakers="event_id",
+    )
+
+
+@_q(
+    "q32_envelope_roundtrip",
+    oracle="""
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty
+FROM lineitem
+""",
+)
+def q32_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full JSON envelope cycle (S11/F4/F5/P1; reference 02:63-73
+    produce + 03:201-217 consume): assemble one JSON doc per order with
+    an items array (executor-side to_json), parse it back against a
+    declared schema, explode_outer the array, flatten. Identity on the
+    data, so the oracle is the plain projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    schema = "l_orderkey bigint, items array<struct<l_linenumber:int, qty:int>>"
+    docs = li.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.struct(
+                F.col("l_orderkey"),
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("l_linenumber"),
+                            F.col("l_quantity").cast("int").alias("qty"),
+                        )
+                    )
+                ).alias("items"),
+            )
+        ).alias("value")
+    )
+    parsed = docs.select(F.from_json("value", schema).alias("e"))
+    return (
+        parsed.select(
+            F.col("e.l_orderkey").alias("l_orderkey"),
+            F.explode_outer("e.items").alias("item"),
+        )
+        .select(
+            "l_orderkey",
+            F.col("item.l_linenumber").alias("l_linenumber"),
+            F.col("item.qty").alias("qty"),
+        )
     )
 
 
