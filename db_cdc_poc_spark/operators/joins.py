@@ -1,0 +1,125 @@
+"""Join strategies beyond the built-ins: as-of join, skew salting,
+bucketed co-located joins.
+
+The reference's only non-equi predicate is the gold query's range
+residual (J2, 04_Current_Inventory.sql:30-33); these are the engine
+extensions SURVEY §2.3 lists as absent-but-natural, each built as a
+composition of DataFrame ops so Catalyst still plans them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: for every left row, the latest right row
+    with ``right_time <= left_time`` per key (inclusive), as new
+    columns ``value_cols`` (null when no prior right row exists).
+
+    Plan: tag sides, UNION by key, one shuffle+sort per key on
+    (time, side), then ``last(value, ignoreNulls)`` over an unbounded-
+    preceding window carries each right value forward to the left rows
+    after it. Cost is one shuffle of |L|+|R| rows — no pair blowup, in
+    contrast to the join-then-max_by formulation whose intermediate is
+    |matching pairs| (quadratic per hot key). Right rows tie-sort
+    BEFORE left rows at equal times, making the join inclusive.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    value_cols = list(value_cols)
+    left_payload = [c for c in left.columns if c not in keys]
+
+    r = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+    )
+    l = left.select(
+        *keys,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c) for c in left_payload],
+    )
+    u = r.unionByName(l)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *keys,
+        "__side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        *left_payload,
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with hot-key salting: the skewed (large) side gets a
+    deterministic salt in [0, salt); the small side is replicated salt
+    times; the join adds __salt to the keys, splitting each hot key's
+    rows across ``salt`` reducers.
+
+    Use when one side has pathological key skew that AQE's skew-join
+    split can't fix (single giant key). The salt is a hash of the whole
+    row — deterministic, so results are reproducible. Replication
+    multiplies the small side by ``salt``: keep it broadcast-sized.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    lsalt = skewed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt)),
+    )
+    rsalt = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
+    )
+    return lsalt.join(rsalt, [*on, "__salt"], how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: str | Sequence[str],
+    buckets: int = 32,
+    sort_by: str | Sequence[str] | None = None,
+) -> None:
+    """Persist as a bucketed managed table (hash-partitioned into
+    ``buckets`` files per partition by ``keys``). Two tables bucketed
+    identically join WITHOUT a shuffle — the physical plan shows no
+    Exchange on either side. This is the 100 TB answer for repeated
+    large-large joins on a stable key (fact-fact co-location).
+    """
+    import shutil
+
+    spark = df.sparkSession
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a crashed prior write can leave the managed location behind with
+    # no catalog entry; saveAsTable refuses to reuse it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort_by is not None:
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -938,5 +938,46 @@ def q32_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q33_asof_join",
+    oracle="""
+SELECT l.event_id, l.user_id, l.ts, l.value, r.last_view_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts, value AS last_view_value FROM events
+                WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (engine extension; SURVEY §2.3 lists it as
+    absent from the reference): each purchase picks up the latest
+    'view' value at or before it per user. One shuffle via the
+    union+window formulation (operators/joins.py); the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from db_cdc_poc_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("last_view_value")
+    )
+    return asof_join(
+        purchases, views, keys="user_id", left_time="ts", right_time="ts",
+        value_cols=["last_view_value"],
+    ).select("event_id", "user_id", "ts", "value", "last_view_value")
+
+
+@_q("q34_cosine_topk_np", headline=True)  # rows-only: float64-matmul path
+def q34_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numpy/Arrow brute-force top-k (the vectorized scale path for
+    exact similarity; last-ulp float differences vs the expression
+    path keep it rows-only — equivalence is asserted in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_np(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -1,0 +1,37 @@
+"""Numpy/Arrow brute-force top-k vs the expression path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators import similarity as sim
+from db_cdc_poc_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR
+
+
+def test_cosine_topk_np_matches_expression_path(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    expr = sim.cosine_topk(queries, emb, k=5).collect()
+    vec = sim.cosine_topk_np(queries, emb, k=5).collect()
+    expr_map = {(r.query_id, r.rank): r for r in expr}
+    vec_map = {(r.query_id, r.rank): r for r in vec}
+    assert set(expr_map) == set(vec_map)
+    agree = sum(
+        1
+        for key in expr_map
+        if expr_map[key].neighbor_id == vec_map[key].neighbor_id
+    )
+    # last-ulp float differences may swap near-tied ranks; neighbors
+    # must agree almost everywhere and cosines always
+    assert agree >= len(expr_map) - 2
+    for key in expr_map:
+        assert vec_map[key].cosine == pytest.approx(expr_map[key].cosine, abs=1e-5)
+
+
+def test_cosine_topk_np_empty_queries_raises(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="empty"):
+        sim.cosine_topk_np(emb.filter("vec_id < 0"), emb)
