@@ -979,5 +979,96 @@ def q34_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_np(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+@_q(
+    "q35_count_distinct",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def q35_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) aggregate (absent from the reference; standard
+    OLAP surface). Catalyst plans the two-phase partial-distinct
+    expansion automatically."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_q(
+    "q36_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q36_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregate (absent from the reference; standard
+    OLAP surface). Null markers for subtotal rows match ANSI, so the
+    oracle is DuckDB's ROLLUP verbatim."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q37_pivot",
+    oracle="""
+SELECT user_id,
+       CAST(coalesce(sum(round(value*100, 0)) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS click_cents,
+       CAST(coalesce(sum(round(value*100, 0)) FILTER (WHERE event_type = 'view'), 0) AS BIGINT) AS view_cents,
+       CAST(coalesce(sum(round(value*100, 0)) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS purchase_cents
+FROM events GROUP BY user_id
+""",
+)
+def q37_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregate) with an explicit value list — Catalyst
+    rewrites it to one pass of conditional aggregates, which is exactly
+    the oracle's FILTER formulation."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.coalesce(_cents(F.col("value")), F.lit(0)))
+    )
+    return out.select(
+        "user_id",
+        F.col("click").alias("click_cents"),
+        F.col("view").alias("view_cents"),
+        F.col("purchase").alias("purchase_cents"),
+    )
+
+
+@_q(
+    "q38_tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       count(*) AS n,
+       CAST(sum(round(value*100, 0)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1
+""",
+)
+def q38_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate — the Structured-Streaming
+    windowing primitive in its batch form (same code runs on a stream
+    with a watermark). Epoch-aligned 6h buckets match DuckDB's
+    time_bucket."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n"), _cents(F.col("value")).alias("value_cents"))
+        .select(F.col("w.start").alias("window_start"), "n", "value_cents")
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

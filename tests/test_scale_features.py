@@ -1,0 +1,44 @@
+"""Scale features: partition pruning on partitioned layouts and
+approximate aggregates."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR
+
+
+def test_partition_pruning_reaches_scan(spark):
+    # gold/silver tables partitioned by a low-cardinality key let the
+    # scan skip directories entirely (SURVEY §4: engine design choice)
+    path = tempfile.mkdtemp(prefix="part_") + "/events_by_type"
+    load_table(spark, SF_DIR, "events").write.partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    n = df.count()
+    assert n > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "event_type" in part_lines[0], (
+        "partition filter must prune at the scan, not post-filter"
+    )
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.select(F.count_distinct("user_id")).collect()[0][0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.05)).collect()[0][0]
+    assert abs(approx - exact) / exact <= 0.15
+
+
+def test_approx_percentile(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    [r] = li.select(
+        F.percentile_approx("l_quantity", [0.5, 0.95], 1000).alias("p")
+    ).collect()
+    p50, p95 = r.p
+    assert 1 <= p50 <= 50 and p50 < p95 <= 50
