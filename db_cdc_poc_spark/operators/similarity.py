@@ -226,6 +226,69 @@ def cosine_topk_np(
     )
 
 
+def neardup_pairs_np(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = 1_000_000,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup via Arrow-batched numpy matmul.
+
+    The normalized corpus matrix is broadcast once; each Arrow batch
+    computes ``B @ C.T`` (one BLAS call) and emits only pairs above
+    the threshold with id_a < id_b. Work is the same O(n^2) as
+    ``dedup.embedding_neardup_pairs`` but vectorized — per-pair cost
+    drops from an interpreted dot fold to a fused multiply-add.
+
+    The broadcast bounds this path: n rows x dim float32 must fit per
+    executor (1M x 64 ~ 256 MB). Beyond that, bucket first (ann_topk's
+    hyperplane join) — all-pairs exact at that scale is the wrong
+    query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"{len(rows)} vectors exceed max_broadcast_rows={max_broadcast_rows}; "
+            "use the bucketed ANN path"
+        )
+    ids = np.array([r.id for r in rows], dtype=np.int64)
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat /= norms
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def _pairs(batches):
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bm = np.array(list(pdf["v"]), dtype=np.float64)
+            bn = np.linalg.norm(bm, axis=1, keepdims=True)
+            bn[bn == 0] = 1.0
+            bm = bm / bn
+            bids = pdf["id"].to_numpy()
+            sims = bm @ all_mat.T  # (batch, n)
+            hit_r, hit_c = np.nonzero(sims >= threshold)
+            ra, cb = bids[hit_r], all_ids[hit_c]
+            keep = ra < cb  # dedupe mirrored pairs + self-matches
+            yield pd.DataFrame(
+                {
+                    "id_a": ra[keep],
+                    "id_b": cb[keep],
+                    "cosine": np.round(sims[hit_r, hit_c][keep], 6),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(_pairs, schema="id_a long, id_b long, cosine double")
+
+
 def hyperplane_buckets(
     vec: Column | str, tables: int = 4, bits: int = 8
 ) -> Column:

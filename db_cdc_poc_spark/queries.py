@@ -1070,5 +1070,14 @@ def q38_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q39_neardup_np")  # rows-only: float64-matmul path
+def q39_neardup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized exact all-pairs near-dup (numpy matmul over Arrow
+    batches) — the brute-force scale path; equivalence with the
+    expression path is asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.neardup_pairs_np(emb, threshold=0.4)
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -35,3 +35,28 @@ def test_cosine_topk_np_empty_queries_raises(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     with pytest.raises(ValueError, match="empty"):
         sim.cosine_topk_np(emb.filter("vec_id < 0"), emb)
+
+
+def test_neardup_pairs_np_matches_expression_path(spark):
+    from db_cdc_poc_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    expr = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    vec = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.neardup_pairs_np(emb, threshold=0.4).collect()
+    }
+    # pair sets may differ only for cosines within float noise of the
+    # threshold; none exist in this data
+    assert set(vec) == set(expr)
+    for k in expr:
+        assert vec[k] == pytest.approx(expr[k], abs=1e-5)
+
+
+def test_neardup_pairs_np_broadcast_cap(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="ANN"):
+        sim.neardup_pairs_np(emb, max_broadcast_rows=10)
