@@ -1,0 +1,56 @@
+"""Property-based check: apply_changes against a pure-Python model of
+DLT apply_changes semantics over randomized changelogs (out-of-order
+sequences, duplicate sequence numbers, interleaved deletes)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from db_cdc_poc_spark.operators.cdc import apply_changes
+
+ROW = st.tuples(
+    st.integers(min_value=0, max_value=4),      # key
+    st.integers(min_value=0, max_value=20),     # seq
+    st.sampled_from(["u", "u", "u", "d"]),      # op (deletes rarer)
+    st.integers(min_value=0, max_value=99),     # payload
+)
+
+
+def _model(rows):
+    """latest row per key by (seq, tiebreak=payload); drop keys whose
+    latest row is a delete."""
+    latest = {}
+    for key, seq, op, val in rows:
+        cur = latest.get(key)
+        if cur is None or (seq, val) > (cur[0], cur[2]):
+            latest[key] = (seq, op, val)
+    return {
+        key: (seq, val)
+        for key, (seq, op, val) in latest.items()
+        if op != "d"
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(ROW, min_size=0, max_size=40))
+def test_apply_changes_matches_model(spark, rows):
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "key long, seq long, op string, val long")
+    got = {
+        r.key: (r.seq, r.val)
+        for r in apply_changes(
+            df,
+            keys="key",
+            sequence_by="seq",
+            apply_as_deletes="op = 'd'",
+            except_columns=["op"],
+            tie_breakers="val",
+        ).collect()
+    }
+    assert got == _model(rows)
