@@ -175,3 +175,42 @@ def build_inventory_pipeline(
         )
 
     return reg
+
+
+def gold_current_inventory_sql(reg: TableRegistry) -> DataFrame:
+    """The gold aggregate through the SQL surface (the reference
+    defines it as a CREATE LIVE TABLE SQL statement — 04:5-38): silver
+    tables become temp views and one spark.sql text produces the same
+    plan Catalyst gives the DataFrame form. Engine formulation, not the
+    reference text: max_by replaces FIRST (deterministic), the change
+    subquery is a CTE, GREATEST handles the no-changes null branch
+    explicitly.
+    """
+    reg.create_views(
+        ["inventory_snapshot", "inventory_change", "store", "inventory_change_type"]
+    )
+    return reg.spark.sql(
+        """
+        WITH corrected_changes AS (
+            SELECT x.store_id, x.item_id, x.date_time, x.quantity
+            FROM inventory_change x
+            JOIN store y ON x.store_id = y.store_id
+            JOIN inventory_change_type z ON x.change_type_id = z.change_type_id
+            WHERE NOT (y.name = 'online' AND z.change_type = 'bopis')
+        )
+        SELECT a.store_id,
+               a.item_id,
+               a.quantity AS snapshot_quantity,
+               COALESCE(SUM(b.quantity), 0) AS change_quantity,
+               a.quantity + COALESCE(SUM(b.quantity), 0) AS current_inventory,
+               GREATEST(a.date_time_ts,
+                        COALESCE(MAX(b.date_time), a.date_time_ts)) AS date_time
+        FROM inventory_snapshot a
+        LEFT JOIN corrected_changes b
+          ON a.store_id = b.store_id
+         AND a.item_id = b.item_id
+         AND a.date_time_ts <= b.date_time
+        GROUP BY a.store_id, a.item_id, a.quantity, a.date_time_ts
+        ORDER BY date_time DESC
+        """
+    )

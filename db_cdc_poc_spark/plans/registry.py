@@ -118,6 +118,14 @@ class TableRegistry:
     def definition(self, name: str) -> TableDef:
         return self._defs[name]
 
+    def create_views(self, tables: list[str] | None = None) -> None:
+        """Register built tables as temp views so ``spark.sql`` can
+        reference them by name — the engine's ``LIVE.x`` resolution for
+        SQL-defined datasets (reference: 04_Current_Inventory.sql:18,
+        25-27)."""
+        for name in tables if tables is not None else list(self._defs):
+            self.build(name).createOrReplaceTempView(name)
+
     # -- materialization --------------------------------------------------
 
     def materialize(self, root: str, tables: list[str] | None = None) -> None:

@@ -101,6 +101,14 @@ def test_snapshot_one_row_per_key(registry):
     assert snap.count() == snap.select("item_id", "store_id").distinct().count()
 
 
+def test_gold_sql_form_matches_dataframe_form(registry):
+    from db_cdc_poc_spark.pipelines.inventory import gold_current_inventory_sql
+
+    df_rows = sorted(tuple(r) for r in registry.build("inventory_current").collect())
+    sql_rows = sorted(tuple(r) for r in gold_current_inventory_sql(registry).collect())
+    assert sql_rows == df_rows
+
+
 def test_dim_joins_are_broadcast(registry):
     plan = (
         registry.build("inventory_current")
