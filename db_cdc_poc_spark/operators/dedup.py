@@ -404,6 +404,118 @@ def simhash_pairs(
 
 
 # --------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components -> survivors
+# --------------------------------------------------------------------------
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, cluster_id)
+    where cluster_id = the smallest id reachable through pair edges.
+
+    Iterative min-label propagation in pure DataFrame ops: each round
+    every node adopts the minimum label in its neighborhood; converged
+    when no label changes. Near-dup graphs have tiny components (a
+    handful of copies of one document), so rounds ~ log(diameter) — 2-3
+    in practice. Each round is one shuffle on id; intermediate results
+    are persisted and the convergence check is the only driver-side
+    value (a count). Raises if not converged within ``max_iterations``
+    (pathological chain-shaped graphs).
+
+    Input: (id_a, id_b) pairs (extra columns ignored).
+    Output: (id, cluster_id) for every id that appears in a pair.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("id"), F.least("label", "id").alias("label"))
+    )
+    labels.persist()
+    labels.count()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"label propagation did not converge in {max_iterations} iterations"
+    )
+
+
+def dedup_fuzzy(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    keep: str = "min_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Remove near-duplicates: cluster the pair graph, keep ONE
+    representative per cluster (plus every unpaired document).
+
+    keep='min_id': smallest id survives (deterministic, cheap).
+    keep='best_quality': the row with the greatest ``quality_col``
+    survives (ties to smallest id) — the training-data policy of
+    keeping the highest-quality copy.
+    """
+    clusters = neardup_clusters(pairs)
+    joined = df.join(
+        clusters, df[id_col] == clusters["id"], "left"
+    ).drop("id")
+    member = joined.filter(F.col("cluster_id").isNotNull())
+    if keep == "min_id":
+        survivors = member.groupBy("cluster_id").agg(
+            F.min(id_col).alias("__keep_id")
+        )
+    elif keep == "best_quality":
+        if quality_col is None:
+            raise ValueError("keep='best_quality' requires quality_col")
+        survivors = member.groupBy("cluster_id").agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col(quality_col), -F.col(id_col))
+            ).alias("__keep_id")
+        )
+    else:
+        raise ValueError(f"unknown keep policy {keep!r}")
+    kept_members = member.join(
+        survivors,
+        (member["cluster_id"] == survivors["cluster_id"])
+        & (member[id_col] == survivors["__keep_id"]),
+    ).select(*df.columns)
+    unpaired = joined.filter(F.col("cluster_id").isNull()).select(*df.columns)
+    return unpaired.unionByName(kept_members)
+
+
+# --------------------------------------------------------------------------
 # embedding near-dup (cosine)
 # --------------------------------------------------------------------------
 

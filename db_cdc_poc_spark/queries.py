@@ -1079,5 +1079,55 @@ def q39_neardup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.neardup_pairs_np(emb, threshold=0.4)
 
 
+@_q(
+    "q40_dedup_fuzzy",
+    oracle="""
+WITH RECURSIVE tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 1, 1))]) AS shingles
+    FROM tk WHERE len(toks) >= 3
+), ex AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sz AS (
+    SELECT doc_id, len(shingles) AS n FROM sh
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b FROM common
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+), labels AS (
+    SELECT s AS id, least(min(d), s) AS cluster_id FROM reach GROUP BY s
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM labels)
+   OR doc_id IN (SELECT min(id) FROM labels GROUP BY cluster_id)
+""",
+)
+def q40_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: trigram-Jaccard pairs (>=0.5) ->
+    connected components (iterative min-label propagation) -> keep the
+    smallest id per cluster plus all unpaired docs. The oracle builds
+    the same components with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dd.dedup_fuzzy(docs, pairs).select("doc_id")
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -104,6 +104,34 @@ def test_degenerate_docs_do_not_crash_or_match(spark):
     assert dd.minhash_lsh_pairs(weird, num_hashes=8, bands=4).count() == 0
 
 
+def test_neardup_clusters_transitive(spark):
+    # chain a-b, b-c plus isolated pair d-e: components {a,b,c} and {d,e}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dd.neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_fuzzy_min_id(spark, docs):
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    kept = dd.dedup_fuzzy(docs, pairs)
+    ids = {r.doc_id for r in kept.collect()}
+    # pairs (1,2) and (3,4): keep 1 and 3; unpaired 5 survives
+    assert ids == {1, 3, 5}
+
+
+def test_dedup_fuzzy_best_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 0.2), (2, "a2", 0.9), (3, "b", 0.5)],
+        "doc_id long, text string, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    kept = {r.doc_id for r in dd.dedup_fuzzy(
+        df, pairs, keep="best_quality", quality_col="q").collect()}
+    assert kept == {2, 3}  # higher-quality copy survives
+
+
 def test_embedding_neardup(spark):
     vecs = spark.createDataFrame(
         [
