@@ -411,59 +411,108 @@ def simhash_pairs(
 def neardup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
+    max_driver_edges: int = 10_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (id, cluster_id)
     where cluster_id = the smallest id reachable through pair edges.
 
-    Iterative min-label propagation in pure DataFrame ops: each round
-    every node adopts the minimum label in its neighborhood; converged
-    when no label changes. Near-dup graphs have tiny components (a
-    handful of copies of one document), so rounds ~ log(diameter) — 2-3
-    in practice. Each round is one shuffle on id; intermediate results
-    are persisted and the convergence check is the only driver-side
-    value (a count). Raises if not converged within ``max_iterations``
-    (pathological chain-shaped graphs).
+    Two execution paths, picked by edge count:
+
+    * **driver union-find** (edge count <= ``max_driver_edges``): the
+      pair graph is orders of magnitude smaller than the corpus — only
+      near-duplicate ids appear in it — so collecting the EDGES (never
+      the documents) and running path-compressed union-find is one
+      O(E α(E)) pass. Even a 100 TB corpus with tens of millions of
+      duplicate pairs fits comfortably; this is what production dedup
+      pipelines do.
+    * **distributed min-label propagation with pointer jumping** above
+      the cap: each round a node adopts min(own label, neighbors'
+      labels, label-of-own-label) — O(log diameter) rounds. Loop
+      hygiene that the implementation had to learn the hard way:
+      ``localCheckpoint`` every iterate (plain persist caches data but
+      the logical plan nests per round and Catalyst re-analyzes the
+      ever-deeper tree), and materialize the edge set once (an
+      unpersisted lineage re-runs the whole LSH pipeline per round).
+      Per-round fixed costs (planning + codegen ~seconds) only
+      amortize on genuinely large graphs — hence the size gate.
 
     Input: (id_a, id_b) pairs (extra columns ignored).
     Output: (id, cluster_id) for every id that appears in a pair.
     """
+    # materialize the (small) pair list FIRST: the symmetric-edge union
+    # below references it twice, and an unmaterialized lineage would
+    # re-run the whole upstream pair pipeline (LSH, shingling, exact
+    # verification) once per reference
+    p = pairs.select("id_a", "id_b").localCheckpoint()
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
+        p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
+    if edges.count() <= max_driver_edges:
+        spark = pairs.sparkSession
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.toLocalIterator():
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                # union by smaller id so the root IS the cluster label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = set(parent)
+        for x in list(nodes):
+            nodes.add(find(x))
+        rows = [(int(x), int(find(x))) for x in sorted(nodes)]
+        return spark.createDataFrame(rows, "id long, cluster_id long")
     labels = (
         edges.groupBy("src")
-        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
-        .select(F.col("src").alias("id"), F.least("label", "id").alias("label"))
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("id"), F.least("m", "src").alias("label"))
+        .localCheckpoint()
     )
-    labels.persist()
-    labels.count()
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        via_neighbors = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+        )
+        # pointer jump: follow my label's label (path halving)
+        parents = via_neighbors.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            via_neighbors.join(
+                parents, via_neighbors["label"] == parents["p_id"], "left"
+            )
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce("p_label", F.col("label"))
+                ).alias("label"),
             )
+            .localCheckpoint()
         )
-        new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             return labels.select("id", F.col("label").alias("cluster_id"))
@@ -506,10 +555,12 @@ def dedup_fuzzy(
         )
     else:
         raise ValueError(f"unknown keep policy {keep!r}")
+    # survivors derives from member, so joining member.cluster_id to
+    # survivors.cluster_id directly is a same-lineage self-join that
+    # Spark resolves as trivially true; a semi-join on the survivor ids
+    # (unique across clusters by construction) sidesteps it
     kept_members = member.join(
-        survivors,
-        (member["cluster_id"] == survivors["cluster_id"])
-        & (member[id_col] == survivors["__keep_id"]),
+        survivors.select(F.col("__keep_id").alias(id_col)), id_col, "semi"
     ).select(*df.columns)
     unpaired = joined.filter(F.col("cluster_id").isNull()).select(*df.columns)
     return unpaired.unionByName(kept_members)
