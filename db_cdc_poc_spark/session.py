@@ -24,6 +24,10 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime-settable; applied to harness-provided sessions too so the
+    # default 200 doesn't drown small-SF shuffles in task overhead (AQE
+    # coalesces below it; on a cluster set 2-3x total cores instead).
+    "spark.sql.shuffle.partitions": "32",
     # Arrow for any toPandas / pandas_udf exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Spark has no TIMESTAMP(NANOS) type; without this, scanning
@@ -69,7 +73,6 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
@@ -77,4 +80,7 @@ def get_spark(
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    return apply_runtime_confs(spark)
+    apply_runtime_confs(spark)
+    # the explicit/env-derived value wins over RUNTIME_CONFS' default
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+    return spark
