@@ -4,12 +4,15 @@ Prints exactly ONE JSON line:
   {"metric": "headline_total_sec", "value": N, "unit": "sec",
    "queries": {"q01_pricing_summary": s, ...}, "sf": 0.1}
 
-Each query is executed to completion (count + a cheap collect of the
-already-materialized result is avoided — we force full evaluation with
-``df.count()`` via a noop write would add IO, so count() is the
-measure; results are small aggregates anyway). Timings are per-query
-wall clock on a warm session (the JVM/session start is excluded — the
-realistic comparator per BASELINE.md).
+Each query is forced to FULL evaluation with a checksum aggregate over
+every output column (``count() + sum(xxhash64(struct(*cols)))``):
+``count()`` alone lets Catalyst prune unreferenced projection columns,
+so map-only queries would measure just the parquet scan, not their
+feature expressions. Timings are per-query wall clock on a warm
+session (the JVM/session start is excluded — the realistic comparator
+per BASELINE.md). Per-query formatted plans are persisted next to the
+bench output (``bench_plans/``) so rounds can diff plans, not just
+timings.
 """
 
 from __future__ import annotations
@@ -34,19 +37,43 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else float("nan")
 
 
+def _force_full_eval(df) -> int:
+    """Evaluate EVERY output column: count + a checksum that references
+    all columns, so Catalyst can't prune the projection work."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-insensitive, overflow-free under ANSI mode
+        F.bit_xor(F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))).alias("ck"),
+    ).collect()[0]
+    return row["n"]
+
+
 def main() -> None:
     spark = get_spark(app_name="db-cdc-poc-spark-bench")
     headline = {n: q for n, q in Q.registry().items() if q.headline}
     # Warm the session/codegen paths once on the smallest table so the
     # first measured query doesn't pay one-time init costs.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    plans_dir = Path(__file__).resolve().parent / "bench_plans"
+    plans_dir.mkdir(exist_ok=True)
     timings: dict[str, float] = {}
     for name, q in sorted(headline.items()):
         t0 = time.time()
         df = q.fn(spark, SF_DIR)
-        n = df.count()
+        n = _force_full_eval(df)
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        try:
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            (plans_dir / f"{name}.txt").write_text(plan)
+        except Exception as e:  # pragma: no cover - plan capture best-effort
+            print(f"# plan capture failed for {name}: {e}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -208,6 +208,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     verify_exact: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding.
 
@@ -217,7 +218,14 @@ def minhash_lsh_pairs(
 
     Scale: candidates come from a groupBy on (band_id, band_hash) — state
     is one bucket per band value, shuffle carries (id, band) pairs only.
-    Self-join of the corpus never happens.
+    Self-join of the corpus never happens. ``max_bucket_size`` is the
+    skew guard: a band bucket of d documents contributes d^2 candidate
+    rows, so one boilerplate bucket can dominate the join; buckets
+    larger than the cap are dropped BEFORE the self-join (docs that
+    collide with >cap others almost surely still collide in another
+    band, and AQE skew splitting only rebalances the pain — the cap
+    removes it). Off by default so the oracle-checked entries stay
+    exhaustive; production call sites (pipelines/corpus.py) set it.
     Output: (id_a, id_b, est_jaccard [, jaccard]).
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
@@ -230,6 +238,14 @@ def minhash_lsh_pairs(
             F.array(*[F.xxhash64(F.slice("sig", i * r + 1, r).cast("string")) for i in range(bands)])
         ).alias("band_id", "band_hash"),
     )
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        banded = banded.join(small, ["band_id", "band_hash"])
     cand = (
         banded.alias("a")
         .join(
@@ -451,10 +467,15 @@ def neardup_clusters(
         .localCheckpoint()
     )
     if edges.count() <= max_driver_edges:
-        spark = pairs.sparkSession
-        parent: dict[int, int] = {}
+        from pyspark.sql.types import StructField, StructType
 
-        def find(x: int) -> int:
+        spark = pairs.sparkSession
+        # output ids keep the input id type (bigint doc ids, string
+        # content hashes, ... — anything orderable works)
+        id_type = pairs.schema["id_a"].dataType
+        parent: dict = {}
+
+        def find(x):
             root = x
             while parent.get(root, root) != root:
                 root = parent[root]
@@ -471,8 +492,14 @@ def neardup_clusters(
         nodes = set(parent)
         for x in list(nodes):
             nodes.add(find(x))
-        rows = [(int(x), int(find(x))) for x in sorted(nodes)]
-        return spark.createDataFrame(rows, "id long, cluster_id long")
+        rows = [(x, find(x)) for x in sorted(nodes)]
+        schema = StructType(
+            [
+                StructField("id", id_type, nullable=False),
+                StructField("cluster_id", id_type, nullable=False),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("m"))
@@ -548,10 +575,23 @@ def dedup_fuzzy(
     elif keep == "best_quality":
         if quality_col is None:
             raise ValueError("keep='best_quality' requires quality_col")
-        survivors = member.groupBy("cluster_id").agg(
-            F.max_by(
-                F.col(id_col), F.struct(F.col(quality_col), -F.col(id_col))
-            ).alias("__keep_id")
+        # greatest quality wins, ties to smallest id — two aggregates so
+        # the tiebreak needs only an orderable id (no numeric negation,
+        # string ids work too); renamed join keys sidestep the
+        # same-lineage self-join ambiguity
+        best_q = (
+            member.groupBy("cluster_id")
+            .agg(F.max(quality_col).alias("__best_q"))
+            .withColumnRenamed("cluster_id", "__bq_cluster_id")
+        )
+        survivors = (
+            member.join(
+                best_q,
+                (F.col("cluster_id") == F.col("__bq_cluster_id"))
+                & (F.col(quality_col) == F.col("__best_q")),
+            )
+            .groupBy("cluster_id")
+            .agg(F.min(id_col).alias("__keep_id"))
         )
     else:
         raise ValueError(f"unknown keep policy {keep!r}")

@@ -47,10 +47,20 @@ def clean_corpus(
     jaccard_threshold: float = 0.5,
     num_hashes: int = 64,
     bands: int = 16,
+    max_band_bucket: int | None = 1000,
 ) -> tuple[DataFrame, CorpusReport]:
     """Returns (clean_docs, report). clean_docs carries the original
     columns plus quality_score and lang_pred; near-duplicate clusters
-    keep their highest-quality member."""
+    keep their highest-quality member.
+
+    ``max_band_bucket`` caps the LSH band-bucket size (skew guard): a
+    bucket holding d documents contributes d^2 candidate pairs, so one
+    pathological bucket (boilerplate-heavy corpora produce them) can
+    dominate the join. Capped buckets are skipped — documents that
+    near-identical to >cap others are overwhelmingly caught in their
+    other bands. Defaults ON here (production path); the oracle-checked
+    query entries keep it off for exactness.
+    """
     feats = quality_features(docs, id_col=id_col, text_col=text_col).select(
         F.col("id").alias(id_col), "quality_score"
     )
@@ -62,21 +72,26 @@ def clean_corpus(
     if languages is not None:
         kept = kept.filter(F.col("lang_pred").isin(*languages))
     kept.persist()
-
-    pairs = minhash_lsh_pairs(
-        kept,
-        id_col=id_col,
-        text_col=text_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        threshold=jaccard_threshold,
-    )
-    clean = dedup_fuzzy(
-        kept, pairs, id_col=id_col, keep="best_quality", quality_col="quality_score"
-    )
-    report = CorpusReport(
-        n_input=docs.count(),
-        n_after_filter=kept.count(),
-        n_output=clean.count(),
-    )
+    try:
+        pairs = minhash_lsh_pairs(
+            kept,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=jaccard_threshold,
+            max_bucket_size=max_band_bucket,
+        )
+        clean = dedup_fuzzy(
+            kept, pairs, id_col=id_col, keep="best_quality", quality_col="quality_score"
+        )
+        report = CorpusReport(
+            n_input=docs.count(),
+            n_after_filter=kept.count(),
+            n_output=clean.count(),
+        )
+    finally:
+        # n_output forced clean through the cache; release executor
+        # storage so repeated calls don't accumulate cached blocks
+        kept.unpersist()
     return clean, report

@@ -84,12 +84,8 @@ def build_inventory_pipeline(
     @reg.table(tier="silver", comment="deduped change events")
     def inventory_change() -> DataFrame:
         raw = reg.read("inventory_change_raw")
-        # deterministic survivor: LATEST by (-ness) — keep earliest via
-        # negative ordering trick is opaque; use min_by semantics by
-        # ordering on descending struct: latest_by_key keeps greatest,
-        # so invert by sorting on negated epoch. Clearer: drop dups by
-        # ranking ascending — dedup_exact keeps greatest (order_by), so
-        # pass negated seconds for "earliest wins".
+        # dedup_exact keeps the GREATEST order_by; negate the epoch so
+        # the earliest event wins (the online order precedes the pickup)
         return dedup_exact(
             raw.withColumn("_neg_ts", -F.unix_seconds("date_time")),
             keys=["trans_id", "item_id"],

@@ -1033,18 +1033,21 @@ FROM events GROUP BY user_id
 def q37_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (wide aggregate) with an explicit value list — Catalyst
     rewrites it to one pass of conditional aggregates, which is exactly
-    the oracle's FILTER formulation."""
+    the oracle's FILTER formulation. The zero-fill coalesce sits AFTER
+    the pivot: inside the per-group aggregate it never fires for a
+    (user, type) combination with no rows at all (the pivot emits NULL
+    for absent groups, not the aggregate's coalesce result)."""
     ev = _t(spark, sf_dir, "events")
     out = (
         ev.groupBy("user_id")
         .pivot("event_type", ["click", "view", "purchase"])
-        .agg(F.coalesce(_cents(F.col("value")), F.lit(0)))
+        .agg(_cents(F.col("value")))
     )
     return out.select(
         "user_id",
-        F.col("click").alias("click_cents"),
-        F.col("view").alias("view_cents"),
-        F.col("purchase").alias("purchase_cents"),
+        F.coalesce(F.col("click"), F.lit(0)).cast("long").alias("click_cents"),
+        F.coalesce(F.col("view"), F.lit(0)).cast("long").alias("view_cents"),
+        F.coalesce(F.col("purchase"), F.lit(0)).cast("long").alias("purchase_cents"),
     )
 
 

@@ -43,10 +43,23 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+#: Marker conf recording a shuffle-partitions value chosen explicitly in
+#: ``get_spark`` (arg or env). ``apply_runtime_confs`` honors it instead
+#: of re-pinning the default, so registry-driven query calls don't
+#: silently undo an explicit choice.
+_SHUFFLE_PIN_CONF = "spark.db_cdc_poc_spark.shufflePartitionsPin"
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (driver-owned
     sessions included). Safe: none of these are static SQL confs."""
+    try:
+        pinned = spark.conf.get(_SHUFFLE_PIN_CONF, None)
+    except Exception:  # pragma: no cover - conf access locked down
+        pinned = None
     for k, v in RUNTIME_CONFS.items():
+        if k == "spark.sql.shuffle.partitions" and pinned is not None:
+            v = pinned
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf locked down
@@ -80,7 +93,8 @@ def get_spark(
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # the explicit/env-derived value wins over RUNTIME_CONFS' default —
+    # recorded as a pin so later apply_runtime_confs calls keep it
+    spark.conf.set(_SHUFFLE_PIN_CONF, str(shuffle))
     apply_runtime_confs(spark)
-    # the explicit/env-derived value wins over RUNTIME_CONFS' default
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
     return spark
