@@ -337,11 +337,33 @@ def simhash_col(text: str = "text", bits: int = 64) -> F.Column:
     return _fp_from_votes(_vote, bits)
 
 
+def token_hash64(col: str | F.Column, hash_fn: str = "xxhash64") -> F.Column:
+    """64-bit token hash as a signed long.
+
+    ``'xxhash64'``: JVM codegen, the scale default. ``'md5'``: the
+    big-endian first 8 bytes of the md5 hex digest — md5 is
+    bit-identical in Spark and DuckDB, so fingerprints built from it
+    are cross-engine checkable (the oracle computes the same value as
+    ``('0x' || substr(md5(t),1,16))::UBIGINT``; signed/unsigned differ
+    only in interpretation, the BITS are equal).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if hash_fn == "xxhash64":
+        return F.xxhash64(c)
+    if hash_fn == "md5":
+        hex_ = F.md5(c.cast("string"))
+        hi = F.conv(F.substring(hex_, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hex_, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, fp) SimHash fingerprints for a whole table — the scale path.
 
@@ -354,7 +376,7 @@ def simhash_fingerprints(
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens_col(text_col)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash64("tok", hash_fn))
     votes = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -371,6 +393,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming.
 
@@ -378,11 +401,14 @@ def simhash_pairs(
     16-bit blocks; distance <= blocks-1 guarantees at least one equal
     block, so the candidate join is an equi-join on (block_id, block_value)
     — shuffle by block, never a cross join. Verify with bit_count(xor).
+    The blocking is EXACT (not probabilistic): max_hamming < blocks
+    pigeonholes at least one equal block for every qualifying pair, so
+    the output is precisely the Hamming ball regardless of ``hash_fn``.
     Output: (id_a, id_b, hamming).
     """
     assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
     width = 64 // blocks
-    fps = simhash_fingerprints(df, id_col, text_col)
+    fps = simhash_fingerprints(df, id_col, text_col, hash_fn=hash_fn)
     mask = (1 << width) - 1
     blocked = fps.select(
         "id",

@@ -289,8 +289,40 @@ def neardup_pairs_np(
     ).mapInPandas(_pairs, schema="id_a long, id_b long, cosine double")
 
 
+def rademacher_weights(
+    tables: int, bits: int, dim: int
+) -> dict[tuple[int, int], list[float]]:
+    """Deterministic ±1 hyperplane weights, derived from md5 so every
+    engine can reproduce them: weight(t, p, j) = +1 iff bit 0 of the
+    big-endian first 8 bytes of ``md5(str(t*1_000_000 + p*4096 + j))``
+    is 0 (hashlib.md5 == Spark ``md5`` == DuckDB ``md5`` bit-for-bit).
+    Used by the cross-engine-checkable ANN path: the same constants are
+    embedded in the Spark plan and the oracle SQL, and each engine then
+    computes projections/buckets/candidates independently."""
+    import hashlib
+
+    out: dict[tuple[int, int], list[float]] = {}
+    for t in range(tables):
+        for p in range(bits):
+            seed = t * 1_000_000 + p * 4096
+            out[(t, p)] = [
+                1.0
+                if int.from_bytes(
+                    hashlib.md5(str(seed + j).encode()).digest()[:8], "big"
+                )
+                & 1
+                == 0
+                else -1.0
+                for j in range(dim)
+            ]
+    return out
+
+
 def hyperplane_buckets(
-    vec: Column | str, tables: int = 4, bits: int = 8
+    vec: Column | str,
+    tables: int = 4,
+    bits: int = 8,
+    weights: dict[tuple[int, int], list[float]] | None = None,
 ) -> Column:
     """array<struct<table_id:int, bucket:bigint>> LSH bucket per hash table.
 
@@ -301,12 +333,25 @@ def hyperplane_buckets(
     broadcast and no Python on the executor. Bucket for table t packs
     ``bits`` sign bits of the projections.
 
+    Pass ``weights`` (``rademacher_weights``) to use precomputed ±1
+    literals instead: the projection becomes a zip_with dot fold against
+    an array literal (same codegen class, slightly cheaper) and, because
+    the constants are engine-independent, the whole bucketing is
+    reproducible by an external oracle.
+
     P[same bucket] = (1 - theta/pi)^bits per table; multiple tables give
     the OR. Candidate join is an equi-join on (table_id, bucket).
     """
     v = F.col(vec) if isinstance(vec, str) else vec
 
     def _proj(t: int, p: int) -> Column:
+        if weights is not None:
+            wv = F.lit(weights[(t, p)])
+            return F.aggregate(
+                F.zip_with(v, wv, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         # transform's (element, index) two-arg form is intentional here:
         # the index seeds the per-component weight.
         plane_seed = t * 1_000_000 + p * 4096
@@ -349,6 +394,7 @@ def ann_topk(
     vec_col: str = "embedding",
     tables: int = 4,
     bits: int = 8,
+    weights: dict[tuple[int, int], list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via hyperplane bucketing, cosine re-rank.
 
@@ -358,19 +404,22 @@ def ann_topk(
     is tunable with (tables, bits). At 100 TB: corpus bucket table is
     computed once and can be persisted/bucketed by (table_id, bucket).
 
+    ``weights``: optional precomputed hyperplanes (``rademacher_weights``)
+    for engine-independent bucketing — see ``hyperplane_buckets``.
+
     Output schema matches ``cosine_topk`` so the two are comparable.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm(vec_col).alias("qn"),
-        hyperplane_buckets(vec_col, tables, bits).alias("qb"),
+        hyperplane_buckets(vec_col, tables, bits, weights).alias("qb"),
     ).select("query_id", "qv", "qn", F.explode("qb").alias("b"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(vec_col).alias("cn"),
-        hyperplane_buckets(vec_col, tables, bits).alias("cb"),
+        hyperplane_buckets(vec_col, tables, bits, weights).alias("cb"),
     ).select("neighbor_id", "cv", "cn", F.explode("cb").alias("b"))
     cand = (
         q.join(

@@ -614,25 +614,94 @@ def q20_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
-@_q("q21_minhash_lsh", headline=True)  # rows-only: xxhash64 not in DuckDB
+@_q(
+    "q21_minhash_lsh",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 1, 1))]) AS shingles
+    FROM tk WHERE len(toks) >= 3
+), ex AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sz AS (
+    SELECT doc_id, len(shingles) AS n FROM sh
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9
+""",
+    headline=True,
+)
 def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with candidate-only exact verify —
     the 100 TB fuzzy-dedup path. 64 hashes / 16 bands (r=4: S-curve
-    midpoint ~0.42, matched to the 0.5 threshold; planted pairs sit at
-    J>=0.9 where miss probability is ~(1-0.9^4)^16 ~ 1e-8). Driver
-    check is rows-only; exact parity with q20 on planted pairs is
-    asserted in tests."""
+    midpoint ~0.42), threshold 0.9: at J>=0.9 the per-pair miss
+    probability is (1-0.9^4)^16 ~ 4e-8, so the output provably equals
+    the EXACT trigram-Jaccard pair set at >=0.9 — which is what the
+    oracle computes directly (the 0.5-threshold form is exercised by
+    q20's exact baseline and the LSH-vs-exact parity tests). The
+    verified jaccard values are exact, so they hash-match the oracle's.
+    """
     docs = _t(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
-        docs, num_hashes=64, bands=16, threshold=0.5, verify_exact=True
+        docs, num_hashes=64, bands=16, threshold=0.9, verify_exact=True
     ).select("id_a", "id_b", "jaccard")
 
 
-@_q("q22_simhash")  # rows-only: xxhash64-based fingerprints
+def _q22_oracle(max_hamming: int = 7) -> str:
+    """DuckDB replica of the md5-hashed SimHash pipeline: same token
+    hashes (big-endian first 8 md5 bytes — bit-identical to Spark's
+    ``token_hash64(..., 'md5')``), same ±1 votes, same fingerprints,
+    then an exhaustive pair join (feasible at oracle scale; Spark's
+    pigeonhole blocking is EXACT, so the sets match)."""
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(64)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+    FROM documents
+), h AS (
+    SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM tok
+), v AS (
+    SELECT doc_id,
+           {votes}
+    FROM h GROUP BY doc_id
+), fp AS (
+    SELECT doc_id, ({fp_terms})::UBIGINT AS fp FROM v
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
+@_q("q22_simhash", oracle=_q22_oracle(7))
 def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via pigeonhole-blocked Hamming join."""
+    """SimHash near-dup pairs via pigeonhole-blocked Hamming join.
+    md5-derived token hashes (``token_hash64``) make the fingerprints
+    engine-independent, so the oracle recomputes the ENTIRE pipeline —
+    votes, fingerprints, Hamming ball — and value-checks it; the
+    xxhash64 default stays available for pure-JVM production hashing."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash_pairs(docs, max_hamming=7, blocks=8)
+    return dd.simhash_pairs(docs, max_hamming=7, blocks=8, hash_fn="md5")
 
 
 @_q(
@@ -690,12 +759,74 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
-@_q("q25_ann_topk")  # rows-only: hash-derived hyperplanes
+_Q25_TABLES, _Q25_BITS, _Q25_DIM = 8, 6, 64
+
+
+def _q25_oracle(k: int = 5) -> str:
+    """DuckDB replica of the hyperplane-bucketed ANN pipeline. The ±1
+    hyperplane weights are md5-derived constants (engine-independent —
+    see ``similarity.rademacher_weights``) embedded as literals in BOTH
+    the Spark plan and this SQL; each engine then computes projections
+    (list_dot_product is bit-identical to Spark's sequential fold),
+    sign buckets, the candidate equi-join, and the cosine re-rank
+    independently. This value-checks the whole approximate pipeline,
+    not just its recall."""
+    w = sim.rademacher_weights(_Q25_TABLES, _Q25_BITS, _Q25_DIM)
+    values = ",\n".join(
+        f"({t}, {p}, [{', '.join(str(x) for x in w[(t, p)])}]::DOUBLE[])"
+        for t in range(_Q25_TABLES)
+        for p in range(_Q25_BITS)
+    )
+    return f"""
+WITH w(tbl, p, wv) AS (VALUES
+{values}
+), v AS (
+    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+), proj AS (
+    SELECT v.vec_id, w.tbl, w.p, list_dot_product(v.e, w.wv) AS s
+    FROM v CROSS JOIN w
+), buckets AS (
+    SELECT vec_id, tbl,
+           sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+    FROM proj GROUP BY vec_id, tbl
+), cand AS (
+    SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+    FROM buckets qb JOIN buckets cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+    WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id
+), scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           CASE WHEN q.nrm * n.nrm > 0
+                THEN list_dot_product(q.e, n.e) / (q.nrm * n.nrm)
+                ELSE 0.0 END AS cos_raw
+    FROM cand c
+    JOIN v q ON q.vec_id = c.query_id
+    JOIN v n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+@_q("q25_ann_topk", oracle=_q25_oracle(5))
 def q25_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-bucketed approximate top-k (the scale path); recall
-    vs q24 is asserted in tests."""
+    """Hyperplane-bucketed approximate top-k (the scale path), run with
+    engine-independent md5-derived hyperplanes so the oracle replays
+    the exact same bucketing; recall vs q24 is asserted in tests."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.ann_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, tables=8, bits=6)
+    weights = sim.rademacher_weights(_Q25_TABLES, _Q25_BITS, _Q25_DIM)
+    return sim.ann_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        tables=_Q25_TABLES,
+        bits=_Q25_BITS,
+        weights=weights,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -970,13 +1101,41 @@ def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "value", "last_view_value")
 
 
-@_q("q34_cosine_topk_np", headline=True)  # rows-only: float64-matmul path
+@_q(
+    "q34_cosine_topk_np",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, e,
+           sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CASE WHEN q.nrm * c.nrm > 0
+                THEN list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                ELSE 0.0 END AS cos_raw
+    FROM v q JOIN v c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
+    headline=True,
+)
 def q34_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numpy/Arrow brute-force top-k (the vectorized scale path for
-    exact similarity; last-ulp float differences vs the expression
-    path keep it rows-only — equivalence is asserted in tests)."""
+    exact similarity). The registered output is RANK-ONLY: ranks are
+    stable across the numpy-matmul and sequential-fold computations
+    (cosines differ in the last ulp, far below any neighbor gap), so
+    the ranking shares q24's exact oracle; cosine-value equivalence
+    with the expression path is asserted separately in tests."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.cosine_topk_np(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return sim.cosine_topk_np(emb.filter(F.col("vec_id") < 10), emb, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 @_q(
@@ -1073,13 +1232,30 @@ def q38_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q39_neardup_np")  # rows-only: float64-matmul path
+@_q(
+    "q39_neardup_np",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, e,
+           sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE CASE WHEN a.nrm * b.nrm > 0
+           THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+           ELSE 0.0 END >= 0.4
+""",
+)
 def q39_neardup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized exact all-pairs near-dup (numpy matmul over Arrow
-    batches) — the brute-force scale path; equivalence with the
-    expression path is asserted in tests."""
+    batches) — the brute-force scale path. Registered output is the
+    PAIR SET only: membership is identical to the expression path
+    unless a pair's cosine sits within an ulp of the 0.4 threshold
+    (none in this data — asserted, with value equivalence, in tests),
+    so it shares q23's exact oracle."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.neardup_pairs_np(emb, threshold=0.4)
+    return sim.neardup_pairs_np(emb, threshold=0.4).select("id_a", "id_b")
 
 
 @_q(

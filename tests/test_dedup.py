@@ -163,3 +163,30 @@ def test_lsh_verify_plan_has_no_full_corpus_pair_join(spark, docs):
     assert join_lines, "expected join operators in the LSH plan"
     for ln in join_lines:
         assert "shingle#" not in ln, f"shingle-keyed join found: {ln}"
+
+
+def test_token_hash64_md5_matches_hashlib(spark):
+    # the md5 hash path must equal the big-endian first 8 md5 digest
+    # bytes (what DuckDB's ('0x'||substr(md5(t),1,16))::UBIGINT sees)
+    import hashlib
+
+    toks = ["hello", "the", "zebra", "a1!", "ümlaut"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r.tok: r.h % (1 << 64)
+        for r in df.select("tok", dd.token_hash64("tok", "md5").alias("h")).collect()
+    }
+    for t in toks:
+        want = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        assert got[t] == want, t
+
+
+def test_simhash_pairs_md5_and_xxhash64_agree_on_planted_dups(spark, docs):
+    # hash choice changes fingerprints but near-identical docs stay
+    # inside the Hamming ball under either hash
+    a = {(r.id_a, r.id_b) for r in
+         dd.simhash_pairs(docs, max_hamming=7, blocks=8).collect()}
+    b = {(r.id_a, r.id_b) for r in
+         dd.simhash_pairs(docs, max_hamming=7, blocks=8, hash_fn="md5").collect()}
+    assert a and b
+    assert len(a & b) / max(len(a | b), 1) > 0.3
