@@ -386,6 +386,67 @@ def hyperplane_buckets(
     )
 
 
+def neardup_pairs_bucketed(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 8,
+    bits: int = 12,
+    weights: dict[tuple[int, int], list[float]] | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane bucketing + exact verify
+    — the scale default (the all-pairs forms in ``dedup.
+    embedding_neardup_pairs`` / ``neardup_pairs_np`` are the validation
+    baselines).
+
+    Plan: project (vector, norm, buckets) per ROW, explode buckets,
+    self-EQUI-join on (table_id, bucket) — shuffled by bucket, never a
+    nested-loop/cartesian pair space — dropDuplicates the candidate
+    pairs, then exact ``paired_cosine`` verification keeps pairs at or
+    above the threshold.
+
+    Tuning: per-table collision P = (1-theta/pi)^bits; miss after T
+    tables = (1-P)^T. For true near-dups (cos >= 0.95, theta <= 18°)
+    the defaults give P≈0.28, miss≈7e-2 at T=8 — raise ``tables`` for
+    tighter recall. Low thresholds (<0.6) need small ``bits``/many
+    tables and prune little: brute force is genuinely the right tool
+    there, bucketing pays off for duplicate-grade similarity.
+
+    Output: (id_a, id_b, cosine) — same contract as
+    ``embedding_neardup_pairs``.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(vec_col).alias("nrm"),
+        hyperplane_buckets(vec_col, tables, bits, weights).alias("bk"),
+    ).select("id", "v", "nrm", F.explode("bk").alias("b"))
+    cand = (
+        v.alias("a")
+        .join(
+            v.alias("b"),
+            (F.col("a.b.table_id") == F.col("b.b.table_id"))
+            & (F.col("a.b.bucket") == F.col("b.b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", paired_cosine("va", "vb", "na", "nb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

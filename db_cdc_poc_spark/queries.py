@@ -1308,5 +1308,70 @@ def q40_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_fuzzy(docs, pairs).select("doc_id")
 
 
+_Q41_TABLES, _Q41_BITS = 16, 2
+
+
+def _q41_oracle(threshold: float = 0.4) -> str:
+    """DuckDB replica of the bucketed near-dup pipeline (same
+    engine-independent-weights technique as q25): buckets -> candidate
+    equi-join -> exact cosine verify."""
+    w = sim.rademacher_weights(_Q41_TABLES, _Q41_BITS, _Q25_DIM)
+    values = ",\n".join(
+        f"({t}, {p}, [{', '.join(str(x) for x in w[(t, p)])}]::DOUBLE[])"
+        for t in range(_Q41_TABLES)
+        for p in range(_Q41_BITS)
+    )
+    return f"""
+WITH w(tbl, p, wv) AS (VALUES
+{values}
+), v AS (
+    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+), proj AS (
+    SELECT v.vec_id, w.tbl, w.p, list_dot_product(v.e, w.wv) AS s
+    FROM v CROSS JOIN w
+), buckets AS (
+    SELECT vec_id, tbl,
+           sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+    FROM proj GROUP BY vec_id, tbl
+), cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+    WHERE a.vec_id < b.vec_id
+), scored AS (
+    SELECT c.id_a, c.id_b,
+           CASE WHEN x.nrm * y.nrm > 0
+                THEN list_dot_product(x.e, y.e) / (x.nrm * y.nrm)
+                ELSE 0.0 END AS cos_raw
+    FROM cand c
+    JOIN v x ON x.vec_id = c.id_a
+    JOIN v y ON y.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+FROM scored WHERE cos_raw >= {threshold}
+"""
+
+
+@_q("q41_neardup_bucketed", oracle=_q41_oracle(0.4))
+def q41_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup — the scale default for q23's
+    semantics: hyperplane-bucket candidate equi-join + exact cosine
+    verify, no all-pairs nested loop anywhere in the plan. Run with
+    engine-independent md5-derived hyperplanes so the oracle replays
+    the identical bucketing. (16, 2) gives per-pair recall ~0.9997 at
+    cosine 0.4 — this fixture's threshold; true duplicate-grade
+    thresholds use selective defaults like (8, 12), demonstrated with
+    planted duplicates in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    weights = sim.rademacher_weights(_Q41_TABLES, _Q41_BITS, _Q25_DIM)
+    return sim.neardup_pairs_bucketed(
+        emb,
+        threshold=0.4,
+        tables=_Q41_TABLES,
+        bits=_Q41_BITS,
+        weights=weights,
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

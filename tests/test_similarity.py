@@ -7,6 +7,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from db_cdc_poc_spark.operators import dedup as dd
 from db_cdc_poc_spark.operators import similarity as sim
 from db_cdc_poc_spark.sources.testdata import load_table
 
@@ -87,3 +88,69 @@ def test_ann_candidate_join_is_bucket_equi_join(spark):
     # the candidate generator must be a hash join on bucket, never a
     # nested-loop cross product over the corpus
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_bucketed_recall_and_selectivity_on_planted_dups(spark):
+    # 200 base vectors + 50 perturbed near-copies (cos > 0.97): at the
+    # duplicate-grade threshold the bucketed path must find >=95% of
+    # the brute-force pairs while generating far fewer candidates than
+    # the n^2/2 pair space
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 1) for _ in range(32)]
+        rows.append((i, v))
+    for i in range(50):
+        base = rows[i][1]
+        pert = [x + rng.gauss(0, 0.02) for x in base]
+        rows.append((1000 + i, pert))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_neardup_pairs(df, threshold=0.95).collect()
+    }
+    assert len(exact) >= 45, f"planted dups not recovered by brute force: {len(exact)}"
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in sim.neardup_pairs_bucketed(
+            df, threshold=0.95, tables=16, bits=12
+        ).collect()
+    }
+    recall = len(bucketed & exact) / len(exact)
+    assert recall >= 0.95, f"bucketed recall too low: {recall}"
+    assert bucketed <= exact | bucketed  # sanity: verify step keeps only >= threshold
+    # selectivity: candidate pairs surviving the bucket join stay far
+    # below the 250*249/2 pair space
+    v = df
+    from pyspark.sql import functions as F
+    from db_cdc_poc_spark.operators.similarity import hyperplane_buckets
+
+    b = v.select(
+        F.col("vec_id").alias("id"),
+        F.explode(hyperplane_buckets("embedding", 16, 12)).alias("b"),
+    )
+    n_cand = (
+        b.alias("a")
+        .join(
+            b.alias("bb"),
+            (F.col("a.b.table_id") == F.col("bb.b.table_id"))
+            & (F.col("a.b.bucket") == F.col("bb.b.bucket"))
+            & (F.col("a.id") < F.col("bb.id")),
+        )
+        .select("a.id", "bb.id")
+        .distinct()
+        .count()
+    )
+    assert n_cand < 250 * 249 / 2 * 0.2, f"bucket join not selective: {n_cand}"
+
+
+def test_neardup_bucketed_plan_has_no_nested_loop(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = (
+        sim.neardup_pairs_bucketed(emb, threshold=0.4, tables=4, bits=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
