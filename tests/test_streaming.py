@@ -108,3 +108,41 @@ def test_cdc_target_stale_update_across_batches_ignored(spark):
     )
     [r] = target.current(spark).collect()
     assert r.v == "new"
+
+
+def test_cdc_target_untouched_buckets_not_rewritten(spark):
+    # scale contract: a micro-batch must rewrite ONLY the bucket chains
+    # its keys hash into — every other bucket's files stay byte-identical
+    import hashlib
+    from pathlib import Path
+
+    root = tempfile.mkdtemp(prefix="cdc_bkt_")
+    target = CdcTarget(root, keys="k", sequence_by="seq", num_buckets=8)
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(50)], "k long, v string, seq long"
+    )
+    target.upsert_batch(b1)
+    bucket_of = {
+        r.k: r.b for r in b1.select("k", target.bucket_expr().alias("b")).collect()
+    }
+    touched_bucket = bucket_of[0]
+    untouched = sorted(set(bucket_of.values()) - {touched_bucket})
+    assert untouched, "need at least one bucket the second batch won't touch"
+
+    def snapshot(b):
+        d = Path(root) / f"bucket_{b:04d}"
+        return {
+            str(p.relative_to(d)): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in sorted(d.rglob("*"))
+            if p.is_file()
+        }
+
+    before = {b: snapshot(b) for b in untouched}
+    target.upsert_batch(
+        spark.createDataFrame([(0, "upd", 20)], "k long, v string, seq long")
+    )
+    assert {b: snapshot(b) for b in untouched} == before
+    # the touched chain advanced one version
+    assert len(list((Path(root) / f"bucket_{touched_bucket:04d}").glob("v_*"))) == 2
+    got = {(r.k, r.v) for r in target.current(spark).collect()}
+    assert got == {(i, f"v{i}") for i in range(1, 50)} | {(0, "upd")}
