@@ -190,3 +190,47 @@ def test_simhash_pairs_md5_and_xxhash64_agree_on_planted_dups(spark, docs):
          dd.simhash_pairs(docs, max_hamming=7, blocks=8, hash_fn="md5").collect()}
     assert a and b
     assert len(a & b) / max(len(a | b), 1) > 0.3
+
+
+def test_jaccard_max_doc_freq_kills_hot_shingle_blowup(spark):
+    # 1000 docs all sharing one boilerplate shingle: uncapped, the
+    # shingle join would emit ~C(1000,2) ~ 500k candidate rows; with
+    # the doc-frequency cap the hot shingle is dropped BEFORE the join
+    # and the candidate set collapses to the genuinely-similar pairs
+    docs = spark.createDataFrame(
+        [(i, f"common prefix here alpha{i} beta{i} gamma{i} delta{i}") for i in range(1000)]
+        + [(5000, "near dup pair one two three four five six"),
+           (5001, "near dup pair one two three four five seven")],
+        "doc_id long, text string",
+    )
+    capped = dd.ngram_jaccard_pairs(docs, threshold=0.001, max_doc_freq=10)
+    rows = capped.collect()
+    # the hot-shingle pair explosion is gone...
+    assert len(rows) == 1, f"expected only the planted pair, got {len(rows)}"
+    # ...but the planted near-dup (sharing RARE shingles) is still found
+    assert (rows[0].id_a, rows[0].id_b) == (5000, 5001)
+
+
+def test_lsh_max_bucket_size_caps_identical_doc_buckets(spark):
+    # 300 identical docs collide in every band: each band bucket holds
+    # 300 ids -> C(300,2) candidates per band uncapped. The cap drops
+    # those buckets before the self-join; a distinct near-dup pair in
+    # small buckets is unaffected.
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated everywhere always") for i in range(300)]
+        + [(9000, "a genuinely unique document about spark partitioning strategies"),
+           (9001, "a genuinely unique document about spark partitioning strategy")],
+        "doc_id long, text string",
+    )
+    uncapped = dd.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, threshold=0.3, verify_exact=False
+    )
+    capped = dd.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, threshold=0.3, verify_exact=False,
+        max_bucket_size=100,
+    )
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 300 * 299 / 2, f"expected the identical-doc blowup: {n_un}"
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(9000, 9001)}, f"cap should keep only the small-bucket pair: {got}"
+    assert n_cap == 1
