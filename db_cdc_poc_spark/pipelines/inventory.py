@@ -123,19 +123,7 @@ def build_inventory_pipeline(
     @reg.table(tier="gold", trigger="5 minute", comment="current inventory")
     def inventory_current() -> DataFrame:
         snap = reg.read("inventory_snapshot").alias("a")
-        changes = (
-            reg.read("inventory_change").alias("x")
-            .join(F.broadcast(reg.read("store").alias("y")), "store_id")
-            .join(
-                F.broadcast(reg.read("inventory_change_type").alias("z")),
-                "change_type_id",
-            )
-            # BOPIS correction (P5; 04:28): the online feed's bopis row is
-            # informational — the stock moves when the store fulfills it.
-            .filter(~((F.col("y.name") == "online") & (F.col("z.change_type") == "bopis")))
-            .select("store_id", "item_id", "date_time", "quantity")
-            .alias("b")
-        )
+        changes = corrected_changes(reg).alias("b")
         joined = snap.join(
             changes,
             (F.col("a.store_id") == F.col("b.store_id"))
@@ -171,6 +159,25 @@ def build_inventory_pipeline(
         )
 
     return reg
+
+
+def corrected_changes(reg: TableRegistry) -> DataFrame:
+    """The BOPIS-corrected change rows feeding gold (04:18-28): deduped
+    silver changes joined to the store/change-type dims (broadcast),
+    with the online-bopis informational rows dropped — the stock moves
+    when the store fulfills the pickup, not when the order is placed.
+    Shared by the batch gold builder and the incremental gold stream
+    (streaming/gold.py)."""
+    return (
+        reg.read("inventory_change").alias("x")
+        .join(F.broadcast(reg.read("store").alias("y")), "store_id")
+        .join(
+            F.broadcast(reg.read("inventory_change_type").alias("z")),
+            "change_type_id",
+        )
+        .filter(~((F.col("y.name") == "online") & (F.col("z.change_type") == "bopis")))
+        .select("store_id", "item_id", "date_time", "quantity")
+    )
 
 
 def gold_current_inventory_sql(reg: TableRegistry) -> DataFrame:

@@ -1373,5 +1373,69 @@ def q41_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q42_incremental_gold",
+    oracle="""
+WITH snap AS (
+    SELECT user_id, CAST(round(value*100, 0) AS INTEGER) AS snapshot_cents,
+           ts AS snapshot_ts
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_type = 'view')
+    WHERE rn = 1
+), ch AS (
+    SELECT user_id, ts, CAST(round(value*100, 0) AS INTEGER) AS cents
+    FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT s.user_id, s.snapshot_cents,
+       coalesce(CAST(sum(c.cents) AS BIGINT), 0) AS change_cents,
+       s.snapshot_cents + coalesce(CAST(sum(c.cents) AS BIGINT), 0) AS current_cents,
+       greatest(s.snapshot_ts, coalesce(max(c.ts), s.snapshot_ts)) AS last_ts
+FROM snap s
+LEFT JOIN ch c ON s.user_id = c.user_id AND s.snapshot_ts <= c.ts
+GROUP BY s.user_id, s.snapshot_cents, s.snapshot_ts
+""",
+)
+def q42_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental gold maintenance (streaming/gold.py) over testdata:
+    snapshot = latest 'view' per user, change stream = click/purchase
+    cents drained availableNow in multiple micro-batches through the
+    bucketed foreachBatch accumulator. The final state must equal the
+    one-shot batch aggregate — which is exactly what the oracle
+    computes (q11's shape in integer cents)."""
+    import tempfile
+
+    from db_cdc_poc_spark.streaming.gold import stream_gold_inventory
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("int")
+    snap = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.max_by(cents, F.struct("ts", "event_id")).alias("quantity"),
+            F.max_by(F.col("ts"), F.struct("ts", "event_id")).alias("date_time_ts"),
+        )
+    )
+    changes = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", F.col("ts").alias("date_time"), cents.alias("quantity")
+    )
+    changes_dir = tempfile.mkdtemp(prefix="gold_changes_") + "/changes"
+    changes.repartition(3).write.mode("overwrite").parquet(changes_dir)
+    return stream_gold_inventory(
+        spark,
+        changes_dir,
+        snap,
+        keys=("user_id",),
+        max_files_per_trigger=1,
+    ).select(
+        "user_id",
+        F.col("snapshot_quantity").alias("snapshot_cents"),
+        F.col("change_quantity").alias("change_cents"),
+        F.col("current_inventory").alias("current_cents"),
+        F.col("date_time").alias("last_ts"),
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -1,0 +1,123 @@
+"""Hash-bucketed versioned parquet state — the shared mechanics under
+the engine's foreachBatch-maintained tables (CDC upsert target,
+incremental gold aggregate).
+
+Layout::
+
+    <path>/bucket_0007/v_00000003/*.parquet
+
+Keys route to buckets via ``pmod(xxhash64(keys...), num_buckets)`` —
+deterministic across sessions. Each bucket is an independent version
+chain; a micro-batch rewrites ONLY the chains its keys hash into, so
+merge I/O is O(|touched state|) rather than O(|total state|). Versioned
+directories exist because Spark cannot overwrite a parquet path it is
+concurrently reading; the per-bucket directory rename is the commit
+(atomic on local FS/HDFS; swap for the store's commit protocol — or for
+Delta/Iceberg MERGE — on object stores).
+
+The merge semantics are pluggable: ``merge_batch`` hands the caller the
+touched-bucket state (or ``None``) plus the batch and writes whatever
+the callback returns. ``streaming/cdc.py`` plugs in latest-row-per-key;
+``streaming/gold.py`` plugs in an associative aggregate accumulate.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections.abc import Callable, Sequence
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__state_bucket"
+
+MergeFn = Callable[[DataFrame | None, DataFrame], DataFrame]
+
+
+class BucketedStateTable:
+    """A keyed parquet state table with per-bucket version chains."""
+
+    def __init__(
+        self,
+        path: str,
+        keys: Sequence[str],
+        num_buckets: int = 16,
+        keep_versions: int = 2,
+    ) -> None:
+        self.path = Path(path)
+        self.keys = list(keys)
+        self.num_buckets = num_buckets
+        self.keep_versions = keep_versions
+        self.path.mkdir(parents=True, exist_ok=True)
+
+    # -- bucket routing ---------------------------------------------------
+
+    def bucket_expr(self) -> Column:
+        """Deterministic key->bucket routing (stable across sessions)."""
+        return F.pmod(F.xxhash64(*self.keys), F.lit(self.num_buckets)).cast("int")
+
+    # -- layout -----------------------------------------------------------
+
+    def _bucket_dir(self, b: int) -> Path:
+        return self.path / f"bucket_{b:04d}"
+
+    def _versions(self, b: int) -> list[Path]:
+        return sorted(p for p in self._bucket_dir(b).glob("v_*") if p.is_dir())
+
+    def _latest_paths(self, buckets: Sequence[int] | None = None) -> list[Path]:
+        out = []
+        for b in range(self.num_buckets) if buckets is None else buckets:
+            versions = self._versions(b)
+            if versions:
+                out.append(versions[-1])
+        return out
+
+    def state_for(
+        self, spark: SparkSession, buckets: Sequence[int] | None = None
+    ) -> DataFrame | None:
+        """Latest state of the given buckets (all buckets if None);
+        ``None`` when no chain exists yet."""
+        paths = self._latest_paths(buckets)
+        if not paths:
+            return None
+        return spark.read.parquet(*[str(p) for p in paths])
+
+    # -- merge ------------------------------------------------------------
+
+    def merge_batch(self, batch: DataFrame, merge_fn: MergeFn) -> None:
+        """new state (touched buckets only) = merge_fn(state, batch).
+
+        Reads only the chains the batch's keys hash into, writes the
+        callback's result partitioned by bucket in ONE job, then commits
+        each touched chain's next version by directory rename. The
+        callback sees plain key rows — no bucket column on either side.
+        """
+        spark = batch.sparkSession
+        batch = batch.withColumn(BUCKET_COL, self.bucket_expr())
+        # at most num_buckets values — tiny driver-side set
+        touched = sorted(r[0] for r in batch.select(BUCKET_COL).distinct().collect())
+        if not touched:
+            return
+        state = self.state_for(spark, touched)
+        new_state = merge_fn(state, batch.drop(BUCKET_COL))
+        staging = Path(tempfile.mkdtemp(prefix="state_staging_", dir=self.path))
+        try:
+            new_state.withColumn(BUCKET_COL, self.bucket_expr()).write.partitionBy(
+                BUCKET_COL
+            ).mode("overwrite").parquet(str(staging))
+            for b in touched:
+                src = staging / f"{BUCKET_COL}={b}"
+                if not src.is_dir():
+                    # merge produced no rows for this bucket (e.g. batch
+                    # keys unknown to an inner-join merge) — chain unchanged
+                    continue
+                versions = self._versions(b)
+                next_n = int(versions[-1].name[2:]) + 1 if versions else 0
+                self._bucket_dir(b).mkdir(exist_ok=True)
+                src.rename(self._bucket_dir(b) / f"v_{next_n:08d}")
+                for old in self._versions(b)[: -self.keep_versions]:
+                    shutil.rmtree(old, ignore_errors=True)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
