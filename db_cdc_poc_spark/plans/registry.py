@@ -128,11 +128,30 @@ class TableRegistry:
 
     # -- materialization --------------------------------------------------
 
-    def materialize(self, root: str, tables: list[str] | None = None) -> None:
+    def materialize(
+        self,
+        root: str,
+        tables: list[str] | None = None,
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> None:
         """Write tables as parquet under ``root/<name>`` in dependency
-        order (the engine's managed-table sink, S7)."""
+        order (the engine's managed-table sink, S7).
+
+        ``partition_by`` maps table name -> partition columns (hive-style
+        directory layout). Partitioning gold/silver by a hot predicate
+        column (SURVEY §4 flags ``store_id``) turns those predicates into
+        PartitionFilters at scan time: Spark prunes whole directories
+        before reading a byte — on a 100 TB table, a one-store query
+        reads one store's files. Pick low-cardinality columns (store,
+        date); high-cardinality partitioning produces a small-files
+        explosion.
+        """
         order = self.topological_order()
         wanted = set(tables) if tables is not None else set(order)
         for name in order:
             if name in wanted:
-                self.build(name).write.mode("overwrite").parquet(f"{root}/{name}")
+                writer = self.build(name).write.mode("overwrite")
+                cols = (partition_by or {}).get(name)
+                if cols:
+                    writer = writer.partitionBy(*cols)
+                writer.parquet(f"{root}/{name}")

@@ -81,3 +81,29 @@ def test_materialize_writes_parquet(spark):
     reg.materialize(root)
     back = spark.read.parquet(f"{root}/squares")
     assert {(r.id, r.sq) for r in back.collect()} == {(i, i * i) for i in range(5)}
+
+
+def test_materialize_partitioned_and_partition_pruning(spark):
+    # SURVEY §4: gold/silver partitioned by store_id must turn a
+    # store_id predicate into PartitionFilters (directory pruning at
+    # the scan), not a post-scan data filter
+    reg = TableRegistry(spark)
+
+    @reg.table()
+    def gold():
+        return spark.range(100).selectExpr(
+            "CAST(id % 4 AS INT) AS store_id", "id AS item_id", "id * 2 AS qty"
+        )
+
+    root = tempfile.mkdtemp(prefix="reg_part_")
+    reg.materialize(root, partition_by={"gold": ["store_id"]})
+    # hive-style layout on disk
+    from pathlib import Path
+
+    assert (Path(root) / "gold" / "store_id=3").is_dir()
+    back = spark.read.parquet(f"{root}/gold").filter("store_id = 3")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "store_id" in m[0], f"store_id not in PartitionFilters: {plan[:800]}"
+    # the pruned scan reads only the one directory's rows
+    assert back.count() == 25
