@@ -420,28 +420,40 @@ def neardup_pairs_bucketed(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(vec_col).alias("nrm"),
-        hyperplane_buckets(vec_col, tables, bits, weights).alias("bk"),
-    ).select("id", "v", "nrm", F.explode("bk").alias("b"))
+    )
+    bk = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(hyperplane_buckets(vec_col, tables, bits, weights)).alias("b"),
+    )
+    # candidate join + dedup carry ONLY ids — a pair colliding in many
+    # tables would otherwise drag its vectors through the dedup shuffle
+    # once per collision (measured 20x slower); vectors re-join per
+    # DISTINCT pair for the verify
     cand = (
-        v.alias("a")
+        bk.alias("a")
         .join(
-            v.alias("b"),
+            bk.alias("b"),
             (F.col("a.b.table_id") == F.col("b.b.table_id"))
             & (F.col("a.b.bucket") == F.col("b.b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("cosine", paired_cosine("va", "vb", "na", "nb"))
+        cand.join(
+            v.select(
+                F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            v.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+            ),
+            "id_b",
+        )
+        .withColumn("cosine", paired_cosine("va", "vb", "na", "nb"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

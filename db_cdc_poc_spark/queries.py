@@ -984,6 +984,7 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> st
 @_q(
     "q30_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
+    headline=True,
 )
 def q30_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming stateful dedup (T1/T2; reference 03:218-219):
@@ -1006,6 +1007,7 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
       FROM events)
 WHERE rn = 1 AND event_type <> 'error'
 """,
+    headline=True,
 )
 def q31_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply (T3; reference 03:320-326): file stream ->
@@ -1297,6 +1299,7 @@ SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT id FROM labels)
    OR doc_id IN (SELECT min(id) FROM labels GROUP BY cluster_id)
 """,
+    headline=True,
 )
 def q40_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup: trigram-Jaccard pairs (>=0.5) ->

@@ -42,3 +42,28 @@ def test_approx_percentile(spark):
     ).collect()
     p50, p95 = r.p
     assert 1 <= p50 <= 50 and p50 < p95 <= 50
+
+
+def test_ann_recall_at_sf01(spark):
+    # VERDICT r2 item 8: recall@5 >= 0.9 vs the exact top-k at sf0.1.
+    # 5th-neighbor cosines in this fixture sit at ~0.33-0.37
+    # (theta ~ 70 deg, per-table p = 0.607^4 ~ 0.14), so 32 tables give
+    # per-neighbor miss ~(0.86)^32 ~ 1%. Random near-orthogonal vectors
+    # make high recall inherently candidate-heavy (~87% of the corpus);
+    # duplicate-grade similarity is where bucketing prunes hard (see
+    # test_neardup_bucketed_recall_and_selectivity_on_planted_dups).
+    from db_cdc_poc_spark.operators import similarity as sim
+
+    sf01 = "/root/testdata/sf0.1"
+    emb = load_table(spark, sf01, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_topk(queries, emb, k=5, tables=32, bits=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"ANN recall@5 at sf0.1 too low: {recall}"
