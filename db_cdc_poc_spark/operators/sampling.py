@@ -1,0 +1,90 @@
+"""Deterministic hash-based sampling and dataset splits.
+
+Training-data pipelines need REPEATABLE sampling: the same document
+must land in the same split on every run, on every engine, regardless
+of partitioning — which rules out ``df.sample``/``rand()`` (seeded per
+partition, not per row). Everything here derives from a per-row md5
+hash of (salt, id):
+
+* md5 is bit-identical in Spark, DuckDB and hashlib, so samples are
+  replayable by the oracle and by any downstream system;
+* the salt namespaces independent draws (two samples with different
+  salts are independent in the Rademacher sense);
+* only the LOW 63 BITS are used — the sign bit is masked on the Spark
+  (signed long) side so the value equals the unsigned interpretation
+  modulo anything that matters.
+
+The per-row bucket is uniform on [0, buckets); sampling keeps rows with
+bucket < fraction * buckets, and ``split_assign`` cuts the range into
+labeled spans (train/val/test). Pure Column expressions — map-only, no
+shuffle, pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators.dedup import token_hash64
+
+#: 2^63 - 1: keeps the md5-derived long non-negative on both engines.
+_MASK63 = (1 << 63) - 1
+
+DEFAULT_BUCKETS = 1_000_000
+
+
+def hash_bucket(
+    id_col: str | Column, salt: str = "", buckets: int = DEFAULT_BUCKETS
+) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from md5(salt:id).
+
+    Oracle equivalent (DuckDB)::
+
+        ('0x' || substr(md5('<salt>:' || CAST(id AS VARCHAR)), 1, 16))::UBIGINT
+            & 9223372036854775807) % <buckets>
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = token_hash64(F.concat_ws(":", F.lit(salt), c.cast("string")), "md5")
+    return (h.bitwiseAND(F.lit(_MASK63)) % F.lit(buckets)).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows (by id hash)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    return df.filter(hash_bucket(id_col, salt, buckets) < int(fraction * buckets))
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    salt: str = "",
+    buckets: int = DEFAULT_BUCKETS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to one named span
+    (e.g. {'train': .8, 'val': .1, 'test': .1}) — disjoint, exhaustive,
+    deterministic, engine-replayable. Weights must sum to 1."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(id_col, salt, buckets)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(acc * buckets)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, out)

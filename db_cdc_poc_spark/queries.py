@@ -1440,5 +1440,132 @@ def q42_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_COS = (
+    "CASE WHEN {a}.nrm * {b}.nrm > 0 "
+    "THEN list_dot_product({a}.e, {b}.e) / ({a}.nrm * {b}.nrm) ELSE 0.0 END"
+)
+
+
+def _q43_oracle(step: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """DuckDB replica of the IVF-Flat pipeline: same deterministic
+    sampled codebook (vec_id % step = 0), same argmax-cosine list
+    assignment (list_dot_product matches Spark's fold bit-for-bit),
+    same nprobe probing and exact re-rank."""
+    return f"""
+WITH v AS (
+    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+), cent AS (
+    SELECT vec_id AS cid, e, nrm FROM v WHERE vec_id % {step} = 0
+), assign AS (
+    SELECT neighbor_id, cid AS list_id FROM (
+        SELECT c.vec_id AS neighbor_id, t.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_IVF_COS.format(a='c', b='t')} DESC, t.cid) AS rn
+        FROM v c CROSS JOIN cent t)
+    WHERE rn = 1
+), probes AS (
+    SELECT query_id, cid AS list_id FROM (
+        SELECT q.vec_id AS query_id, t.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_IVF_COS.format(a='q', b='t')} DESC, t.cid) AS rn
+        FROM v q CROSS JOIN cent t WHERE q.vec_id < 10)
+    WHERE rn <= {nprobe}
+), scored AS (
+    SELECT p.query_id, a.neighbor_id, {_IVF_COS.format(a='q', b='n')} AS cos_raw
+    FROM probes p
+    JOIN assign a ON p.list_id = a.list_id AND p.query_id <> a.neighbor_id
+    JOIN v q ON q.vec_id = p.query_id
+    JOIN v n ON n.vec_id = a.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+@_q("q43_ivf_topk", oracle=_q43_oracle())
+def q43_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k (similarity.ivf_topk): deterministic
+    sampled codebook (every 16th vec_id), argmax-cosine inverted-list
+    assignment, 4-list probe, exact re-rank. Fully relational, so the
+    oracle replays the entire pipeline value-for-value."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        centroids=emb.filter(F.col("vec_id") % 16 == 0),
+        k=5,
+        nprobe=4,
+    )
+
+
+@_q(
+    "q44_tfidf_terms",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                             x -> x <> ''), t -> lower(t))) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, count(*) AS df_t FROM tf GROUP BY 1
+), nd AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT doc_id AS id, tf.term,
+           CAST(tf AS DOUBLE) * n_docs / df_t AS score
+    FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
+)
+SELECT id, term, round(score, 6) AS score,
+       CAST(row_number() OVER (PARTITION BY id
+                               ORDER BY score DESC, term) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+""",
+)
+def q44_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf terms (text.tfidf_terms) — keyword
+    extraction for corpus analytics. Raw odds score tf*N/df: three
+    exact integer-derived float ops, identical on both engines (log
+    scaling ranks the same per doc; see operator docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.tfidf_terms(docs, top_k=3)
+
+
+@_q(
+    "q45_train_split",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             (('0x' || substr(md5('corpus-v1:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+              & 9223372036854775807) % 1000000 AS b
+      FROM documents)
+""",
+)
+def q45_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (sampling.split_assign):
+    md5(salt:id)-derived buckets, so the same document lands in the
+    same split on every run and every engine — the oracle recomputes
+    the identical hash arithmetic."""
+    from db_cdc_poc_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_assign(
+        docs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="corpus-v1",
+    ).select("doc_id", "split")
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -154,3 +154,26 @@ def test_neardup_bucketed_plan_has_no_nested_loop(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_probes_cover_own_list(spark):
+    # a vector's own inverted list is always among its nearest probes,
+    # so every exact neighbor sharing the query's list must be found;
+    # sanity: output shape, rank bounds, and non-trivial recall
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cent = emb.filter(F.col("vec_id") % 16 == 0)
+    out = sim.ivf_topk(queries, emb, centroids=cent, k=5, nprobe=4).collect()
+    assert len(out) == 50
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(queries, emb, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in out}
+    # 4/~32 lists probed on near-orthogonal data: recall is the
+    # selectivity tradeoff; just require it beats random chance by far
+    assert len(exact & approx) / len(exact) >= 0.2

@@ -87,3 +87,20 @@ def test_rolling_hashes(spark):
     assert len(out[1]) == 2  # 6 tokens, window 5 -> 2 windows
     assert len(out[2]) == 0  # shorter than window
     assert len(out[3]) == 0
+
+
+def test_tfidf_terms_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {
+        (r.id, r.term): (r.score, r.rank)
+        for r in tx.tfidf_terms(df, top_k=3).collect()
+    }
+    # N=2; df(a)=2, df(b)=df(c)=1
+    # doc1: a tf=2 -> 2*2/2=2.0; b -> 1*2/1=2.0; tie broken by term
+    assert out[(1, "a")] == (2.0, 1)
+    assert out[(1, "b")] == (2.0, 2)
+    # doc2: c -> 2.0 beats a -> 1.0
+    assert out[(2, "c")] == (2.0, 1)
+    assert out[(2, "a")] == (1.0, 2)
