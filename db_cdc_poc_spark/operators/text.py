@@ -201,3 +201,45 @@ def tfidf_terms(
         .filter(F.col("rank") <= top_k)
         .select("id", "term", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size non-overlapping token windows —
+    the sequence-chunking step of a training-data pipeline (long docs
+    become multiple training examples; the final short chunk is kept).
+
+    Plan: posexplode the token array once, derive chunk_id = pos //
+    window, then ONE groupBy((id, chunk_id)) assembles each chunk with
+    order restored via array_sort over (pos, token) structs — the same
+    deterministic-assembly shape as the transaction envelope (q09).
+    Token arrays are never sliced inside a higher-order-function lambda
+    (an outer array reference re-evaluates per element — the measured
+    O(L^2) trap, see ARCHITECTURE.md); the explode materializes tokens
+    exactly once and the rest is codegen'd aggregate work, scaling with
+    total token count across any number of partitions.
+
+    Output: (id, chunk_id, n_tokens, chunk_text), chunk_id 0-based.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(whitespace_tokens(text_col)).alias("pos", "tok"),
+    )
+    return (
+        toks.withColumn("chunk_id", (F.col("pos") / window).cast("int"))
+        .groupBy("id", "chunk_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -1567,5 +1567,33 @@ def q45_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+@_q(
+    "q46_chunk_docs",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), ch AS (
+    SELECT doc_id,
+           unnest([{'cid': i // 16,
+                    'txt': array_to_string(toks[i+1:i+16], ' '),
+                    'n': least(len(toks) - i, 16)}
+                   for i in range(0, len(toks), 16)]) AS c
+    FROM tk
+)
+SELECT doc_id AS id, CAST(c.cid AS INTEGER) AS chunk_id,
+       CAST(c.n AS INTEGER) AS n_tokens, c.txt AS chunk_text
+FROM ch
+""",
+)
+def q46_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 16-token window chunking (text.chunk_documents) — the
+    sequence-prep step for training pipelines. The oracle rebuilds the
+    same windows with DuckDB list slicing."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.chunk_documents(docs, window=16)
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -104,3 +104,18 @@ def test_tfidf_terms_known_values(spark):
     # doc2: c -> 2.0 beats a -> 1.0
     assert out[(2, "c")] == (2.0, 1)
     assert out[(2, "a")] == (1.0, 2)
+
+
+def test_chunk_documents_windows_and_order(spark):
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens, window 4
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    out = {
+        (r.id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in tx.chunk_documents(df, window=4).collect()
+    }
+    assert out[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert out[(1, 1)] == (4, "w4 w5 w6 w7")
+    assert out[(1, 2)] == (2, "w8 w9")   # short tail kept
+    assert out[(2, 0)] == (2, "a b")
+    assert not any(k[0] == 3 for k in out)  # empty doc -> no chunks
