@@ -990,7 +990,12 @@ def q30_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming stateful dedup (T1/T2; reference 03:218-219):
     file source -> withWatermark -> dropDuplicates, availableNow
     trigger, memory sink. Output is the key set (survivor-independent,
-    so the oracle is plain DISTINCT)."""
+    so the oracle is plain DISTINCT). Uses the 35-day default
+    watermark: exact batch parity for an availableNow drain, but on a
+    CONTINUOUS stream that is effectively unbounded state — production
+    callers narrow it to their real late-data bound (the reference's
+    1-hour choice loses duplicates spread over its 13.7 h BOPIS lag;
+    see streaming/jobs.py)."""
     from db_cdc_poc_spark.streaming.jobs import stream_dedup_keys
 
     return stream_dedup_keys(
