@@ -1600,5 +1600,58 @@ def q46_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_documents(docs, window=16)
 
 
+@_q(
+    "q47_stream_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       count(*) AS n,
+       CAST(sum(round(value*100, 0)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1
+""",
+)
+def q47_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregate (T1 windowed form; q38's
+    semantics as a drained stream): file source -> event-time window ->
+    complete-mode memory sink. Same oracle as the batch form — the
+    drain must reproduce it exactly."""
+    from db_cdc_poc_spark.streaming.jobs import stream_windowed_counts
+
+    return stream_windowed_counts(
+        spark, _staged_events_dir(spark, sf_dir), window="6 hours"
+    )
+
+
+@_q(
+    "q48_sessionize",
+    oracle="""
+WITH o AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts,
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+    FROM o
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2
+""",
+)
+def q48_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (operators/sessionize.py): per-user sessions cut
+    at 30-minute inactivity gaps, summarized per session. The
+    applyInPandasWithState streaming form computes the same assignment
+    incrementally (parity asserted in tests)."""
+    from db_cdc_poc_spark.operators.sessionize import session_summary
+
+    ev = _t(spark, sf_dir, "events")
+    return session_summary(ev, gap_seconds=1800)
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -59,3 +59,48 @@ def stream_dedup_keys(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    source_path: str,
+    window: str = "6 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time window aggregate over a drained file stream
+    (T1 windowed form): count + integer-cents sum per window.
+
+    Output mode is COMPLETE against a memory sink: an availableNow
+    drain re-emits the full aggregate on the final trigger, so the
+    result equals the batch window aggregate exactly — including the
+    newest, still-open window that append mode would withhold (append
+    emits a window only once the watermark passes its end, and the
+    window holding the max event time never closes in a finite drain).
+    Complete mode keeps all windows in state: fine for a drain or a
+    bounded window count, whereas a CONTINUOUS deployment should use
+    ``withWatermark(...)`` + append and accept that the tail window is
+    published one watermark-delay late — that bounds state instead.
+    """
+    from pyspark.sql import functions as F
+
+    static = spark.read.parquet(source_path)
+    stream = spark.readStream.schema(static.schema).parquet(source_path)
+    agg = stream.groupBy(F.window(ts_col, window).alias("w")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col(value_col) * 100, 0)).cast("long").alias("value_cents"),
+    )
+    name = f"win_counts_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_win_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "n", "value_cents"
+    )

@@ -1,0 +1,96 @@
+"""Streaming sessionization — the engine's ``applyInPandasWithState``
+custom stateful operator (T2-adjacent; SURVEY §2.10 names the Arrow
+path as the idiomatic extension point).
+
+Per-user ``GroupState`` carries (last event micros, session counter)
+across micro-batches; each batch's events are sorted and folded onto
+that state, so session numbers keep counting across batches instead of
+restarting. Equals the batch window form (operators/sessionize.py) when
+each user's events arrive in chronological batch order — online
+sessionization is order-sensitive by nature, and late events belong to
+whatever session the stream had reached (the batch form is the
+backfill corrector). Parity under chronological arrival is asserted in
+tests with mtime-forced file ordering.
+
+Scale: state is ~16 bytes per ACTIVE user, partitioned by user hash in
+the state store; each micro-batch shuffles only its own rows. The
+Python work is Arrow-batched per user group — no row-at-a-time UDF.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, event_id bigint, ts timestamp, session_seq int"
+STATE_SCHEMA = "last_us bigint, seq int"
+
+
+def _session_fold(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_us, seq = state.get if state.exists else (None, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        out = []
+        for ts_ns in batch["ts"].astype("int64"):
+            us = ts_ns // 1_000
+            if last_us is None or us - last_us > gap_us:
+                seq += 1
+            last_us = us
+            out.append(seq)
+        state.update((int(last_us), int(seq)))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": batch["event_id"].to_numpy(),
+                "ts": batch["ts"].to_numpy(),
+                "session_seq": pd.array(out, dtype="int32"),
+            }
+        )
+
+    return fn
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    source_path: str,
+    gap_seconds: int = 1800,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File stream -> per-user applyInPandasWithState session fold ->
+    memory sink; returns every event's session assignment after the
+    availableNow drain."""
+    static = spark.read.parquet(source_path)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_path).select("user_id", "event_id", "ts")
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _session_fold(gap_seconds),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_sess_")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
