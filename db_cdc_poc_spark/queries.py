@@ -1653,5 +1653,80 @@ def q48_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_summary(ev, gap_seconds=1800)
 
 
+@_q(
+    "q49_semi_anti",
+    oracle="""
+SELECT c_custkey, c_name, 'has_orders' AS tag
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, c_name, 'no_orders' AS tag
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def q49_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (Spark-native existence joins; the
+    reference has none — standard surface a migrating user expects).
+    Both halves of the customer partition, tagged."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    has = cust.join(orders, "c_custkey", "left_semi").select(
+        "c_custkey", "c_name", F.lit("has_orders").alias("tag")
+    )
+    hasnt = cust.join(orders, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", F.lit("no_orders").alias("tag")
+    )
+    return has.unionByName(hasnt)
+
+
+@_q(
+    "q50_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY event_type
+""",
+)
+def q50_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both sort and linearly interpolate, the
+    same two-term arithmetic on the same neighbors)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+@_q(
+    "q51_salted_join",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(sum(round(value*100, 0)) AS BIGINT) AS value_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY event_type
+""",
+)
+def q51_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/joins.py:salted_join): the fact
+    side gets a deterministic row-hash salt, the dim side replicates
+    across salts, the join keys on (key, salt) — splitting any hot key
+    over `salt` reducers. Semantically a plain join, which is exactly
+    what the oracle computes."""
+    from db_cdc_poc_spark.operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cust, on="user_id", salt=8)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), _cents(F.col("value")).alias("value_cents"))
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
