@@ -169,11 +169,13 @@ def tfidf_terms(
     both engines and the oracle can value-check it; a log-scaled score
     ranks identically per document since log is monotone).
 
-    Plan: explode lowercased tokens once; tf = count per (doc, term);
-    df = count per term over the SAME aggregated rows (no second scan);
-    N joins in as a broadcast 1-row aggregate; ranking window per doc.
-    All map-side-partial aggregates — the only full shuffle carries the
-    (doc, term) pairs.
+    Plan: explode lowercased tokens ONCE; tf = count per (doc, term);
+    df(term) = a count window over those same tf rows (a join against
+    ``tf.groupBy(term)`` would recompute the whole tokenize+explode+
+    aggregate lineage a second time — branching a DataFrame re-executes
+    it, it doesn't reuse it); N joins in as a broadcast 1-row count
+    (column-pruned scan). Shuffles: (doc, term) aggregate, term window,
+    doc ranking window.
 
     Output: (id, term, score, rank), ties broken by term for
     determinism.
@@ -187,11 +189,11 @@ def tfidf_terms(
         ).alias("term"),
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     nd = df.agg(F.count("*").alias("n_docs"))
+    wt = Window.partitionBy("term")
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn("df_t", F.count("*").over(wt))
         .crossJoin(F.broadcast(nd))
         .withColumn(
             "score",
