@@ -67,3 +67,25 @@ def test_ann_recall_at_sf01(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"ANN recall@5 at sf0.1 too low: {recall}"
+
+
+def test_hll_sketch_agg_mergeable(spark):
+    # the 100 TB pre-aggregation pattern: per-partition/group HLL
+    # sketches persisted as binary, merged later — estimates must track
+    # the exact count and the union of group sketches must equal a
+    # global sketch over the same rows
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.select(F.count_distinct("user_id")).collect()[0][0]
+    per_group = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_n"),
+    )
+    rows = per_group.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est"), "exact_n"
+    ).collect()
+    for r in rows:
+        assert abs(r.est - r.exact_n) / max(r.exact_n, 1) < 0.1, r.event_type
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0][0]
+    assert abs(merged - exact) / exact < 0.1

@@ -75,3 +75,40 @@ def test_stream_sessionize_matches_batch_across_chronological_batches(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_sessionize_invariants_property(spark):
+    # randomized invariant check: per user, session numbers start at 1
+    # and are contiguous; consecutive events in one session are within
+    # the gap; session boundaries exceed it
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(20):
+        t = 1_700_000_000_000_000  # epoch micros
+        for _ in range(rng.randint(1, 40)):
+            t += rng.choice([60, 600, 1200, 2000, 4000]) * 1_000_000
+            rows.append((user, eid, t))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, us long"
+    ).select("user_id", "event_id", F.timestamp_micros("us").alias("ts"))
+    out = sorted(
+        ((r.user_id, r.ts, r.event_id, r.session_seq)
+         for r in sessionize(df, gap_seconds=1800).collect()),
+    )
+    by_user = {}
+    for user, ts, eid_, seq in out:
+        by_user.setdefault(user, []).append((ts, seq))
+    for user, seq_rows in by_user.items():
+        seqs = [s for _, s in seq_rows]
+        assert seqs[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:])), user
+        for (t0, s0), (t1, s1) in zip(seq_rows, seq_rows[1:]):
+            gap = (t1 - t0).total_seconds()
+            if s1 == s0:
+                assert gap <= 1800, (user, gap)
+            else:
+                assert gap > 1800, (user, gap)
