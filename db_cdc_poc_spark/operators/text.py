@@ -160,6 +160,7 @@ def tfidf_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = 3,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Top ``top_k`` terms per document by tf-idf — keyword extraction /
     boilerplate detection for corpus analytics.
@@ -170,12 +171,22 @@ def tfidf_terms(
     ranks identically per document since log is monotone).
 
     Plan: explode lowercased tokens ONCE; tf = count per (doc, term);
-    df(term) = a count window over those same tf rows (a join against
-    ``tf.groupBy(term)`` would recompute the whole tokenize+explode+
-    aggregate lineage a second time — branching a DataFrame re-executes
-    it, it doesn't reuse it); N joins in as a broadcast 1-row count
-    (column-pruned scan). Shuffles: (doc, term) aggregate, term window,
-    doc ranking window.
+    df(term) over those tf rows; N joins in as a broadcast 1-row count
+    (column-pruned scan).
+
+    The ``skew_safe`` switch picks the df(term) strategy — a measured
+    tradeoff, not a free lunch:
+
+    * default (False): a count WINDOW over the tf rows — single
+      tokenize pass (verified: one (id, text) scan in the plan), but a
+      window partition must fit one task, so a stop-word term present
+      in d documents puts d rows on one reducer. Right below ~10^8
+      docs or after stop-word filtering.
+    * True: ``tf.groupBy(term)`` + join back — branching tf
+      re-executes the tokenize lineage (ReuseExchange does NOT fire
+      across the aggregate; verified), costing a second pass, but the
+      join is AQE-skew-splittable, so corpus-scale hot terms spread
+      across reducers. Right at web scale.
 
     Output: (id, term, score, rank), ties broken by term for
     determinism.
@@ -190,11 +201,15 @@ def tfidf_terms(
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     nd = df.agg(F.count("*").alias("n_docs"))
-    wt = Window.partitionBy("term")
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    if skew_safe:
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+        scored = tf.join(dfreq, "term")
+    else:
+        wt = Window.partitionBy("term")
+        scored = tf.withColumn("df_t", F.count("*").over(wt))
     return (
-        tf.withColumn("df_t", F.count("*").over(wt))
-        .crossJoin(F.broadcast(nd))
+        scored.crossJoin(F.broadcast(nd))
         .withColumn(
             "score",
             F.col("tf").cast("double") * F.col("n_docs") / F.col("df_t"),

@@ -119,3 +119,12 @@ def test_chunk_documents_windows_and_order(spark):
     assert out[(1, 2)] == (2, "w8 w9")   # short tail kept
     assert out[(2, 0)] == (2, "a b")
     assert not any(k[0] == 3 for k in out)  # empty doc -> no chunks
+
+
+def test_tfidf_skew_safe_form_matches_window_form(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b c d a")], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, tx.tfidf_terms(df, top_k=2).collect()))
+    b = sorted(map(tuple, tx.tfidf_terms(df, top_k=2, skew_safe=True).collect()))
+    assert a == b
