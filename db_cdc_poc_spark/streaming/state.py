@@ -37,7 +37,15 @@ MergeFn = Callable[[DataFrame | None, DataFrame], DataFrame]
 
 
 class BucketedStateTable:
-    """A keyed parquet state table with per-bucket version chains."""
+    """A keyed parquet state table with per-bucket version chains.
+
+    Size ``num_buckets`` so one bucket rewrite stays cheap AND a small
+    batch touches few buckets: roughly ``total state size / a few
+    hundred MB``. The default 16 suits tests/small state; a 100 TB
+    keyspace wants thousands of buckets (a batch touching k keys
+    rewrites at most k buckets regardless of the count, so more buckets
+    only add directory overhead, not merge work).
+    """
 
     def __init__(
         self,
