@@ -54,11 +54,11 @@ def tokens_col(text: str = "text") -> F.Column:
     return F.filter(F.split(F.col(text), r"\s+"), lambda t: t != F.lit(""))
 
 
-def word_shingles_col(text: str = "text", n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles as an array<string> column.
+def word_ngrams_col(text: str = "text", n: int = 3) -> F.Column:
+    """ALL word n-grams (positional, duplicates kept) as array<string>.
 
     Built by zipping ``n`` shifted slices of the token array:
-    shingle i = toks[i] + ' ' + toks[i+1] + ... Each ``zip_with`` /
+    ngram i = toks[i] + ' ' + toks[i+1] + ... Each ``zip_with`` /
     ``slice`` input is evaluated ONCE per row, so the cost is O(L*n).
     (The naive ``transform(sequence(...), i -> slice(toks, i, n))``
     formulation re-evaluates the token split per index — O(L^2) per
@@ -66,13 +66,18 @@ def word_shingles_col(text: str = "text", n: int = 3) -> F.Column:
     """
     toks = tokens_col(text)
     cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    shingles = F.slice(toks, 1, cnt)
+    ngrams = F.slice(toks, 1, cnt)
     for i in range(1, n):
         shifted = F.slice(toks, i + 1, cnt)
-        shingles = F.zip_with(
-            shingles, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        ngrams = F.zip_with(
+            ngrams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    return F.array_distinct(shingles)
+    return ngrams
+
+
+def word_shingles_col(text: str = "text", n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as an array<string> column."""
+    return F.array_distinct(word_ngrams_col(text, n))
 
 
 def shingle_rows(

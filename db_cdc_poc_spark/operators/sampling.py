@@ -63,6 +63,53 @@ def hash_sample(
     return df.filter(hash_bucket(id_col, salt, buckets) < int(fraction * buckets))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixture lever of a
+    training pipeline (e.g. downsample the dominant language/domain,
+    keep 100% of the rare ones).
+
+    Each stratum gets its own keep-rate; a row survives iff its md5
+    bucket falls below its stratum's threshold. Strata not listed in
+    ``rates`` fall back to ``default_rate`` (0 = drop).
+
+    Because the bucket depends only on (salt, id), the SAME row is kept
+    or dropped regardless of which stratum table it is read from, how
+    the data is partitioned, or which engine evaluates it — and
+    rerunning with a higher rate keeps a superset (nested samples).
+
+    Scale shape: the rate table is compiled into a literal CASE chain —
+    pure Column expressions, map-only, whole-stage codegen, no shuffle,
+    filter pushdown-eligible. For thousands of strata, swap the CASE
+    for a broadcast join against a (stratum, rate) table — same
+    semantics, same determinism.
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1]: {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1]: {default_rate}")
+    threshold: Column | None = None
+    for name, r in rates.items():
+        cond = F.col(stratum_col) == F.lit(name)
+        lim = F.lit(int(r * buckets))
+        threshold = (
+            F.when(cond, lim) if threshold is None else threshold.when(cond, lim)
+        )
+    default_lim = F.lit(int(default_rate * buckets))
+    threshold = (
+        default_lim if threshold is None else threshold.otherwise(default_lim)
+    )
+    return df.filter(hash_bucket(id_col, salt, buckets) < threshold)
+
+
 def split_assign(
     df: DataFrame,
     id_col: str,

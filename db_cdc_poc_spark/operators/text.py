@@ -220,6 +220,139 @@ def tfidf_terms(
     )
 
 
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals — the Gopher/MassiveText-style
+    repetitious-content filters (published rules: fraction of duplicate
+    lines/words/n-grams, fraction taken by the most frequent n-gram).
+
+    Output per doc:
+      * ``n_tokens``        — whitespace token count,
+      * ``dup_word_frac``   — 1 - distinct_tokens / tokens,
+      * ``top_word_frac``   — occurrences of the modal token / tokens,
+      * ``dup_2gram_frac``  — 1 - distinct_2grams / 2grams.
+
+    All four are ratios of small exact integers, so the division is
+    bit-identical across engines and the oracle value-checks them.
+
+    Plan shape (the 100 TB consideration): the modal-token count needs
+    a per-(doc, token) frequency, which a per-row higher-order function
+    would compute in O(L^2) per document (an outer-array reference in a
+    lambda re-evaluates per element — the measured trap). Instead:
+    explode tokens/2-grams ONCE, two-level codegen'd hash aggregates
+    ((id, gram) counts, then per-id rollup), which get map-side partial
+    aggregation and scale with total token count. Both explodes join
+    back on id — the token-stats side is aggregated to one row per doc
+    before the join, so the join shuffles |docs| rows, not |tokens|.
+    """
+    from db_cdc_poc_spark.operators.dedup import word_ngrams_col
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(whitespace_tokens(text_col)).alias("g"),
+    )
+    word_stats = (
+        toks.groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams_col(text_col, 2)).alias("g"),
+    )
+    gram_stats = (
+        grams.groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_2grams"),
+            F.count("*").alias("n_distinct_2"),
+        )
+    )
+    return (
+        word_stats.join(gram_stats, "id")
+        .select(
+            "id",
+            "n_tokens",
+            F.round(
+                (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 6).alias(
+                "top_word_frac"
+            ),
+            F.round(
+                (F.col("n_2grams") - F.col("n_distinct_2")).cast("double")
+                / F.col("n_2grams"),
+                6,
+            ).alias("dup_2gram_frac"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    num_groups: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences —
+    GPT-style sequence packing, where short documents are concatenated
+    (with separators) into ``budget``-token examples and the token
+    stream is chunked at sequence boundaries.
+
+    The assignment is the SQL-expressible concat-and-chunk form: within
+    a pack group, docs are ordered deterministically by id, the
+    exclusive running token total places each doc in the stream, and
+    ``seq_id = start // budget`` names the sequence its first token
+    lands in (documents may straddle a boundary, exactly as GPT-style
+    packing allows).
+
+    Scale shape: a global running sum would serialize on one reducer,
+    so docs are first hash-bucketed into ``num_groups`` independent
+    pack groups (deterministic md5 buckets — replayable by the oracle
+    and across engines) and the window runs per group: ONE shuffle by
+    group, state bounded by group size. At corpus scale ``num_groups``
+    is sized so a group's (id, n_tokens) pairs fit a task — packing
+    quality is unaffected since sequences never span groups.
+
+    Output: (id, grp, n_tokens, seq_id, start_tok).
+    """
+    from pyspark.sql import Window
+
+    from db_cdc_poc_spark.operators.sampling import hash_bucket
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            hash_bucket(id_col, salt=salt, buckets=num_groups).alias("grp"),
+            whitespace_token_count(text_col).cast("long").alias("n_tokens"),
+        )
+        .withColumn("start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "id",
+            "grp",
+            "n_tokens",
+            (F.col("start") / budget).cast("long").alias("seq_id"),
+            (F.col("start") % budget).cast("long").alias("start_tok"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     window: int = 64,

@@ -1728,5 +1728,144 @@ def q51_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q52_decontaminate",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+7], ' ')
+                          for i in range(1, greatest(len(toks) - 6, 1))]) AS shingles
+    FROM tk WHERE len(toks) >= 8
+), ex AS (
+    SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle FROM sh
+), ev AS (
+    SELECT DISTINCT shingle FROM ex WHERE doc_id % 10 = 0
+)
+SELECT e.doc_id AS id,
+       count(*) AS n_hit,
+       CAST(any_value(e.n_shingles) AS INTEGER) AS n_shingles,
+       round(CAST(count(*) AS DOUBLE) / any_value(e.n_shingles), 6) AS contamination
+FROM ex e JOIN ev USING (shingle)
+WHERE e.doc_id % 10 <> 0
+GROUP BY e.doc_id
+""",
+    headline=True,
+)
+def q52_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/decontam.py): flag train
+    docs sharing any verbatim word 8-gram with a held-out eval slice
+    (doc_id % 10 == 0 stands in for the benchmark set). The eval
+    n-gram set is distinct'd then BROADCAST, so the train corpus is
+    scanned once map-side with no train-data shuffle — the 100 TB
+    decontamination shape."""
+    from db_cdc_poc_spark.operators.decontam import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return contaminated_docs(train, ev, n=8)
+
+
+@_q(
+    "q53_repetition",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), ex AS (
+    SELECT doc_id, unnest(toks) AS g FROM tk
+), wc AS (
+    SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2
+), ws AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct, max(c) AS top_c
+    FROM wc GROUP BY doc_id
+), g2 AS (
+    SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+                           for i in range(1, greatest(len(toks), 1))]) AS g
+    FROM tk WHERE len(toks) >= 2
+), gc AS (
+    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+), gs AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+           count(*) AS n_distinct_2
+    FROM gc GROUP BY doc_id
+)
+SELECT ws.doc_id AS id, n_tokens,
+       round(CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
+       round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_word_frac,
+       round(CAST(n_2grams - n_distinct_2 AS DOUBLE) / n_2grams, 6) AS dup_2gram_frac
+FROM ws JOIN gs USING (doc_id)
+""",
+)
+def q53_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (text.repetition_features):
+    duplicate-word fraction, modal-token fraction, duplicate-2-gram
+    fraction per document — explode + two-level codegen aggregates,
+    never a per-row O(L^2) higher-order function."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.repetition_features(docs)
+
+
+@_q(
+    "q54_pack_sequences",
+    oracle="""
+WITH base AS (
+    SELECT doc_id AS id,
+           CAST((('0x' || substr(md5('pack-v1:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                 & 9223372036854775807) % 8 AS BIGINT) AS grp,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+), cum AS (
+    SELECT id, grp, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY grp ORDER BY id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start
+    FROM base
+)
+SELECT id, grp, n_tokens,
+       CAST(start // 256 AS BIGINT) AS seq_id,
+       CAST(start % 256 AS BIGINT) AS start_tok
+FROM cum
+""",
+)
+def q54_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (text.pack_sequences): md5-bucketed
+    pack groups, per-group running token total, seq_id = start //
+    budget. One shuffle (by group); groups bound window state so no
+    global-sort serialization at corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.pack_sequences(docs, budget=256, num_groups=8)
+
+
+@_q(
+    "q55_stratified_sample",
+    oracle="""
+SELECT doc_id, lang, source
+FROM (SELECT doc_id, lang, source,
+             (('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+              & 9223372036854775807) % 1000000 AS b
+      FROM documents)
+WHERE b < CASE WHEN lang = 'en' THEN 250000 ELSE 1000000 END
+""",
+)
+def q55_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified data-mixture sampling (sampling.stratified_sample):
+    keep 25% of the dominant language, 100% of the rest — determinstic
+    md5 thresholds compiled to a literal CASE, map-only, replayable by
+    the oracle."""
+    from db_cdc_poc_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.25}, default_rate=1.0, salt="mix-v1"
+    ).select("doc_id", "lang", "source")
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -66,3 +66,47 @@ def test_hash_sample_is_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, "sampling must not shuffle"
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    from db_cdc_poc_spark.operators.sampling import stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "rare").otherwise("common").alias("lang"),
+    )
+    out = stratified_sample(df, "doc_id", "lang", {"common": 0.25, "rare": 1.0})
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["rare"] == 1000                 # rate 1.0 keeps everything
+    assert abs(counts["common"] - 750) < 120      # ~25% of 3000
+
+    # nested property: raising a stratum's rate keeps a superset
+    small = {r.doc_id for r in stratified_sample(
+        df, "doc_id", "lang", {"common": 0.1, "rare": 1.0}).collect()}
+    big = {r.doc_id for r in out.collect()}
+    assert small <= big
+
+
+def test_stratified_sample_default_rate_drops_unlisted(spark):
+    from db_cdc_poc_spark.operators.sampling import stratified_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, "keep").otherwise("other").alias("lang"),
+    )
+    out = stratified_sample(df, "doc_id", "lang", {"keep": 1.0}).collect()
+    assert {r.lang for r in out} == {"keep"}
+    assert len(out) == 50
+
+
+def test_stratified_sample_is_map_only(spark):
+    from db_cdc_poc_spark.operators.sampling import stratified_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    plan = (
+        stratified_sample(df, "doc_id", "lang", {"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

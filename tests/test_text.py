@@ -128,3 +128,64 @@ def test_tfidf_skew_safe_form_matches_window_form(spark):
     a = sorted(map(tuple, tx.tfidf_terms(df, top_k=2).collect()))
     b = sorted(map(tuple, tx.tfidf_terms(df, top_k=2, skew_safe=True).collect()))
     assert a == b
+
+
+def test_repetition_features_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w")], "doc_id long, text string"
+    )
+    out = {r.id: r for r in tx.repetition_features(df).collect()}
+    r1 = out[1]
+    # tokens: a a a b -> 4 total, 2 distinct, mode 'a' x3
+    assert r1.n_tokens == 4
+    assert abs(r1.dup_word_frac - 0.5) < 1e-9
+    assert abs(r1.top_word_frac - 0.75) < 1e-9
+    # 2-grams: "a a","a a","a b" -> 3 total, 2 distinct
+    assert abs(r1.dup_2gram_frac - round(1 / 3, 6)) < 1e-9
+    r2 = out[2]
+    assert r2.dup_word_frac == 0.0
+    assert abs(r2.top_word_frac - 0.25) < 1e-9
+    assert r2.dup_2gram_frac == 0.0
+
+
+def test_repetition_features_no_per_row_hof(spark):
+    """The modal-token count must come from aggregates, not an O(L^2)
+    per-row lambda: the plan has hash aggregates and no filter-inside-
+    transform over the token array."""
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = (
+        tx.repetition_features(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in plan
+
+
+def test_pack_sequences_invariants(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("tok"), (F.col("id") % 37 + 3).cast("int"))
+        ).alias("text"),
+    )
+    rows = tx.pack_sequences(df, budget=64, num_groups=4).collect()
+    assert len(rows) == 100
+    by_grp: dict[int, list] = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert set(by_grp) <= set(range(4))
+    for grp_rows in by_grp.values():
+        grp_rows.sort(key=lambda r: r.id)
+        start = 0
+        for r in grp_rows:
+            # exclusive running total places each doc in the stream
+            assert r.seq_id == start // 64
+            assert r.start_tok == start % 64
+            start += r.n_tokens
+
+
+def test_pack_sequences_deterministic(spark):
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("one two three").alias("text")
+    )
+    a = sorted(map(tuple, tx.pack_sequences(df, budget=8, num_groups=2).collect()))
+    b = sorted(map(tuple, tx.pack_sequences(df, budget=8, num_groups=2).collect()))
+    assert a == b
