@@ -110,6 +110,51 @@ def stratified_sample(
     return df.filter(hash_bucket(id_col, salt, buckets) < threshold)
 
 
+def top_k_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    k: int,
+    salt: str = "",
+    buckets: int = DEFAULT_BUCKETS,
+    prefilter_rate: float | None = None,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Deterministic K-row sample per stratum — "take K docs per
+    (lang, source)" for balanced eval sets / capped data mixtures.
+
+    Selection order is the md5 bucket (ties by id), so the chosen K are
+    a uniform, engine-replayable draw: re-running, re-partitioning, or
+    re-reading from another system picks the SAME rows, and raising
+    ``k`` extends the sample instead of reshuffling it.
+
+    Scale shape: the ranking window shuffles by stratum, so a hot
+    stratum lands on one reducer. For corpus-scale strata pass
+    ``prefilter_rate``: rows above that hash fraction are dropped
+    map-side BEFORE the shuffle (the survivors are the bucket-smallest,
+    which is exactly what the window keeps, so the result is unchanged
+    as long as each stratum retains >= k rows — size the rate as
+    k * safety / min_stratum_size). The window then ranks only the
+    prefiltered sliver.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    bucket = hash_bucket(id_col, salt, buckets)
+    out = df.withColumn("__b", bucket)
+    if prefilter_rate is not None:
+        if not 0.0 < prefilter_rate <= 1.0:
+            raise ValueError(f"prefilter_rate must be in (0, 1]: {prefilter_rate}")
+        out = out.filter(F.col("__b") < int(prefilter_rate * buckets))
+    w = Window.partitionBy(*strata_cols).orderBy(F.col("__b"), F.col(id_col))
+    return (
+        out.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop("__b")
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str,

@@ -220,6 +220,50 @@ def tfidf_terms(
     )
 
 
+#: PII patterns written in the RE2-compatible subset (character
+#: classes, bounded repeats — no backrefs/lookaround) so Spark's Java
+#: regex and DuckDB/RE2 agree token-for-token and the oracle can
+#: value-check redactions.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token: str = "[PII]",
+) -> DataFrame:
+    """Scrub PII-shaped spans from text — the compliance pass every
+    training corpus goes through before model consumption.
+
+    Applies each pattern as a chained ``regexp_replace`` (JVM regex,
+    whole-stage codegen — map-only, no shuffle, no Python) and reports
+    how many spans each pattern matched so the pipeline can account
+    for what it removed (`n_pii` = total matches across patterns).
+
+    Patterns must stay in the RE2-compatible subset (see
+    ``PII_PATTERNS``) if oracle replay is desired; Java regex accepts
+    a superset, so anything RE2 runs, Spark runs identically.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    t = F.col(text_col)
+    clean = t
+    n = F.lit(0)
+    for pat in pats.values():
+        n = n + F.regexp_count(t, F.lit(pat))
+        clean = F.regexp_replace(clean, pat, token)
+    return df.select(
+        F.col(id_col).alias("id"),
+        clean.alias("clean_text"),
+        n.cast("int").alias("n_pii"),
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

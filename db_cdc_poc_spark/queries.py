@@ -1867,5 +1867,75 @@ def q55_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+@_q(
+    "q56_redact_pii",
+    oracle="""
+WITH seeded AS (
+    SELECT doc_id,
+           text || ' contact ' || source || '@example.com or +1 555 010 ' ||
+           CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+    FROM documents
+)
+SELECT doc_id AS id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[PII]', 'g'),
+           '\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}', '[PII]', 'g')
+           AS clean_text,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+          + len(regexp_extract_all(text, '\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}'))
+         AS INTEGER) AS n_pii
+FROM seeded
+""",
+)
+def q56_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (text.redact_pii): chained regexp_replace over
+    RE2-compatible patterns — map-only codegen, no Python. The query
+    seeds each document with a deterministic synthetic email + phone
+    (derived from existing columns, replayed identically by the
+    oracle) so the redaction path is exercised on every row."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("@example.com or +1 555 010 "),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ),
+    )
+    return tx.redact_pii(docs)
+
+
+@_q(
+    "q57_topk_per_stratum",
+    oracle="""
+SELECT doc_id, lang, source, rk
+FROM (SELECT doc_id, lang, source,
+             CAST(row_number() OVER (
+                 PARTITION BY lang, source
+                 ORDER BY (('0x' || substr(md5('bal-v1:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                           & 9223372036854775807) % 1000000, doc_id) AS INTEGER) AS rk
+      FROM documents)
+WHERE rk <= 3
+""",
+)
+def q57_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-stratum draw (sampling.top_k_per_stratum): at most
+    3 docs per (lang, source), chosen by md5 order so the draw is
+    uniform and engine-replayable. The map-side ``prefilter_rate``
+    escape hatch (drop high-bucket rows before the stratum shuffle)
+    is the corpus-scale form."""
+    from db_cdc_poc_spark.operators.sampling import top_k_per_stratum
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_k_per_stratum(
+        docs, "doc_id", ["lang", "source"], k=3, salt="bal-v1"
+    ).select("doc_id", "lang", "source", "rk")
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -42,12 +42,25 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     )
 
 
+#: Tables whose downstream operators are expression-heavy per row
+#: (shingling, norms) and benefit from splitting a one-row-group file.
+_EXPRESSION_HEAVY = frozenset({"documents", "embeddings"})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
         # ns -> µs truncation (floor), matching DuckDB's conversion.
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if name in _EXPRESSION_HEAVY and df.rdd.getNumPartitions() == 1:
+        # A single-row-group parquet file scans as ONE task, so every
+        # per-row HOF chain (8-gram shingles, vector norms) serializes
+        # on one core. Spread it — measured ~2x on the doc-heavy
+        # headline queries at sf0.1. Gated on the 1-partition case
+        # only: at real scale inputs arrive pre-split and an
+        # unconditional repartition would be a full-corpus shuffle.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

@@ -110,3 +110,34 @@ def test_stratified_sample_is_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_top_k_per_stratum_exact_k_and_deterministic(spark):
+    from db_cdc_poc_spark.operators.sampling import top_k_per_stratum
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("grp_a"),
+    )
+    out = top_k_per_stratum(df, "doc_id", ["grp_a"], k=7, salt="t")
+    counts = {r.grp_a: r.n for r in out.groupBy("grp_a").agg(F.count("*").alias("n")).collect()}
+    assert counts == {str(i): 7 for i in range(5)}
+    again = top_k_per_stratum(df, "doc_id", ["grp_a"], k=7, salt="t")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # raising k extends the draw (nested samples)
+    bigger = top_k_per_stratum(df, "doc_id", ["grp_a"], k=9, salt="t")
+    assert {r.doc_id for r in out.collect()} <= {r.doc_id for r in bigger.collect()}
+
+
+def test_top_k_per_stratum_prefilter_preserves_result(spark):
+    from db_cdc_poc_spark.operators.sampling import top_k_per_stratum
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("grp_a"),
+    )
+    exact = top_k_per_stratum(df, "doc_id", ["grp_a"], k=5, salt="p")
+    pre = top_k_per_stratum(
+        df, "doc_id", ["grp_a"], k=5, salt="p", prefilter_rate=0.1
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, pre.collect()))

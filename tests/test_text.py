@@ -189,3 +189,27 @@ def test_pack_sequences_deterministic(spark):
     a = sorted(map(tuple, tx.pack_sequences(df, budget=8, num_groups=2).collect()))
     b = sorted(map(tuple, tx.pack_sequences(df, budget=8, num_groups=2).collect()))
     assert a == b
+
+
+def test_redact_pii_planted_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 10.0.255.7 and cell +44 207 946 0958"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in tx.redact_pii(df).collect()}
+    assert out[1].clean_text == "mail [PII] now"
+    assert out[1].n_pii == 1
+    assert out[2].clean_text == "server at [PII] and cell [PII]"
+    assert out[2].n_pii == 2
+    assert out[3].clean_text == "nothing sensitive here"
+    assert out[3].n_pii == 0
+
+
+def test_redact_pii_is_map_only(spark):
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = tx.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
