@@ -101,21 +101,22 @@ def shingle_rows(
 # --------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
+def _pair_shingle_stats(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
 ) -> DataFrame:
-    """All pairs (a < b) whose word-n-gram Jaccard similarity >= threshold.
+    """(id_a, id_b, common, sz_a, sz_b) for every document pair (a < b)
+    sharing at least one word-n-gram shingle — the shared inverted-index
+    core of the Jaccard and containment measures.
 
     Plan: explode distinct shingles -> self-equi-join on shingle (this IS
     the inverted index; Spark shuffles both sides by shingle hash) ->
-    count common shingles per pair -> |A ∪ B| = |A| + |B| - common.
-    Set sizes come from a count aggregate over the SAME exploded rows,
-    not a second evaluation of the shingle arrays.
+    count common shingles per pair. Set sizes come from a count
+    aggregate over the SAME exploded rows, not a second evaluation of
+    the shingle arrays.
 
     Scale: the shingle join is the classic candidate generator; a
     shingle appearing in d documents contributes d^2 joined rows, so
@@ -124,11 +125,9 @@ def ngram_jaccard_pairs(
     fix is ``max_doc_freq``: drop shingles whose document frequency
     exceeds the cap BEFORE the join — a shingle shared by thousands of
     documents carries almost no similarity signal, and the candidate
-    count drops from d^2 to 0 for those. NOTE this makes the Jaccard
-    approximate (set sizes still count capped shingles; common counts
-    don't), so the oracle-checked default keeps it off. For 100 TB
-    corpora prefer ``minhash_lsh_pairs`` below (candidates per band
-    bucket, not per shingle). Output: (id_a, id_b, jaccard).
+    count drops from d^2 to 0 for those. NOTE the cap makes the
+    measures approximate (set sizes still count capped shingles;
+    common counts don't), so the oracle-checked defaults keep it off.
     """
     sh = shingle_rows(df, id_col, text_col, n)
     counts = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
@@ -147,21 +146,71 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
+    return common.join(
+        counts.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("sz_a")),
+        "id_a",
+    ).join(
+        counts.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("sz_b")),
+        "id_b",
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) whose word-n-gram Jaccard similarity >= threshold.
+
+    |A ∩ B| / |A ∪ B| over distinct shingle sets, with |A ∪ B| =
+    |A| + |B| - common. See ``_pair_shingle_stats`` for the plan and
+    the ``max_doc_freq`` skew cap; for 100 TB corpora prefer
+    ``minhash_lsh_pairs`` below (candidates per band bucket, not per
+    shingle). Output: (id_a, id_b, jaccard).
+    """
     return (
-        common.join(
-            counts.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("sz_a")),
-            "id_a",
-        )
-        .join(
-            counts.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("sz_b")),
-            "id_b",
-        )
+        _pair_shingle_stats(df, id_col, text_col, n, max_doc_freq)
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with shingle containment >= threshold:
+    |A ∩ B| / min(|A|, |B|) — Broder's containment measure.
+
+    Catches the asymmetric near-dup Jaccard misses: a short document
+    pasted verbatim inside a much longer one scores Jaccard ≈
+    |small| / |large| (tiny) but containment ≈ 1. The standard use is
+    quote/boilerplate/copy detection before training, alongside — not
+    instead of — symmetric Jaccard dedup.
+
+    Same inverted-index plan and ``max_doc_freq`` skew cap as
+    ``ngram_jaccard_pairs`` (shared core). Output:
+    (id_a, id_b, containment).
+    """
+    return (
+        _pair_shingle_stats(df, id_col, text_col, n, max_doc_freq)
+        .withColumn(
+            "containment",
+            F.col("common") / F.least(F.col("sz_a"), F.col("sz_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
     )
 
 

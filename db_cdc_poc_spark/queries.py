@@ -1937,5 +1937,42 @@ def q57_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "rk")
 
 
+@_q(
+    "q58_containment",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 1, 1))]) AS shingles
+    FROM tk WHERE len(toks) >= 3
+), ex AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sz AS (
+    SELECT doc_id, len(shingles) AS n FROM sh
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+FROM common
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+""",
+)
+def q58_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment pairs (dedup.containment_pairs): Broder's
+    |A∩B| / min(|A|,|B|) — flags a short doc pasted inside a long one,
+    which symmetric Jaccard scores near zero. Same inverted-index plan
+    as q20 (shared core)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.containment_pairs(docs, n=3, threshold=0.8)
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -234,3 +234,35 @@ def test_lsh_max_bucket_size_caps_identical_doc_buckets(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert got == {(9000, 9001)}, f"cap should keep only the small-bucket pair: {got}"
     assert n_cap == 1
+
+
+def test_containment_catches_asymmetric_copy(spark):
+    """A short doc pasted verbatim into a long one: Jaccard is low,
+    containment is 1.0 — the case the containment measure exists for."""
+    from db_cdc_poc_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different content here now")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(df, n=3, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b) for r in cont] == [(1, 2)]
+    assert cont[0].containment == 1.0
+    # symmetric Jaccard misses the same pair at any usable threshold
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert (1, 2) not in [(r.id_a, r.id_b) for r in jac]
+
+
+def test_containment_respects_doc_freq_cap(spark):
+    from db_cdc_poc_spark.operators.dedup import containment_pairs
+
+    hot = "the quick brown"   # trigram shared by every doc
+    df = spark.createDataFrame(
+        [(i, f"{hot} unique{i} tail{i} more{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    # cap=1 drops the universal shingle -> no shared shingles remain
+    out = containment_pairs(df, n=3, threshold=0.1, max_doc_freq=1).collect()
+    assert out == []
