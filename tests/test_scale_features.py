@@ -89,3 +89,50 @@ def test_hll_sketch_agg_mergeable(spark):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     ).collect()[0][0]
     assert abs(merged - exact) / exact < 0.1
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Catalyst's runtime bloom-filter join pruning: a selective filter
+    on the build side injects a might_contain() predicate into the
+    probe-side SCAN, so at 100 TB the big fact table drops non-joining
+    rows before the shuffle. Default thresholds
+    (applicationSideScanSizeThreshold=10GB) mean it fires exactly at
+    the scale it pays off; here we lower them to prove the mechanism
+    and that results are unchanged.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # SMJ, not broadcast
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom filter must reach the probe side"
+        assert "bloom_filter_agg" in plan
+        with_bloom = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    no_bloom = (
+        load_table(spark, SF_DIR, "lineitem")
+        .join(
+            load_table(spark, SF_DIR, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert with_bloom == no_bloom > 0
