@@ -1974,5 +1974,42 @@ def q58_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.containment_pairs(docs, n=3, threshold=0.8)
 
 
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    """DuckDB replay of the Morton key: identical normalization and
+    bit-interleave arithmetic, generated for ``bits`` bits/dimension."""
+    terms = " | ".join(
+        f"(((nu >> {b}) & 1) << {2 * b}) | (((ne >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+    m = (1 << bits) - 1
+    return f"""
+WITH base AS (
+    SELECT event_id,
+           CAST(floor(greatest(least(user_id, 149), 0) * {m} / 149) AS BIGINT) AS nu,
+           CAST(floor((event_id % 1024) * {m} / 1023) AS BIGINT) AS ne
+    FROM events
+)
+SELECT event_id, CAST({terms} AS BIGINT) AS z FROM base
+"""
+
+
+@_q("q59_zorder_key", oracle=_zorder_oracle_sql())
+def q59_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton / Z-order key (operators/layout.py): bit-interleave of
+    (user_id, event_id % 1024) — the multi-dimensional clustering key
+    behind OPTIMIZE ZORDER BY data skipping. Integer-only arithmetic,
+    replayed exactly by the oracle; `write_zordered` lays files out
+    along this curve so per-file min/max stats stay tight on BOTH
+    dimensions (coverage proof in test_layout.py)."""
+    from db_cdc_poc_spark.operators.layout import with_zorder_key
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "eid_b", F.col("event_id") % 1024
+    )
+    return with_zorder_key(
+        ev, {"user_id": (0, 149), "eid_b": (0, 1023)}, bits=8
+    ).select("event_id", "z")
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
