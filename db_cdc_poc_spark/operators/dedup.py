@@ -253,6 +253,46 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig, band_id, band_hash) rows — one per document per band.
+
+    The LSH probe unit shared by the batch pair-finder below and the
+    streaming dedup index (`streaming/dedup_index.py`): equal
+    ``band_hash`` within a ``band_id`` marks two documents candidates.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    return sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("sig", i * r + 1, r).cast("string"))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
+def est_jaccard_col(sig_a: str | F.Column, sig_b: str | F.Column, num_hashes: int) -> F.Column:
+    """Signature-agreement estimate of Jaccard: fraction of equal
+    MinHash components (unbiased; variance 1/num_hashes * J(1-J))."""
+    return (
+        F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m))
+        / F.lit(float(num_hashes))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -282,16 +322,7 @@ def minhash_lsh_pairs(
     exhaustive; production call sites (pipelines/corpus.py) set it.
     Output: (id_a, id_b, est_jaccard [, jaccard]).
     """
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
-    r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.posexplode(
-            F.array(*[F.xxhash64(F.slice("sig", i * r + 1, r).cast("string")) for i in range(bands)])
-        ).alias("band_id", "band_hash"),
-    )
+    banded = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_n)
     if max_bucket_size is not None:
         small = (
             banded.groupBy("band_id", "band_hash")
@@ -317,9 +348,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     est = cand.withColumn(
-        "est_jaccard",
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-        / F.lit(float(num_hashes)),
+        "est_jaccard", est_jaccard_col("sig_a", "sig_b", num_hashes)
     ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     if not verify_exact:
         return est.filter(F.col("est_jaccard") >= threshold)

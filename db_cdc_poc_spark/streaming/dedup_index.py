@@ -1,0 +1,182 @@
+"""Continuous corpus dedup: a persisted MinHash-LSH index that each
+micro-batch of incoming documents probes and extends.
+
+The batch fuzzy-dedup operators (`operators/dedup.py`) answer "which
+pairs in THIS corpus are near-dups". A training-data ingest runs
+forever: every arriving document must be checked against everything
+already seen, cheaply, without rescanning the corpus. This module is
+that shape:
+
+1. the batch's MinHash band hashes are computed
+   (`dedup.minhash_bands` — the same unit the batch LSH uses);
+2. the persisted band index (a `BucketedStateTable` keyed by
+   (band_id, band_hash)) is probed — ONLY the state buckets the
+   batch's band hashes route to are read, so probe I/O scales with
+   batch size, not corpus size;
+3. collisions are screened by signature-agreement Jaccard
+   (`dedup.est_jaccard_col`), batch-internal near-dups are found the
+   same way, and each document is ruled novel or duplicate;
+4. the batch's band rows (id, sig per band) are APPENDED to the index.
+
+Decision rule — and why every seen document (novel or not) enters the
+index: a document is a duplicate iff it matches ANY earlier-seen
+document. Because the predicate only references the pair graph (not
+earlier DECISIONS), the outcome is invariant to how the stream is cut
+into micro-batches — a 1-batch run and a 10-batch run agree row for
+row (asserted in tests). Indexing only accepted docs would instead
+make doc C's fate depend on whether its match B was itself rejected —
+a chain that changes with batch boundaries. "Earlier" = smaller id
+within a batch, any indexed doc across batches; feed batches in id
+order for a fully deterministic replay.
+
+At 100 TB: the index stores bands x (id, sig) per document — growth is
+linear in corpus size, reads are per-bucket. Size ``num_buckets`` like
+any `BucketedStateTable` (state bytes / a few hundred MB). Hot band
+buckets (boilerplate) are the same skew the batch path caps with
+``max_bucket_size``; pass it through for production ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators.dedup import est_jaccard_col, minhash_bands
+from db_cdc_poc_spark.streaming.state import BucketedStateTable
+
+
+class StreamingDedupIndex:
+    """Persisted LSH band index + per-batch novelty decisions."""
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_n: int = 3,
+        threshold: float = 0.5,
+        num_buckets: int = 16,
+        max_bucket_size: int | None = None,
+    ) -> None:
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+        self.max_bucket_size = max_bucket_size
+        self.state = BucketedStateTable(
+            path, keys=["band_id", "band_hash"], num_buckets=num_buckets
+        )
+
+    # -- probe ------------------------------------------------------------
+
+    def _bands(self, docs: DataFrame) -> DataFrame:
+        return minhash_bands(
+            docs,
+            self.id_col,
+            self.text_col,
+            self.num_hashes,
+            self.bands,
+            self.shingle_n,
+        )
+
+    def _matches(self, probe: DataFrame, index: DataFrame | None) -> DataFrame:
+        """(id, match_id) for probe docs matching an indexed doc."""
+        if index is None:
+            return probe.sparkSession.createDataFrame(
+                [], "id long, match_id long"
+            )
+        cand = (
+            probe.alias("p")
+            .join(
+                index.alias("x"),
+                (F.col("p.band_id") == F.col("x.band_id"))
+                & (F.col("p.band_hash") == F.col("x.band_hash"))
+                & (F.col("p.id") != F.col("x.id")),
+            )
+            .select(
+                F.col("p.id").alias("id"),
+                F.col("x.id").alias("match_id"),
+                F.col("p.sig").alias("sig_a"),
+                F.col("x.sig").alias("sig_b"),
+            )
+            .dropDuplicates(["id", "match_id"])
+        )
+        return (
+            cand.withColumn(
+                "est", est_jaccard_col("sig_a", "sig_b", self.num_hashes)
+            )
+            .filter(F.col("est") >= self.threshold)
+            .select("id", "match_id")
+        )
+
+    # -- per-batch step ---------------------------------------------------
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        """Decide novelty for one micro-batch and extend the index.
+
+        Returns (id, is_novel, n_matches): ``is_novel`` false iff the
+        doc matches an already-indexed doc or a smaller-id doc in the
+        same batch. The batch's band rows are appended to the index
+        afterwards, duplicates included (see module docstring for why
+        that keeps decisions batch-size-invariant).
+        """
+        spark = docs.sparkSession
+        banded = self._bands(docs)
+        if self.max_bucket_size is not None:
+            small = (
+                banded.groupBy("band_id", "band_hash")
+                .agg(F.count("*").alias("__bn"))
+                .filter(F.col("__bn") <= self.max_bucket_size)
+                .select("band_id", "band_hash")
+            )
+            banded = banded.join(small, ["band_id", "band_hash"])
+        # Materialize band rows once: probed twice (vs index + within
+        # batch) and appended afterwards.
+        banded = banded.persist()
+        try:
+            touched = sorted(
+                r[0]
+                for r in banded.select(self.state.bucket_expr()).distinct().collect()
+            )
+            index = self.state.state_for(spark, touched) if touched else None
+            vs_index = self._matches(banded, index)
+            within = self._matches(banded, banded).filter(
+                F.col("match_id") < F.col("id")
+            )
+            matches = vs_index.unionByName(within)
+            decisions = (
+                docs.select(F.col(self.id_col).alias("id"))
+                .join(
+                    matches.groupBy("id").agg(F.count("*").alias("n_matches")),
+                    "id",
+                    "left",
+                )
+                .select(
+                    "id",
+                    F.col("n_matches").isNull().alias("is_novel"),
+                    F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+                )
+            )
+            out = decisions.collect()  # decide BEFORE the index mutates
+            self.state.merge_batch(
+                banded.select("band_id", "band_hash", "id", "sig"),
+                lambda state, b: b if state is None else state.unionByName(b),
+            )
+        finally:
+            banded.unpersist()
+        return spark.createDataFrame(out, "id long, is_novel boolean, n_matches long")
+
+    def foreach_batch(self, sink: list | None = None):
+        """Adapter for ``writeStream.foreachBatch``: processes each
+        micro-batch and (optionally) appends decision rows to ``sink``."""
+
+        def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+            result = self.process_batch(batch_df)
+            if sink is not None:
+                sink.extend(result.collect())
+
+        return _fn

@@ -1,0 +1,94 @@
+"""Streaming LSH dedup index: batch-size-invariant decisions, planted
+duplicate rejection, append-only state growth."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.sources.testdata import load_table
+from db_cdc_poc_spark.streaming.dedup_index import StreamingDedupIndex
+
+from .conftest import SF_DIR
+
+
+def _index(tmp_suffix: str = "") -> StreamingDedupIndex:
+    return StreamingDedupIndex(
+        tempfile.mkdtemp(prefix=f"lshidx{tmp_suffix}_"),
+        threshold=0.5,
+        num_buckets=8,
+    )
+
+
+def _decide(idx: StreamingDedupIndex, batches) -> dict[int, tuple[bool, int]]:
+    out: dict[int, tuple[bool, int]] = {}
+    for b in batches:
+        for r in idx.process_batch(b).collect():
+            out[r.id] = (r.is_novel, r.n_matches)
+    return out
+
+
+def test_multi_batch_equals_single_batch(spark):
+    """Cutting the same id-ordered stream into 1 vs 3 micro-batches
+    must not change any decision — the invariance the index keeps by
+    indexing every seen doc, not just accepted ones."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    one = _decide(_index("a"), [docs])
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[: len(ids) // 3], ids[len(ids) // 3 : 2 * len(ids) // 3], ids[2 * len(ids) // 3 :]]
+    three = _decide(
+        _index("b"),
+        [docs.filter(F.col("doc_id").isin(c)) for c in cuts],
+    )
+    assert one == three
+    # the fixture plants near-dup pairs, so some doc must be rejected
+    assert any(not novel for novel, _ in one.values())
+    assert any(novel for novel, _ in one.values())
+
+
+def test_planted_duplicate_across_batches_rejected(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different first-batch content with many words here")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, base), (11, "novel second-batch document that matches nothing at all")],
+        "doc_id long, text string",
+    )
+    idx = _index("c")
+    first = {r.id: r.is_novel for r in idx.process_batch(b1).collect()}
+    second = {r.id: r.is_novel for r in idx.process_batch(b2).collect()}
+    assert first == {1: True, 2: True}
+    assert second == {10: False, 11: True}
+
+
+def test_within_batch_smaller_id_wins(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = spark.createDataFrame(
+        [(5, base), (3, base), (9, "unrelated text with nothing shared at all whatsoever")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.is_novel for r in _index("d").process_batch(b).collect()}
+    assert out == {3: True, 5: False, 9: True}
+
+
+def test_index_state_grows_and_probe_stays_keyed(spark):
+    idx = _index("e")
+    b1 = spark.createDataFrame(
+        [(1, "first document with enough words to shingle properly today")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "second document also with enough words to shingle properly")],
+        "doc_id long, text string",
+    )
+    idx.process_batch(b1)
+    state1 = idx.state.state_for(spark)
+    idx.process_batch(b2)
+    state2 = idx.state.state_for(spark)
+    # append-only: every batch adds its band rows (bands per doc)
+    assert state1.count() == idx.bands
+    assert state2.count() == 2 * idx.bands
+    assert set(state2.columns) == {"band_id", "band_hash", "id", "sig"}
