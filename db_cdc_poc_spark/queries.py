@@ -2011,5 +2011,120 @@ def q59_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "z")
 
 
+@_q(
+    "q60_cube",
+    oracle="""
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(CAST(user_id % 4 AS VARCHAR), '<all>') AS cohort,
+       count(*) AS n,
+       CAST(sum(round(value*100, 0)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY CUBE (event_type, CAST(user_id % 4 AS VARCHAR))
+""",
+)
+def q60_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate: all 2^k grouping-set combinations in one pass
+    (Spark Expand + single hash aggregate — one shuffle for every
+    subtotal level, the OLAP pre-aggregation shape)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 4).cast("string")
+    )
+    return (
+        ev.cube("event_type", "cohort")
+        .agg(F.count("*").alias("n"), _cents(F.col("value")).alias("value_cents"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("cohort", F.lit("<all>")).alias("cohort"),
+            "n",
+            "value_cents",
+        )
+    )
+
+
+@_q(
+    "q61_lead_lag",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS INTEGER)
+           AS value_quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q61_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gaps + ntile() quartiles per user — the
+    sequence-feature windows (ties broken by event_id so both engines
+    rank identically)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wq = Window.partitionBy("user_id").orderBy("value", "event_id")
+    micros = F.unix_micros
+    return ev.select(
+        "event_id",
+        "user_id",
+        (micros(F.col("ts")) - micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.ntile(4).over(wq).alias("value_quartile"),
+    )
+
+
+@_q(
+    "q62_unpivot",
+    oracle="""
+UNPIVOT (
+    SELECT doc_id,
+           CAST(n_chars AS DOUBLE) AS n_chars,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                AS DOUBLE) AS n_tokens
+    FROM documents
+) ON n_chars, n_tokens INTO NAME metric VALUE v
+""",
+)
+def q62_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide per-doc feature columns to long
+    (doc_id, metric, value) rows — Spark's unpivot operator, the
+    feature-store interchange shape."""
+    docs = _t(spark, sf_dir, "documents")
+    from db_cdc_poc_spark.operators.text import whitespace_token_count
+
+    wide = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        whitespace_token_count("text").cast("double").alias("n_tokens"),
+    )
+    return wide.unpivot("doc_id", ["n_chars", "n_tokens"], "metric", "v")
+
+
+@_q(
+    "q63_intersect_except",
+    oracle="""
+SELECT user_id, 'both' AS tag FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT user_id, 'click_only' AS tag FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+""",
+)
+def q63_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (distinct semantics) — the
+    remaining ANSI set surface beyond UNION (q12)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        clicks.intersect(buys)
+        .select("user_id", F.lit("both").alias("tag"))
+        .unionByName(
+            clicks.exceptAll(buys).select("user_id", F.lit("click_only").alias("tag"))
+        )
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
