@@ -2126,5 +2126,64 @@ def q63_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q64_json_path",
+    oracle="""
+SELECT CAST(CAST(props->>'k' AS BIGINT) // 10 AS BIGINT) AS k_bucket,
+       count(*) AS n,
+       CAST(sum(round(value*100, 0)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1
+""",
+)
+def q64_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction from a string column (get_json_object —
+    the ad-hoc form; q13/q32 cover schema-declared from_json) feeding
+    a bucket aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k_bucket",
+            (F.get_json_object("props", "$.k").cast("long") / 10).cast("long"),
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), _cents(F.col("value")).alias("value_cents"))
+    )
+
+
+@_q(
+    "q65_top_terms",
+    oracle="""
+SELECT t AS term, n FROM (
+    SELECT t, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, t) AS rk
+    FROM (SELECT lower(unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> ''))) AS t
+          FROM documents)
+    GROUP BY t
+) WHERE rk <= 20
+""",
+)
+def q65_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 terms — vocabulary head inspection. Two-level
+    aggregate (map-side partial) then TakeOrderedAndProject: the
+    global top-K never materializes a full sort (ties broken by term
+    so both engines pick the same 20)."""
+    docs = _t(spark, sf_dir, "documents")
+    from db_cdc_poc_spark.operators.text import whitespace_tokens
+
+    return (
+        docs.select(
+            F.explode(
+                F.transform(whitespace_tokens("text"), lambda t: F.lower(t))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(20)
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
