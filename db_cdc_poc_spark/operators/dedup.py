@@ -128,8 +128,18 @@ def _pair_shingle_stats(
     count drops from d^2 to 0 for those. NOTE the cap makes the
     measures approximate (set sizes still count capped shingles;
     common counts don't), so the oracle-checked defaults keep it off.
+    For containment at corpus scale, ``winnowed_containment_pairs``
+    shrinks the index ~(w+1)/2 x before this same join.
     """
-    sh = shingle_rows(df, id_col, text_col, n)
+    return _pair_stats_from_rows(shingle_rows(df, id_col, text_col, n), max_doc_freq)
+
+
+def _pair_stats_from_rows(
+    sh: DataFrame, max_doc_freq: int | None = None
+) -> DataFrame:
+    """The row-based core of ``_pair_shingle_stats``: takes any
+    (id, shingle) feature rows — word shingles, winnowed fingerprints —
+    and produces the per-pair overlap stats."""
     counts = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     if max_doc_freq is not None:
         rare = (
@@ -205,6 +215,79 @@ def containment_pairs(
     """
     return (
         _pair_shingle_stats(df, id_col, text_col, n, max_doc_freq)
+        .withColumn(
+            "containment",
+            F.col("common") / F.least(F.col("sz_a"), F.col("sz_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, h) winnowing fingerprints — the MOSS-style sampled
+    substitute for the full k-gram set in containment detection.
+
+    Value-based winnowing: hash every word k-gram, slide a window of
+    ``window`` consecutive hashes, keep the DISTINCT window-minimum
+    values. Guarantee: two documents sharing a verbatim run of at
+    least ``window + k - 1`` tokens share at least one fingerprint
+    (every full window inside the shared run selects the same minimum
+    on both sides). Expected density ~2/(window+1) of all k-grams, so
+    the downstream inverted-index join handles ~(window+1)/2 x fewer
+    rows — the scale lever for `containment_pairs` at corpus size.
+
+    Hashes are masked to 63 bits so the min-ordering agrees between
+    Spark's signed long and the oracle's unsigned replay. Documents
+    shorter than ``window + k - 1`` tokens yield no full window and no
+    fingerprints (they can't meet the guarantee anyway — use the exact
+    path for them). Plan: posexplode the k-gram array once, one
+    running-min window per doc, distinct — a single shuffle by id.
+    """
+    from pyspark.sql import Window as W
+
+    grams = df.select(
+        F.col(id_col).alias("id"), word_ngrams_col(text_col, k).alias("g")
+    ).select("id", F.size("g").alias("n"), F.posexplode("g").alias("pos", "gram"))
+    h = token_hash64("gram", hash_fn).bitwiseAND(F.lit((1 << 63) - 1))
+    spec = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("h", h)
+        .withColumn("wmin", F.min("h").over(spec))
+        .filter(F.col("pos") <= F.col("n") - window)  # full windows only
+        .select("id", F.col("wmin").alias("h"))
+        .distinct()
+    )
+
+
+def winnowed_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Containment over winnowed fingerprint sets — the corpus-scale
+    form of ``containment_pairs``: same |A ∩ B| / min(|A|, |B|)
+    measure, computed on the ~2/(window+1)-density fingerprint sample
+    instead of every shingle, with the same inverted-index join core
+    and ``max_doc_freq`` skew cap. Output: (id_a, id_b, containment).
+    """
+    fp = winnowed_fingerprints(df, id_col, text_col, k, window, hash_fn).select(
+        "id", F.col("h").alias("shingle")
+    )
+    return (
+        _pair_stats_from_rows(fp, max_doc_freq)
         .withColumn(
             "containment",
             F.col("common") / F.least(F.col("sz_a"), F.col("sz_b")),

@@ -2185,5 +2185,57 @@ def q65_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q66_winnowed_containment",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           [array_to_string(toks[i:i+2], ' ')
+            for i in range(1, greatest(len(toks) - 1, 1))] AS grams
+    FROM tk WHERE len(toks) >= 3
+), r AS (
+    SELECT doc_id, len(grams) AS n,
+           unnest([{'p': i, 'g': grams[i]} for i in range(1, len(grams) + 1)]) AS e
+    FROM g
+), h AS (
+    SELECT doc_id, n, e.p AS pos,
+           CAST(('0x' || substr(md5(e.g), 1, 16))::UBIGINT
+                & 9223372036854775807 AS BIGINT) AS hv
+    FROM r
+), wm AS (
+    SELECT doc_id, n, pos,
+           min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+    FROM h
+), fp AS (
+    SELECT DISTINCT doc_id, wmin AS hv FROM wm WHERE pos <= n - 3
+), sz AS (
+    SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM fp a JOIN fp b ON a.hv = b.hv AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / least(sa.nf, sb.nf), 6) AS containment
+FROM common
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / least(sa.nf, sb.nf) >= 0.5
+""",
+)
+def q66_winnowed_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed containment (dedup.winnowed_containment_pairs): MOSS-
+    style fingerprint sampling (distinct window-min of md5 trigram
+    hashes, window 4) shrinks the inverted index ~2.5x before the same
+    containment join as q58. The oracle replays the full winnowing
+    pipeline value-for-value — same hashes, same window minima."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.winnowed_containment_pairs(docs, k=3, window=4, threshold=0.5)
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

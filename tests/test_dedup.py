@@ -266,3 +266,58 @@ def test_containment_respects_doc_freq_cap(spark):
     # cap=1 drops the universal shingle -> no shared shingles remain
     out = containment_pairs(df, n=3, threshold=0.1, max_doc_freq=1).collect()
     assert out == []
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Two docs sharing a verbatim run of >= window+k-1 tokens must
+    share at least one fingerprint (the winnowing guarantee)."""
+    from db_cdc_poc_spark.operators.dedup import winnowed_fingerprints
+
+    run = "one two three four five six seven"  # 7 tokens >= 4+3-1
+    df = spark.createDataFrame(
+        [
+            (1, "prefix words here " + run + " suffix tail words"),
+            (2, run + " entirely different ending content altogether"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowed_fingerprints(df, k=3, window=4).collect()
+    a = {r.h for r in fp if r.id == 1}
+    b = {r.h for r in fp if r.id == 2}
+    assert a & b, "shared 7-token run must produce a common fingerprint"
+
+
+def test_winnowing_density_and_short_doc_exclusion(spark):
+    from db_cdc_poc_spark.operators.dedup import winnowed_fingerprints
+    from db_cdc_poc_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fp_n = winnowed_fingerprints(docs, k=3, window=4).count()
+    from db_cdc_poc_spark.operators.dedup import shingle_rows
+
+    gram_n = shingle_rows(docs, n=3).count()
+    # expected density ~2/(w+1) = 0.4; allow slack for distinct-ing
+    assert fp_n < 0.6 * gram_n
+    # a doc below window+k-1 tokens yields nothing
+    tiny = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    assert winnowed_fingerprints(tiny, k=3, window=4).count() == 0
+
+
+def test_winnowed_containment_finds_planted_copy(spark):
+    from db_cdc_poc_spark.operators.dedup import winnowed_containment_pairs
+
+    core = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, core),
+            (2, core + " " + " ".join(f"x{i}" for i in range(40))),
+            (3, " ".join(f"z{i}" for i in range(35))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r.containment for r in
+           winnowed_containment_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.9
+    assert not any(3 in p for p in out)
