@@ -283,8 +283,16 @@ def winnowed_containment_pairs(
     instead of every shingle, with the same inverted-index join core
     and ``max_doc_freq`` skew cap. Output: (id_a, id_b, containment).
     """
-    fp = winnowed_fingerprints(df, id_col, text_col, k, window, hash_fn).select(
-        "id", F.col("h").alias("shingle")
+    # Materialize the fingerprint index ONCE (lazy local checkpoint):
+    # the pair core references it three times (self-join a/b + sizes),
+    # and each reference would otherwise re-run the scan -> posexplode
+    # -> window-min pipeline — measured 4 full passes in the executed
+    # plan. Storing the (id, h) rows is the deliberate build-the-index
+    # step; they are ~2/(window+1) the size of the gram stream.
+    fp = (
+        winnowed_fingerprints(df, id_col, text_col, k, window, hash_fn)
+        .select("id", F.col("h").alias("shingle"))
+        .localCheckpoint(eager=False)
     )
     return (
         _pair_stats_from_rows(fp, max_doc_freq)
