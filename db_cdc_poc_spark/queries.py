@@ -1993,7 +1993,7 @@ SELECT event_id, CAST({terms} AS BIGINT) AS z FROM base
 """
 
 
-@_q("q59_zorder_key", oracle=_zorder_oracle_sql())
+@_q("q59_zorder_key", oracle=_zorder_oracle_sql(), headline=True)
 def q59_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton / Z-order key (operators/layout.py): bit-interleave of
     (user_id, event_id % 1024) — the multi-dimensional clustering key
@@ -2187,6 +2187,7 @@ def q65_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q66_winnowed_containment",
+    headline=True,
     oracle="""
 WITH tk AS (
     SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
