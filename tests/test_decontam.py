@@ -66,3 +66,21 @@ def test_anti_join_drop_keeps_clean_docs(spark):
         flagged.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
     )
     assert {r.doc_id for r in kept.collect()} == {2, 3, 4}
+
+
+def test_hot_eval_ngram_candidates_stay_linear(spark):
+    """An eval n-gram present in MANY train docs fans out linearly
+    (one hit row per train doc containing it), never quadratically —
+    the eval side is distinct'd before the join, so d train docs x 1
+    eval gram = d candidate rows."""
+    hot = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    ev = spark.createDataFrame([(1000, hot)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(i, f"lead{i} words{i} " + hot + f" tail{i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = contaminated_docs(train, ev, n=8).collect()
+    assert len(out) == 50
+    # each train doc shares exactly the 1 planted 8-gram... plus the
+    # two bridging grams are doc-unique, so n_hit == 1 for all
+    assert {r.n_hit for r in out} == {1}
