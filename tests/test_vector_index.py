@@ -1,0 +1,66 @@
+"""Persisted IVF index: parity with the inline operator, partition
+pruning on the probed lists, probe-many reuse."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators.similarity import ivf_topk
+from db_cdc_poc_spark.operators.vector_index import IvfIndex
+from db_cdc_poc_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfIndex.build(
+        emb,
+        centroids=emb.filter(F.col("vec_id") % 16 == 0),
+        path=tempfile.mkdtemp(prefix="ivfidx_") + "/index",
+    )
+    return idx, emb
+
+
+def test_probe_matches_inline_ivf(spark, built):
+    idx, emb = built
+    queries = emb.filter(F.col("vec_id") < 10)
+    via_index = sorted(
+        map(tuple, idx.probe(spark, queries, k=5, nprobe=4).collect())
+    )
+    inline = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                queries,
+                emb,
+                centroids=emb.filter(F.col("vec_id") % 16 == 0),
+                k=5,
+                nprobe=4,
+            ).collect(),
+        )
+    )
+    assert via_index == inline and via_index
+
+
+def test_probe_scan_is_partition_pruned(spark, built):
+    idx, emb = built
+    queries = emb.filter(F.col("vec_id") < 3)
+    df = idx.probe(spark, queries, k=3, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any(
+        "list_id" in ln and "IN" in ln.upper() for ln in part_lines
+    ), "probe must prune unprobed list partitions at the scan"
+
+
+def test_probe_many_is_stable(spark, built):
+    idx, emb = built
+    queries = emb.filter(F.col("vec_id").isin(4, 7))
+    a = sorted(map(tuple, idx.probe(spark, queries, k=4, nprobe=3).collect()))
+    b = sorted(map(tuple, idx.probe(spark, queries, k=4, nprobe=3).collect()))
+    assert a == b and a
