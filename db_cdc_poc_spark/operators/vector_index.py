@@ -80,6 +80,37 @@ class IvfIndex:
         ).parquet(f"{out}/lists")
         return IvfIndex(out, id_col, vec_col)
 
+    # -- incremental maintenance ------------------------------------------
+
+    def append(self, new_vectors: DataFrame) -> None:
+        """Route a batch of new vectors into the existing lists: assign
+        against the STORED codebook (so earlier assignments stay valid)
+        and append to the touched list partitions only — dynamic
+        partition overwrite semantics are unnecessary because lists are
+        append-only until a full rebuild. The codebook drifts from the
+        true corpus distribution as appends accumulate; rebuild when
+        recall degrades (the classic IVF maintenance tradeoff)."""
+        spark = new_vectors.sparkSession
+        cent = spark.read.parquet(f"{self.path}/centroids")
+        c = new_vectors.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("cv"),
+            norm(self.vec_col).alias("cn"),
+        )
+        assign = (
+            c.crossJoin(F.broadcast(cent))
+            .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
+            .groupBy("neighbor_id")
+            .agg(
+                F.max_by(
+                    "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc"))
+                ).alias("list_id")
+            )
+        )
+        c.join(assign, "neighbor_id").write.partitionBy("list_id").mode(
+            "append"
+        ).parquet(f"{self.path}/lists")
+
     # -- probe ------------------------------------------------------------
 
     def probe(

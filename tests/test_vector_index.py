@@ -64,3 +64,25 @@ def test_probe_many_is_stable(spark, built):
     a = sorted(map(tuple, idx.probe(spark, queries, k=4, nprobe=3).collect()))
     b = sorted(map(tuple, idx.probe(spark, queries, k=4, nprobe=3).collect()))
     assert a == b and a
+
+
+def test_append_matches_full_rebuild(spark):
+    """Incremental append == rebuilding from the union corpus, as long
+    as the codebook is the same (assignments are per-vector and the
+    stored codebook is reused)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 != 0)
+    cents = emb.filter(F.col("vec_id") % 16 == 0)
+
+    inc = IvfIndex.build(
+        first, centroids=cents, path=tempfile.mkdtemp(prefix="ivfa_") + "/i"
+    )
+    inc.append(rest)
+    full = IvfIndex.build(
+        emb, centroids=cents, path=tempfile.mkdtemp(prefix="ivfb_") + "/i"
+    )
+    queries = emb.filter(F.col("vec_id") < 6)
+    a = sorted(map(tuple, inc.probe(spark, queries, k=5, nprobe=4).collect()))
+    b = sorted(map(tuple, full.probe(spark, queries, k=5, nprobe=4).collect()))
+    assert a == b and a
