@@ -86,8 +86,17 @@ class StreamingDedupIndex:
     def _matches(self, probe: DataFrame, index: DataFrame | None) -> DataFrame:
         """(id, match_id) for probe docs matching an indexed doc."""
         if index is None:
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = probe.schema["id"].dataType
             return probe.sparkSession.createDataFrame(
-                [], "id long, match_id long"
+                [],
+                StructType(
+                    [
+                        StructField("id", id_type),
+                        StructField("match_id", id_type),
+                    ]
+                ),
             )
         cand = (
             probe.alias("p")
@@ -166,9 +175,10 @@ class StreamingDedupIndex:
                 banded.select("band_id", "band_hash", "id", "sig"),
                 lambda state, b: b if state is None else state.unionByName(b),
             )
+            out_schema = decisions.schema
         finally:
             banded.unpersist()
-        return spark.createDataFrame(out, "id long, is_novel boolean, n_matches long")
+        return spark.createDataFrame(out, out_schema)
 
     def foreach_batch(self, sink: list | None = None):
         """Adapter for ``writeStream.foreachBatch``: processes each

@@ -92,3 +92,18 @@ def test_index_state_grows_and_probe_stays_keyed(spark):
     assert state1.count() == idx.bands
     assert state2.count() == 2 * idx.bands
     assert set(state2.columns) == {"band_id", "band_hash", "id", "sig"}
+
+
+def test_string_ids_work(spark):
+    """Doc ids need only be orderable — content-hash string ids work."""
+    base = "shared sentence with plenty of tokens to shingle and band today"
+    b1 = spark.createDataFrame(
+        [("docA", base), ("docB", "unrelated first content with different words entirely")],
+        "doc_id string, text string",
+    )
+    b2 = spark.createDataFrame([("docC", base)], "doc_id string, text string")
+    idx = _index("s")
+    first = {r.id: r.is_novel for r in idx.process_batch(b1).collect()}
+    second = {r.id: r.is_novel for r in idx.process_batch(b2).collect()}
+    assert first == {"docA": True, "docB": True}
+    assert second == {"docC": False}
