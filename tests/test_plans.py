@@ -67,3 +67,17 @@ def test_q19_topk_avoids_global_sort(spark):
 def test_q21_lsh_no_cartesian(spark):
     plan = _plan(spark, "q21_minhash_lsh")
     assert "CartesianProduct" not in plan
+
+
+def test_q65_top_terms_avoids_global_sort(spark):
+    """Global top-K must compile to TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a full Exchange rangepartitioning sort."""
+    plan = _plan(spark, "q65_top_terms")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q52_decontaminate_broadcasts_eval_side(spark):
+    plan = _plan(spark, "q52_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
