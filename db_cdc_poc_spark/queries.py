@@ -969,15 +969,28 @@ def q29_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_STAGED_EVENTS: dict[tuple[str, int], str] = {}
+
+
 def _staged_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Materialize the events table into a streaming-friendly directory
     (micros timestamps — Spark's streaming parquet source rejects the
     raw nanos files — split into n_files so availableNow processes
-    multiple micro-batches with maxFilesPerTrigger=1)."""
+    multiple micro-batches with maxFilesPerTrigger=1).
+
+    Cached per (sf_dir, n_files) for the process lifetime: the staged
+    directory is read-only input shared by every streaming query
+    (q30/q31/q47/q48), so one write serves them all."""
+    import os
     import tempfile
 
+    key = (sf_dir, n_files)
+    cached = _STAGED_EVENTS.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     out = tempfile.mkdtemp(prefix="events_staged_") + "/events"
     _t(spark, sf_dir, "events").repartition(n_files).write.mode("overwrite").parquet(out)
+    _STAGED_EVENTS[key] = out
     return out
 
 
