@@ -139,7 +139,14 @@ def _pair_stats_from_rows(
 ) -> DataFrame:
     """The row-based core of ``_pair_shingle_stats``: takes any
     (id, shingle) feature rows — word shingles, winnowed fingerprints —
-    and produces the per-pair overlap stats."""
+    and produces the per-pair overlap stats.
+
+    The feature rows are referenced three times (sizes + both join
+    sides), so they are materialized once (lazy local checkpoint)
+    instead of re-running the upstream tokenize/shingle pipeline per
+    reference — the same build-the-index choice as the winnowed path.
+    """
+    sh = sh.localCheckpoint(eager=False)
     counts = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     if max_doc_freq is not None:
         rare = (
@@ -283,16 +290,11 @@ def winnowed_containment_pairs(
     instead of every shingle, with the same inverted-index join core
     and ``max_doc_freq`` skew cap. Output: (id_a, id_b, containment).
     """
-    # Materialize the fingerprint index ONCE (lazy local checkpoint):
-    # the pair core references it three times (self-join a/b + sizes),
-    # and each reference would otherwise re-run the scan -> posexplode
-    # -> window-min pipeline — measured 4 full passes in the executed
-    # plan. Storing the (id, h) rows is the deliberate build-the-index
-    # step; they are ~2/(window+1) the size of the gram stream.
-    fp = (
-        winnowed_fingerprints(df, id_col, text_col, k, window, hash_fn)
-        .select("id", F.col("h").alias("shingle"))
-        .localCheckpoint(eager=False)
+    # The pair core materializes the fingerprint index once (lazy
+    # local checkpoint) — without it the scan -> posexplode ->
+    # window-min pipeline measured 4 full passes in the executed plan.
+    fp = winnowed_fingerprints(df, id_col, text_col, k, window, hash_fn).select(
+        "id", F.col("h").alias("shingle")
     )
     return (
         _pair_stats_from_rows(fp, max_doc_freq)
