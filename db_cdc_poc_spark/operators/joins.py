@@ -123,3 +123,46 @@ def write_bucketed(
         sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    keys: str | Sequence[str] = (),
+) -> DataFrame:
+    """Interval join — left rows matched to right rows whose
+    [right_lo, right_hi] range contains the left point (inclusive),
+    optionally also keyed on equality ``keys``.
+
+    A naive non-equi join condition gives Catalyst nothing to hash on:
+    with no equality conjunct the plan degenerates to
+    BroadcastNestedLoopJoin — |L| x |R| comparisons, dead at scale.
+    The standard fix (Databricks' range-join binning, here from plain
+    primitives): quantize the point and every bucket the interval
+    overlaps onto a ``bucket_width`` grid, equi-join on the bucket id
+    (plus ``keys``), then apply the exact range predicate. Each
+    interval explodes into (hi-lo)/width + 1 bucket rows, so pick
+    ``bucket_width`` near the TYPICAL interval length: candidate pairs
+    then come only from ranges near the point — the join is hashable,
+    shuffle-partitioned, AQE-skew-splittable.
+
+    ``left_point``/``right_lo``/``right_hi`` must be integer-valued
+    (cast timestamps with unix_micros etc. at the call site). Output:
+    left columns + right columns (names must not collide).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    lb = left.withColumn("__b", (F.col(left_point) / bucket_width).cast("long"))
+    span = F.sequence(
+        (F.col(right_lo) / bucket_width).cast("long"),
+        (F.col(right_hi) / bucket_width).cast("long"),
+    )
+    rb = right.withColumn("__b", F.explode(span))
+    out = lb.join(rb, [*keys, "__b"]).filter(
+        (F.col(left_point) >= F.col(right_lo))
+        & (F.col(left_point) <= F.col(right_hi))
+    )
+    return out.drop("__b")

@@ -2251,5 +2251,79 @@ def q66_winnowed_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.winnowed_containment_pairs(docs, k=3, window=4, threshold=0.5)
 
 
+@_q(
+    "q67_scalar_subquery",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events
+WHERE value > (SELECT avg(value) FROM events)
+GROUP BY event_type
+""",
+)
+def q67_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: rows above the global mean. Catalyst
+    executes the subquery once and broadcasts the scalar into the
+    predicate (SubqueryExec feeding the filter) — no per-row
+    recomputation, no join."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__q67_events")
+    return spark.sql(
+        """
+        SELECT event_type, count(*) AS n
+        FROM __q67_events
+        WHERE value > (SELECT avg(value) FROM __q67_events)
+        GROUP BY event_type
+        """
+    )
+
+
+@_q(
+    "q68_range_join",
+    oracle="""
+SELECT w.event_id AS error_id, count(*) AS n_after,
+       CAST(sum(round(p.value*100, 0)) AS BIGINT) AS value_cents
+FROM (SELECT event_id, user_id, epoch_us(ts) AS lo,
+             epoch_us(ts) + 1800000000 AS hi
+      FROM events WHERE event_type = 'error') w
+JOIN (SELECT user_id, epoch_us(ts) AS t, value
+      FROM events WHERE event_type <> 'error') p
+  ON p.user_id = w.user_id AND p.t >= w.lo AND p.t <= w.hi
+GROUP BY w.event_id
+""",
+)
+def q68_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/joins.py:range_join): events in
+    the 30-minute window after each same-user error event. The interval
+    is quantized onto a 30-minute bucket grid so the join is a hashable
+    equi-join on (user_id, bucket) + exact range filter — never a
+    BroadcastNestedLoopJoin (plan-gated in test_joins). The oracle uses
+    DuckDB's native inequality join for the same semantics."""
+    from db_cdc_poc_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + 1_800_000_000).alias("hi"),
+    )
+    points = ev.filter(F.col("event_type") != "error").select(
+        "user_id", F.unix_micros("ts").alias("t"), "value"
+    )
+    return (
+        range_join(
+            points,
+            windows,
+            left_point="t",
+            right_lo="lo",
+            right_hi="hi",
+            bucket_width=1_800_000_000,
+            keys="user_id",
+        )
+        .groupBy("error_id")
+        .agg(F.count("*").alias("n_after"), _cents(F.col("value")).alias("value_cents"))
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -94,3 +94,55 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_range_join_matches_naive_nonequi(spark):
+    from db_cdc_poc_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [(k, t, float(t)) for k in (1, 2) for t in range(0, 100, 7)],
+        "user_id long, t long, value double",
+    )
+    wins = spark.createDataFrame(
+        [(100 + i, k, lo, lo + 13) for i, (k, lo) in enumerate(
+            [(1, 0), (1, 40), (2, 11), (2, 90), (1, 95)]
+        )],
+        "win_id long, user_id long, lo long, hi long",
+    )
+    got = sorted(
+        (r.win_id, r.t)
+        for r in range_join(
+            pts, wins, "t", "lo", "hi", bucket_width=10, keys="user_id"
+        ).collect()
+    )
+    naive = sorted(
+        (r.win_id, r.t)
+        for r in pts.join(
+            wins,
+            (pts.user_id == wins.user_id)
+            & (pts.t >= wins.lo)
+            & (pts.t <= wins.hi),
+        ).collect()
+    )
+    assert got == naive and got
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    from db_cdc_poc_spark.operators.joins import range_join
+
+    pts = spark.range(1000).select(
+        (F.col("id") % 10).alias("user_id"), F.col("id").alias("t")
+    )
+    wins = spark.range(100).select(
+        F.col("id").alias("win_id"),
+        (F.col("id") % 10).alias("user_id"),
+        (F.col("id") * 7).alias("lo"),
+        (F.col("id") * 7 + 20).alias("hi"),
+    )
+    plan = (
+        range_join(pts, wins, "t", "lo", "hi", bucket_width=16, keys="user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
