@@ -2325,5 +2325,33 @@ def q68_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q69_stream_stream_join",
+    oracle="""
+SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id, c.ts AS l_ts, p.ts AS r_ts
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+)
+def q69_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (streaming/jobs.py:
+    stream_stream_join): purchases within 30 minutes after a same-user
+    click, drained availableNow. The time-bound join condition plus
+    per-side watermarks is what lets Spark expire join state on a real
+    stream; in drain mode the result equals the batch time-bounded
+    join, which is exactly what the oracle runs."""
+    from db_cdc_poc_spark.streaming.jobs import stream_stream_join
+
+    return stream_stream_join(
+        spark,
+        _staged_events_dir(spark, sf_dir),
+        left_type="click",
+        right_type="purchase",
+        join_window="30 minutes",
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -104,3 +104,73 @@ def stream_windowed_counts(
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "n", "value_cents"
     )
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    source_path: str,
+    left_type: str,
+    right_type: str,
+    join_window: str = "30 minutes",
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark_delay: str = "35 days",
+) -> DataFrame:
+    """Stream-stream inner join (T-surface the reference never uses but
+    Structured Streaming ships): two filtered views of one event
+    stream, joined on key with the right event inside
+    ``join_window`` AFTER the left event.
+
+    Both sides carry watermarks and the join condition bounds the
+    right timestamp relative to the left, so Spark can expire
+    buffered-side state once the watermark passes — the mechanism that
+    makes an infinite stream-stream join finite-state. With the wide
+    drain-mode default watermark the output equals the batch
+    time-bounded join exactly (the oracle's form); production callers
+    narrow ``watermark_delay`` to their late-data bound, trading
+    buffered state for completeness, same tradeoff as the dedup job.
+
+    Returns (left event_id, right event_id, key, both timestamps) from
+    an availableNow drain into a memory sink.
+    """
+    import pyspark.sql.functions as F
+
+    static = spark.read.parquet(source_path)
+    stream = spark.readStream.schema(static.schema).parquet(source_path)
+    left = (
+        stream.filter(F.col(type_col) == left_type)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col(key_col).alias("l_key"),
+            F.col(ts_col).alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark_delay)
+    )
+    right = (
+        stream.filter(F.col(type_col) == right_type)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col(key_col).alias("r_key"),
+            F.col(ts_col).alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark_delay)
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval {join_window}"
+        ),
+    ).select("l_id", "r_id", F.col("l_key").alias("user_id"), "l_ts", "r_ts")
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_ssjoin_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

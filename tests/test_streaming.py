@@ -146,3 +146,46 @@ def test_cdc_target_untouched_buckets_not_rewritten(spark):
     assert len(list((Path(root) / f"bucket_{touched_bucket:04d}").glob("v_*"))) == 2
     got = {(r.k, r.v) for r in target.current(spark).collect()}
     assert got == {(i, f"v{i}") for i in range(1, 50)} | {(0, "upd")}
+
+
+def test_stream_stream_join_equals_batch_time_bounded_join(spark):
+    from pyspark.sql import functions as F
+
+    from db_cdc_poc_spark.queries import _staged_events_dir
+    from db_cdc_poc_spark.streaming.jobs import stream_stream_join
+
+    src = _staged_events_dir(spark, SF_DIR)
+    streamed = sorted(
+        map(
+            tuple,
+            stream_stream_join(
+                spark, src, left_type="click", right_type="purchase"
+            ).collect(),
+        )
+    )
+    ev = spark.read.parquet(src)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_key"),
+        F.col("ts").alias("l_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = sorted(
+        map(
+            tuple,
+            c.join(
+                p,
+                F.expr(
+                    "l_key = r_key AND r_ts >= l_ts "
+                    "AND r_ts <= l_ts + interval 30 minutes"
+                ),
+            )
+            .select("l_id", "r_id", F.col("l_key").alias("user_id"), "l_ts", "r_ts")
+            .collect(),
+        )
+    )
+    assert streamed == batch and len(streamed) > 0
