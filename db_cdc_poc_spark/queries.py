@@ -2353,5 +2353,26 @@ def q69_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q70_stream_enrich",
+    oracle="""
+SELECT event_id, user_id, event_type, c_name, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+""",
+)
+def q70_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/jobs.py:stream_enrich): the
+    event stream joined to the static customer dim, broadcast per
+    micro-batch — no watermark, no join state, the stream never
+    shuffles. Drained availableNow; equals the batch join (the
+    oracle)."""
+    from db_cdc_poc_spark.streaming.jobs import stream_enrich
+
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return stream_enrich(spark, _staged_events_dir(spark, sf_dir), dim)
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

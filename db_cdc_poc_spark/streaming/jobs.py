@@ -174,3 +174,38 @@ def stream_stream_join(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_enrich(
+    spark: SparkSession,
+    source_path: str,
+    dim: DataFrame,
+    on: str = "user_id",
+    dim_cols: Sequence[str] = ("c_name", "c_mktsegment"),
+) -> DataFrame:
+    """Stream-static enrichment join: a streaming fact joined to a
+    static (batch) dimension — the standard stream enrichment shape.
+    The static side needs no watermark and holds no join state; Spark
+    plans it as an ordinary (here broadcast) join executed per
+    micro-batch, so at scale the dim rides along as a broadcast and
+    the stream is never shuffled. Drained availableNow into a memory
+    sink; output = events + the selected dim columns (inner)."""
+    import pyspark.sql.functions as F
+
+    static = spark.read.parquet(source_path)
+    stream = spark.readStream.schema(static.schema).parquet(source_path)
+    enriched = stream.join(F.broadcast(dim), on).select(
+        "event_id", on, "event_type", *dim_cols
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_enrich_")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
