@@ -33,6 +33,26 @@ class TableDef:
     comment: str | None = None
     trigger: str | None = None  # e.g. '24 hours', '5 minute', 'continuous'
     deps: set[str] = field(default_factory=set)
+    expectations: list["Expectation"] = field(default_factory=list)
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """A DLT-style data-quality constraint on a table (the reference's
+    DLT surface exposes @dlt.expect / expect_or_drop / expect_or_fail;
+    the reference itself never uses them, but a migrating user will).
+
+    ``action``: 'warn' keeps violating rows (metrics only), 'drop'
+    filters them out, 'fail' raises if any row violates.
+    """
+
+    name: str
+    condition: str  # SQL boolean expression over the table's columns
+    action: str = "warn"  # warn | drop | fail
+
+
+class ExpectationError(RuntimeError):
+    """Raised when an expect_or_fail constraint is violated."""
 
 
 class TableRegistry:
@@ -45,6 +65,7 @@ class TableRegistry:
         self._defs: dict[str, TableDef] = {}
         self._built: dict[str, DataFrame] = {}
         self._building: list[str] = []  # stack, for cycle detection + dep edges
+        self._observations: dict[str, object] = {}  # table -> Observation
 
     # -- declaration ------------------------------------------------------
 
@@ -54,17 +75,25 @@ class TableRegistry:
         tier: str | None = None,
         comment: str | None = None,
         trigger: str | None = None,
+        expect: list[Expectation] | None = None,
     ):
         """Decorator registering ``fn`` as the builder of dataset
         ``name`` (default: the function name) — the engine's
-        ``@dlt.table``."""
+        ``@dlt.table``. ``expect`` attaches data-quality constraints
+        (the engine's @dlt.expect*), enforced at build time; per-build
+        violation counts land in ``quality_report``."""
 
         def deco(fn: Callable[[], DataFrame]):
             tname = name or fn.__name__
             if tname in self._defs:
                 raise ValueError(f"table {tname!r} already registered")
             self._defs[tname] = TableDef(
-                name=tname, builder=fn, tier=tier, comment=comment, trigger=trigger
+                name=tname,
+                builder=fn,
+                tier=tier,
+                comment=comment,
+                trigger=trigger,
+                expectations=list(expect or []),
             )
             return fn
 
@@ -91,8 +120,68 @@ class TableRegistry:
             df = self._defs[name].builder()
         finally:
             self._building.pop()
+        df = self._apply_expectations(name, df)
         self._built[name] = df
         return df
+
+    def _apply_expectations(self, name: str, df: DataFrame) -> DataFrame:
+        """Enforce the table's expectations (the engine's @dlt.expect*).
+
+        Violation counts are attached with ``df.observe`` — they are
+        computed DURING the consumer's own action, never as an extra
+        pass over the data (the only scale-honest way to meter a
+        100 TB flow). 'drop' filters after the metric point, so the
+        report still counts what was dropped. 'fail' is the exception:
+        it must decide NOW, so it pays one eager existence check
+        (filter + limit(1)) at build time, exactly like DLT's
+        expect_or_fail aborting the update. A constraint evaluating to
+        NULL counts as a violation, matching DLT.
+        """
+        exps = self._defs[name].expectations
+        if not exps:
+            return df
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        def ok(e: Expectation):
+            return F.coalesce(F.expr(e.condition).cast("boolean"), F.lit(False))
+
+        for e in exps:
+            if e.action not in ("warn", "drop", "fail"):
+                raise ValueError(f"unknown expectation action {e.action!r}")
+            if e.action == "fail":
+                # decided eagerly on the RAW frame — before observe is
+                # attached, so this limit(1) probe can't populate the
+                # metrics with a partial scan
+                if df.filter(~ok(e)).limit(1).count() > 0:
+                    raise ExpectationError(
+                        f"table {name!r}: expectation {e.name!r} violated "
+                        f"({e.condition})"
+                    )
+        obs = Observation(f"expectations_{name}")
+        df = df.observe(
+            obs,
+            *[
+                F.sum(F.when(~ok(e), 1).otherwise(0)).cast("long").alias(e.name)
+                for e in exps
+            ],
+        )
+        self._observations[name] = obs
+        for e in exps:
+            if e.action == "drop":
+                df = df.filter(ok(e))
+        return df
+
+    def quality_report(self, name: str) -> dict[str, int]:
+        """Per-expectation violation counts for a built table. Runs one
+        action if none has touched the table yet (Observation metrics
+        populate as a side effect of whatever action runs first)."""
+        if name not in self._observations:
+            return {}
+        df = self.build(name)
+        obs = self._observations[name]
+        df.count()  # ensure at least one action flowed past the observe
+        return dict(obs.get)
 
     def build_all(self) -> dict[str, DataFrame]:
         return {name: self.build(name) for name in self._defs}

@@ -107,3 +107,55 @@ def test_materialize_partitioned_and_partition_pruning(spark):
     assert m and "store_id" in m[0], f"store_id not in PartitionFilters: {plan[:800]}"
     # the pruned scan reads only the one directory's rows
     assert back.count() == 25
+
+
+def test_expectations_warn_drop_fail(spark):
+    import pytest as _pytest
+
+    from db_cdc_poc_spark.plans.registry import (
+        Expectation,
+        ExpectationError,
+        TableRegistry,
+    )
+
+    reg = TableRegistry(spark)
+
+    @reg.table(
+        expect=[
+            Expectation("positive_v", "v > 0", action="drop"),
+            Expectation("small_v", "v < 100", action="warn"),
+        ]
+    )
+    def facts():
+        return spark.createDataFrame(
+            [(1, 5), (2, -3), (3, 250), (4, None)], "id long, v int"
+        )
+
+    out = reg.build("facts")
+    # drop removes v<=0 AND the NULL row (null condition = violation)
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+    rep = reg.quality_report("facts")
+    assert rep["positive_v"] == 2
+    assert rep["small_v"] == 2  # 250 violates, NULL counts too; pre-drop
+
+    reg2 = TableRegistry(spark)
+
+    @reg2.table(expect=[Expectation("no_nulls", "v IS NOT NULL", action="fail")])
+    def strict():
+        return spark.createDataFrame([(1, None)], "id long, v int")
+
+    with _pytest.raises(ExpectationError):
+        reg2.build("strict")
+
+
+def test_expectations_zero_violations_report(spark):
+    from db_cdc_poc_spark.plans.registry import Expectation, TableRegistry
+
+    reg = TableRegistry(spark)
+
+    @reg.table(expect=[Expectation("id_nonneg", "id >= 0", action="warn")])
+    def clean():
+        return spark.range(10)
+
+    reg.build("clean")
+    assert reg.quality_report("clean") == {"id_nonneg": 0}
