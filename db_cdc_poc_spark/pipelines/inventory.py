@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from db_cdc_poc_spark import schemas
 from db_cdc_poc_spark.operators.cdc import latest_by_key
 from db_cdc_poc_spark.operators.dedup import dedup_exact
-from db_cdc_poc_spark.plans.registry import TableRegistry
+from db_cdc_poc_spark.plans.registry import Expectation, TableRegistry
 from db_cdc_poc_spark.sources.files import read_csv
 
 REFERENCE_1000 = "/root/reference/data/point_of_sale_simulated_1000"
@@ -81,7 +81,17 @@ def build_inventory_pipeline(
     # feeds (21 duplicate (trans_id, item_id) pairs in the 1000-item set);
     # survivor = earliest event (the online order precedes the pickup).
 
-    @reg.table(tier="silver", comment="deduped change events")
+    @reg.table(
+        tier="silver",
+        comment="deduped change events",
+        # warn-only data-quality meters (@dlt.expect): violation counts
+        # ride the consumer's action via observe — outputs unchanged
+        expect=[
+            Expectation("valid_change_type", "change_type_id BETWEEN 1 AND 4"),
+            Expectation("nonzero_quantity", "quantity <> 0"),
+            Expectation("known_store", "store_id IS NOT NULL"),
+        ],
+    )
     def inventory_change() -> DataFrame:
         raw = reg.read("inventory_change_raw")
         # dedup_exact keeps the GREATEST order_by; negate the epoch so

@@ -115,3 +115,19 @@ def test_dim_joins_are_broadcast(registry):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_silver_expectations_report_zero_violations(spark):
+    """The reference dataset is clean: the silver change table's
+    warn-only expectations meter zero violations, and attaching them
+    changes nothing downstream (golden tests above stay the proof)."""
+    from db_cdc_poc_spark.pipelines.inventory import build_inventory_pipeline
+
+    reg = build_inventory_pipeline(spark)
+    reg.build("inventory_change")
+    rep = reg.quality_report("inventory_change")
+    assert rep == {
+        "valid_change_type": 0,
+        "nonzero_quantity": 0,
+        "known_store": 0,
+    }
