@@ -108,6 +108,7 @@ def stream_apply_changes(
     state_path: str | None = None,
     max_files_per_trigger: int | None = None,
     num_buckets: int = 16,
+    checkpoint_path: str | None = None,
 ) -> DataFrame:
     """File stream -> foreachBatch incremental CDC apply -> final table.
 
@@ -116,6 +117,12 @@ def stream_apply_changes(
     applied table. Equals batch ``apply_changes`` over the same data
     regardless of how rows split across micro-batches (asserted in
     tests with ``max_files_per_trigger=1`` over multi-file input).
+
+    Pass the SAME ``state_path`` + ``checkpoint_path`` to resume after
+    a stop/crash: the checkpoint's file-source log skips every file an
+    earlier run committed, so only new files merge into the state —
+    no double application (asserted in the restart test). This is the
+    fault-tolerance contract (T6) the reference delegates to DLT.
     """
     target = CdcTarget(
         state_path or tempfile.mkdtemp(prefix="cdc_state_"),
@@ -131,7 +138,7 @@ def stream_apply_changes(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(source_path)
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_cdc_")
+    checkpoint = checkpoint_path or tempfile.mkdtemp(prefix="ckpt_cdc_")
     q = (
         stream.writeStream.foreachBatch(
             lambda batch, epoch: target.upsert_batch(batch, epoch)

@@ -189,3 +189,61 @@ def test_stream_stream_join_equals_batch_time_bounded_join(spark):
         )
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_cdc_apply_restart_is_exactly_once(spark, tmp_path):
+    """Stop/restart contract: a second run with the SAME checkpoint +
+    state processes only files added since the first run — re-running
+    with nothing new changes nothing, and the final table equals one
+    batch apply over everything (no double application)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from db_cdc_poc_spark.operators.cdc import apply_changes
+    from db_cdc_poc_spark.queries import _staged_events_dir
+    from db_cdc_poc_spark.streaming.cdc import stream_apply_changes
+
+    staged = _staged_events_dir(spark, SF_DIR)
+    files = sorted(
+        f for f in __import__("os").listdir(staged) if f.endswith(".parquet")
+    )
+    assert len(files) >= 3
+    src = str(tmp_path / "src")
+    __import__("os").makedirs(src)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        return stream_apply_changes(
+            spark,
+            src,
+            keys="user_id",
+            sequence_by="ts",
+            tie_breakers="event_id",
+            state_path=state,
+            checkpoint_path=ckpt,
+        )
+
+    # run 1: first file only
+    shutil.copy(f"{staged}/{files[0]}", f"{src}/{files[0]}")
+    run()
+    # run 2: same checkpoint, nothing new -> state unchanged
+    before = sorted(map(tuple, run().collect()))
+    assert before == sorted(map(tuple, run().collect()))
+    # run 3: add the rest, resume -> equals one batch apply over all
+    for f in files[1:]:
+        shutil.copy(f"{staged}/{f}", f"{src}/{f}")
+    final = sorted(map(tuple, run().select("user_id", "ts", "event_id").collect()))
+    batch = sorted(
+        map(
+            tuple,
+            apply_changes(
+                spark.read.parquet(src),
+                keys="user_id",
+                sequence_by="ts",
+                tie_breakers="event_id",
+            ).select("user_id", "ts", "event_id").collect(),
+        )
+    )
+    assert final == batch and len(final) > 0
