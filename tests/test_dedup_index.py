@@ -107,3 +107,22 @@ def test_string_ids_work(spark):
     second = {r.id: r.is_novel for r in idx.process_batch(b2).collect()}
     assert first == {"docA": True, "docB": True}
     assert second == {"docC": False}
+
+
+def test_index_survives_restart(spark, tmp_path):
+    """A new StreamingDedupIndex on the same path sees the persisted
+    band state: duplicates of pre-restart docs are still rejected."""
+    base = "persistent corpus sentence with sufficient tokens for banding here"
+    path = str(tmp_path / "idx")
+    first = StreamingDedupIndex(path, threshold=0.5, num_buckets=8)
+    out1 = {r.id: r.is_novel for r in first.process_batch(
+        spark.createDataFrame([(1, base)], "doc_id long, text string")).collect()}
+    assert out1 == {1: True}
+    # simulate process restart: fresh object, same state directory
+    resumed = StreamingDedupIndex(path, threshold=0.5, num_buckets=8)
+    out2 = {r.id: r.is_novel for r in resumed.process_batch(
+        spark.createDataFrame(
+            [(2, base), (3, "entirely novel post-restart content with new words")],
+            "doc_id long, text string",
+        )).collect()}
+    assert out2 == {2: False, 3: True}
