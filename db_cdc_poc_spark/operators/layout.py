@@ -78,6 +78,54 @@ def with_zorder_key(
     ).drop(*helper_names)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+    sort_within_by: str | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_bytes_per_file``
+    files — the small-files compaction every streaming/incremental
+    writer eventually needs (thousands of KB-sized micro-batch outputs
+    turn scans into a file-listing + task-scheduling bottleneck long
+    before I/O matters).
+
+    File count = ceil(current total bytes / target); the rewrite is one
+    scan + one round-robin repartition (or range partition when
+    ``sort_within_by`` is given, preserving clustering for min/max
+    skipping). The swap is write-to-staging + directory rename — same
+    commit shape as `streaming/state.py`. Returns the new file count.
+
+    At scale, run per PARTITION directory (store_id=..., date=...) so
+    each compaction is independent and incremental; compacting an
+    actively-written directory needs the table format's transaction
+    log (Delta/Iceberg OPTIMIZE) — this is the parquet-directory form.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    src = Path(path)
+    total = sum(f.stat().st_size for f in src.glob("*.parquet"))
+    n_files = max(1, -(-total // target_bytes_per_file))
+    df = spark.read.parquet(str(src))
+    if sort_within_by is not None:
+        df = df.repartitionByRange(n_files, F.col(sort_within_by)).sortWithinPartitions(
+            sort_within_by
+        )
+    else:
+        df = df.repartition(n_files)
+    # stage beside the target so the commit rename stays on one
+    # filesystem (same commit shape as streaming/state.py)
+    staging = Path(tempfile.mkdtemp(prefix=".compact_", dir=src.parent)) / "out"
+    df.write.mode("overwrite").parquet(str(staging))
+    backup = src.with_name(src.name + ".pre_compact")
+    src.rename(backup)
+    staging.rename(src)
+    shutil.rmtree(backup, ignore_errors=True)
+    return len(list(src.glob("*.parquet")))
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

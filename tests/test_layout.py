@@ -83,3 +83,35 @@ def test_zorder_write_keeps_both_dims_tight(spark):
     back = spark.read.parquet(zdir)
     assert back.count() == n
     assert back.agg(F.sum("x")).collect()[0][0] == df.agg(F.sum("x")).collect()[0][0]
+
+
+def test_compact_parquet_shrinks_file_count_preserving_data(spark):
+    src = tempfile.mkdtemp(prefix="frag_") + "/t"
+    df = spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    from db_cdc_poc_spark.operators.layout import compact_parquet
+
+    before = len(glob.glob(f"{src}/part-*.parquet"))
+    assert before >= 32
+    n = compact_parquet(spark, src, target_bytes_per_file=1 << 20)
+    after = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n == after < before / 4
+    back = spark.read.parquet(src)
+    assert back.count() == 50_000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(50_000))
+
+
+def test_compact_parquet_sorted_keeps_clustering(spark):
+    src = tempfile.mkdtemp(prefix="fragsort_") + "/t"
+    spark.range(20_000).select((F.col("id") % 500).alias("k")).repartition(
+        32
+    ).write.parquet(src)
+    from db_cdc_poc_spark.operators.layout import compact_parquet
+
+    n = compact_parquet(spark, src, target_bytes_per_file=1 << 15, sort_within_by="k")
+    assert n >= 3
+    # range-partitioned + sorted output -> per-file k ranges are tight
+    cov = _per_file_coverage(src, "k", 499.0)
+    assert cov < 0.7
