@@ -78,7 +78,17 @@ class CdcTarget:
         """
 
         def merge(state: DataFrame | None, b: DataFrame) -> DataFrame:
-            merged = state.unionByName(b) if state is not None else b
+            # allowMissingColumns = additive schema evolution: a batch
+            # carrying a NEW column (upstream producer deployed a field)
+            # widens the state, old rows take NULL; a batch missing a
+            # state column (lagging producer) keeps the column, its rows
+            # take NULL. Drops/renames/type changes stay hard errors —
+            # silent coercion corrupts CDC state.
+            merged = (
+                state.unionByName(b, allowMissingColumns=True)
+                if state is not None
+                else b
+            )
             return latest_by_key(merged, self.keys, self.sequence_by, self.tie_breakers)
 
         self.state.merge_batch(batch, merge)

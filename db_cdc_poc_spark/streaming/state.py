@@ -90,7 +90,13 @@ class BucketedStateTable:
         paths = self._latest_paths(buckets)
         if not paths:
             return None
-        return spark.read.parquet(*[str(p) for p in paths])
+        # mergeSchema: bucket chains evolve independently (a batch with
+        # a new column only rewrites the buckets it touches), so a
+        # multi-bucket read must union the per-chain schemas instead of
+        # adopting whichever file is sampled first
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[str(p) for p in paths]
+        )
 
     # -- merge ------------------------------------------------------------
 

@@ -247,3 +247,33 @@ def test_stream_cdc_apply_restart_is_exactly_once(spark, tmp_path):
         )
     )
     assert final == batch and len(final) > 0
+
+
+def test_cdc_schema_evolution_additive_column(spark, tmp_path):
+    """A micro-batch carrying a NEW column widens the CDC state: old
+    rows read NULL for it, later batches keep updating, and buckets
+    untouched by the evolved batch still read correctly (mergeSchema
+    across per-bucket chains)."""
+    from db_cdc_poc_spark.streaming.cdc import CdcTarget
+
+    t = CdcTarget(str(tmp_path / "st"), keys="k", sequence_by="seq", num_buckets=4)
+    t.upsert_batch(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "k long, seq long, v string"
+        )
+    )
+    # evolved batch: new column 'extra'; touches only k=1's bucket
+    t.upsert_batch(
+        spark.createDataFrame(
+            [(1, 2, "a2", "X")], "k long, seq long, v string, extra string"
+        )
+    )
+    cur = {r.k: (r.v, r.extra) for r in t.current(spark).collect()}
+    assert cur[1] == ("a2", "X")
+    assert cur[2] == ("b", None) and cur[3] == ("c", None)
+    # a later NON-evolved batch still merges into the widened state
+    t.upsert_batch(
+        spark.createDataFrame([(2, 2, "b2")], "k long, seq long, v string")
+    )
+    cur2 = {r.k: (r.v, r.extra) for r in t.current(spark).collect()}
+    assert cur2[2] == ("b2", None) and cur2[1] == ("a2", "X")
