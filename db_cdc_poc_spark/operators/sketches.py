@@ -1,0 +1,216 @@
+"""Probabilistic sketches as set-based DataFrame aggregates.
+
+A 100 TB corpus can't afford exact ``count(distinct)`` per dimension
+cell (a full shuffle of every distinct key) or an exact membership
+set shipped to every executor. The two sketches here are the standard
+answers, built from first principles so they stay (a) mergeable —
+register tables / bit-position sets combine with ``max`` / ``union``,
+the map-side-partial shape Spark aggregates want — and (b) replayable
+on the md5 path: every hash, bucket, and register value is derivable
+in portable SQL, so the DuckDB oracle recomputes the sketch
+value-for-value (see operators/sampling.py for the md5 rationale).
+
+* :func:`hll_registers` / :func:`hll_estimate` — HyperLogLog
+  (Flajolet et al., AofA 2007): one 64-bit hash per key; the first
+  ``p`` bits pick one of ``m = 2**p`` registers, the register keeps
+  the max leading-zero rank of the remainder, and the harmonic mean
+  of ``2**-register`` estimates the cardinality with ~1.04/sqrt(m)
+  relative error. The register table is ``groupBy(...).agg(max)`` —
+  map-side partial combine means the shuffle carries at most
+  ``m`` rows PER GROUP per partition, independent of data size.
+  Spark's own ``approx_count_distinct`` is the same algorithm fused
+  into one aggregate; this form exposes the registers so sketches can
+  be stored, merged across days, and oracle-checked.
+
+* :func:`bloom_hits` — Bloom-filter membership: ``k`` hash positions
+  in an ``m``-bit filter per key; a candidate "maybe" matches when
+  ALL ``k`` of its positions are set by some member. The filter is
+  represented as the distinct set of set-bit positions (at most ``m``
+  rows, i.e. KB-scale for m=2**16) and joined broadcast — candidates
+  never shuffle to the members. False positives are possible (that's
+  the contract); false negatives are not. Spark's runtime bloom
+  pruning (spark.sql.optimizer.runtime.bloomFilter.enabled, proven in
+  test_scale_features) is the planner-injected cousin; this operator
+  is the user-facing one for decontamination-style "seen before?"
+  checks against a reference corpus.
+
+Exact-integer discipline: estimates avoid ``pow``/``ln`` (not
+correctly-rounded, engine-dependent). ``2**-register`` sums are
+scaled to integers (``1::long << (SCALE - r)``) so the register sum
+is an exact, order-free BIGINT; the only floating point is one final
+alpha*m^2/S expression of IEEE basic ops, bit-identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators.dedup import token_hash64
+
+#: Integer scaling exponent for the harmonic sum: register value r
+#: contributes 2**(HLL_SCALE - r). Ranks are capped at HLL_SCALE so the
+#: contribution stays a positive BIGINT; with m=2**14 registers the sum
+#: is < 2**(HLL_SCALE - 1 + 14) = 2**63 — no overflow.
+HLL_SCALE = 50
+
+
+def _hll_hash(key: Column, hash_fn: str) -> Column:
+    # Non-negative 63-bit hash: bucket and rank both read from it.
+    return token_hash64(key, hash_fn).bitwiseAND(F.lit((1 << 63) - 1))
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """HyperLogLog register table: (group_cols..., bucket, r).
+
+    bucket = top ``p`` bits of a 63-bit non-negative hash; r = rank
+    (1-based leading-zero count + 1) of the remaining ``63 - p`` bits,
+    capped at :data:`HLL_SCALE`. ``groupBy(...).agg(max)`` is the whole
+    sketch build — partial aggregation bounds shuffle rows at
+    ``m = 2**p`` per group per map task, so the build cost is one scan
+    regardless of corpus size, and two register tables for different
+    days merge with another ``max`` (HLL's union property).
+    """
+    groups = list(group_cols or [])
+    h = _hll_hash(F.col(key_col).cast("string"), hash_fn)
+    rem_bits = 63 - p
+    # Rank of the low rem_bits: leading zeros + 1 == rem_bits + 1 - bit_length.
+    # bit_length via length(bin(w)) — bin() prints no leading zeros and is
+    # available (and identical) in Spark and DuckDB; w == 0 caps the rank.
+    w = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rank = F.when(w == 0, F.lit(HLL_SCALE)).otherwise(
+        F.least(F.lit(rem_bits + 1) - F.length(F.bin(w)), F.lit(HLL_SCALE))
+    )
+    return (
+        df.select(
+            *groups,
+            F.shiftrightunsigned(h, rem_bits).alias("bucket"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None, p: int = 10
+) -> DataFrame:
+    """Cardinality estimate from a register table.
+
+    Output per group: (m, n_zero, s_scaled, est_distinct). The
+    harmonic sum is the exact integer ``sum(1::long << (HLL_SCALE - r))``
+    plus ``n_zero << HLL_SCALE`` for never-touched registers — order-free,
+    overflow-safe (see :data:`HLL_SCALE`). The only float math is the
+    final ``alpha_m * m^2 * 2^HLL_SCALE / s`` — IEEE +,*,/ on exact
+    integers, bit-identical across engines. The small-range linear-
+    counting correction is deliberately NOT applied here (it needs
+    ``ln``, which is not correctly rounded); callers who want it can
+    compute it from the (m, n_zero) columns this emits.
+    """
+    groups = list(group_cols or [])
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard HLL bias constant, m >= 128
+    agg = registers.groupBy(*groups).agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_SCALE} - r)")).alias("s_used"),
+    )
+    n_zero = F.lit(m) - F.col("n_used")
+    s = F.col("s_used") + n_zero.cast("long") * F.lit(1 << HLL_SCALE).cast("long")
+    return agg.select(
+        *groups,
+        F.lit(m).alias("m"),
+        n_zero.cast("long").alias("n_zero"),
+        s.alias("s_scaled"),
+        (
+            F.lit(alpha)
+            * F.lit(float(m))
+            * F.lit(float(m))
+            * F.lit(float(1 << HLL_SCALE))
+            / s.cast("double")
+        ).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``hll_estimate(hll_registers(...))`` in one call."""
+    return hll_estimate(
+        hll_registers(df, key_col, group_cols, p=p, hash_fn=hash_fn),
+        group_cols,
+        p=p,
+    )
+
+
+def bloom_positions(key: Column, k: int = 4, m_bits: int = 1 << 16) -> Column:
+    """Array of ``k`` bit positions in [0, m_bits) for a key.
+
+    Position i is the top 32 bits of md5(key + '#' + i) mod m_bits —
+    independent draws via the salt, portable via md5 (the filter must
+    be checkable by the oracle and by whatever system persisted it).
+    """
+    return F.array(
+        *[
+            F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(f"#{i}"))), 1, 8), 16, 10)
+            .cast("long")
+            .__mod__(F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_hits(
+    candidates: DataFrame,
+    members: DataFrame,
+    key_col: str,
+    id_col: str | None = None,
+    k: int = 4,
+    m_bits: int = 1 << 16,
+) -> DataFrame:
+    """Bloom membership check of ``candidates[key_col]`` against the
+    filter built from ``members[key_col]``.
+
+    Output: (<id_col or key_col>, hits, maybe_member) — ``maybe_member``
+    is true iff all ``k`` positions are set (the Bloom "maybe"; exact
+    members always qualify, non-members qualify with probability
+    ~(1-e^{-kn/m})^k). ``id_col`` lets callers keep a row identity
+    distinct from the hashed key (e.g. doc_id for a text fingerprint).
+
+    Plan shape: the filter is ``members`` → explode k positions →
+    distinct (at most ``m_bits`` rows ≈ KB regardless of member count)
+    → broadcast to a left join against the candidates' exploded
+    positions; hits are counted back per id. The big side shuffles
+    once on the id (k rows each); the member corpus is touched once
+    to build the filter and never joined row-to-row.
+    """
+    key = F.col(key_col)
+    out = id_col or key_col
+    bits = (
+        members.select(F.explode(bloom_positions(key, k, m_bits)).alias("pos"))
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    probes = candidates.select(
+        (F.col(id_col) if id_col else key).alias("id_"),
+        F.explode(bloom_positions(key, k, m_bits)).alias("pos"),
+    )
+    return (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy("id_")
+        .agg(F.sum(F.coalesce(F.col("set_"), F.lit(0))).alias("hits"))
+        .select(
+            F.col("id_").alias(out),
+            F.col("hits").cast("int").alias("hits"),
+            (F.col("hits") == k).alias("maybe_member"),
+        )
+    )

@@ -437,3 +437,72 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def dedup_chunks(
+    df: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-document duplicate-chunk removal — the chunk-granular form
+    of CCNet/RefinedWeb line-level dedup (boilerplate paragraphs that
+    repeat across pages are dropped from every copy but the first).
+
+    Documents are split into ``window``-token chunks
+    (:func:`chunk_documents`), each chunk is content-hashed, and a
+    chunk instance survives iff it is the FIRST occurrence of its hash
+    corpus-wide (first = smallest (doc_id, chunk_id), made total by
+    ranking inside the hash partition). Surviving chunks are
+    reassembled in order per document.
+
+    Plan: one explode pass to chunk, ONE window shuffle on the chunk
+    hash to rank occurrences (state per hash = its duplicate count,
+    bounded by duplication not corpus size), one groupBy(doc) to
+    reassemble. No self-join: the duplicate relation is resolved by
+    ranking, so a chunk shared by d documents costs d rows, not d^2
+    pairs — this is what lets the op survive a boilerplate chunk
+    repeated across millions of pages (contrast ngram_jaccard_pairs'
+    doc-frequency cap, dedup.py:130).
+
+    ``hash_fn='md5'`` makes the hash — and therefore the keep decision
+    and the reassembled text — replayable by the DuckDB oracle
+    (token_hash64 contract, dedup.py:516).
+
+    Output: (id, n_chunks, n_kept, kept_fp) where kept_fp = md5 of the
+    space-rejoined surviving text ('' when nothing survives).
+    """
+    from pyspark.sql import Window
+
+    from db_cdc_poc_spark.operators.dedup import token_hash64
+
+    chunks = chunk_documents(df, window=window, id_col=id_col, text_col=text_col)
+    ranked = chunks.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(token_hash64("chunk_text", hash_fn)).orderBy(
+                "id", "chunk_id"
+            )
+        ),
+    )
+    return ranked.groupBy("id").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).cast("int").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") == 1,
+                                F.struct("chunk_id", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            )
+        ).alias("kept_fp"),
+    )

@@ -2374,5 +2374,243 @@ def q70_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_enrich(spark, _staged_events_dir(spark, sf_dir), dim)
 
 
+# ---------------------------------------------------------------------------
+# Probabilistic sketches, chunk dedup, quantization, range windows
+# (training-pipeline extension; no reference analogue — SURVEY.md §7 step 5)
+# ---------------------------------------------------------------------------
+
+#: HLL numerator alpha_m * m^2 * 2^HLL_SCALE for p=8 — computed once so the
+#: Spark plan and the oracle SQL share the identical double literal; the
+#: chained product in hll_estimate only multiplies by powers of two, which
+#: is exact, so this equals the operator's own arithmetic bit-for-bit.
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+@_q(
+    "q71_hll_distinct",
+    oracle=f"""
+WITH keyed AS (
+    SELECT event_type,
+           CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS user_day
+    FROM events
+), h AS (
+    SELECT event_type,
+           CAST(('0x' || substr(md5(user_day), 1, 16))::UBIGINT
+                & 9223372036854775807 AS BIGINT) AS hv
+    FROM keyed
+), regs AS (
+    SELECT event_type, hv >> 55 AS bucket,
+           max(CASE WHEN (hv & ((1::BIGINT << 55) - 1)) = 0 THEN 50
+               ELSE least(56 - length(bin(hv & ((1::BIGINT << 55) - 1))), 50)
+               END) AS r
+    FROM h GROUP BY 1, 2
+), agg AS (
+    SELECT event_type, count(*) AS n_used,
+           sum(1::BIGINT << (50 - r)) AS s_used
+    FROM regs GROUP BY 1
+), est AS (
+    SELECT event_type,
+           CAST({_HLL_M} AS INT) AS m,
+           CAST({_HLL_M} - n_used AS BIGINT) AS n_zero,
+           CAST(s_used + ({_HLL_M} - n_used) * (1::BIGINT << 50) AS BIGINT)
+               AS s_scaled,
+           CAST({_HLL_ALPHA!r} AS DOUBLE) * {float(_HLL_M)!r} * {float(_HLL_M)!r}
+               * {float(1 << 50)!r}
+               / CAST(s_used + ({_HLL_M} - n_used) * (1::BIGINT << 50) AS DOUBLE)
+               AS est_distinct
+    FROM agg
+)
+SELECT est.*, ex.exact_distinct
+FROM est JOIN (SELECT event_type, count(DISTINCT user_day) AS exact_distinct
+               FROM keyed GROUP BY 1) ex USING (event_type)
+""",
+)
+def q71_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct user-days per event type (DAU sketching —
+    operators/sketches.py:hll_registers). One scan, map-side-partial
+    max into <=256 registers per group; the estimate is exact-integer
+    harmonic math so the oracle replays it bit-for-bit (the md5 hash
+    path; xxhash64 is the production default). exact_distinct rides
+    along to show the ~1.04/sqrt(m)=6.5% error band."""
+    from db_cdc_poc_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("user_day"),
+    )
+    est = sk.hll_distinct(keyed, "user_day", ["event_type"], p=_HLL_P, hash_fn="md5")
+    exact = keyed.groupBy("event_type").agg(
+        F.countDistinct("user_day").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+@_q(
+    "q72_bloom_decontam",
+    oracle="""
+WITH pos AS (
+    SELECT doc_id, text, unnest([
+        CAST(('0x' || substr(md5(text || '#0'), 1, 8))::UBIGINT % 65536 AS BIGINT),
+        CAST(('0x' || substr(md5(text || '#1'), 1, 8))::UBIGINT % 65536 AS BIGINT),
+        CAST(('0x' || substr(md5(text || '#2'), 1, 8))::UBIGINT % 65536 AS BIGINT),
+        CAST(('0x' || substr(md5(text || '#3'), 1, 8))::UBIGINT % 65536 AS BIGINT)
+    ]) AS p
+    FROM documents
+), bits AS (
+    SELECT DISTINCT p FROM pos WHERE doc_id IN
+        (SELECT doc_id FROM documents WHERE source = 'src0')
+)
+SELECT doc_id,
+       CAST(count(bits.p) AS INT) AS hits,
+       count(bits.p) = 4 AS maybe_member
+FROM pos LEFT JOIN bits USING (p)
+GROUP BY doc_id
+""",
+)
+def q72_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter "seen before?" check of every document against the
+    src0 reference corpus (operators/sketches.py:bloom_hits): k=4 md5
+    positions in a 2^16-bit filter, represented as the distinct
+    set-position table (KB-scale however large the member corpus) and
+    broadcast — candidates shuffle once on doc_id, members are scanned
+    once and never row-joined. False positives possible by contract,
+    false negatives impossible; the oracle replays positions exactly."""
+    from db_cdc_poc_spark.operators import sketches as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    members = docs.filter(F.col("source") == "src0")
+    return sk.bloom_hits(
+        docs, members, key_col="text", id_col="doc_id", k=4, m_bits=1 << 16
+    )
+
+
+@_q(
+    "q73_chunk_dedup",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), ck AS (
+    SELECT doc_id, ci - 1 AS chunk_id,
+           array_to_string(toks[(ci-1)*8+1 : ci*8], ' ') AS chunk_text
+    FROM tk, unnest(range(1, CAST(ceil(len(toks) / 8.0) AS BIGINT) + 1)) AS t(ci)
+), rk AS (
+    SELECT doc_id, chunk_id, chunk_text,
+           row_number() OVER (
+               PARTITION BY CAST(('0x' || substr(md5(chunk_text), 1, 16))::UBIGINT
+                                 & 9223372036854775807 AS BIGINT)
+               ORDER BY doc_id, chunk_id) AS rk
+    FROM ck
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_chunks,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN rk = 1 THEN chunk_text END,
+                               ' ' ORDER BY chunk_id), '')) AS kept_fp
+FROM rk GROUP BY doc_id
+""",
+)
+def q73_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-chunk removal (text.py:dedup_chunks):
+    CCNet/RefinedWeb-style boilerplate dedup at 8-token-chunk
+    granularity — first corpus-wide occurrence of a chunk survives,
+    repeats are dropped from later documents. Rank-over-hash, never a
+    self-join: a chunk shared by d docs costs d rows, not d^2 pairs.
+    md5 hash path so the oracle replays the keep decision and the
+    reassembled-text fingerprint value-for-value."""
+    from db_cdc_poc_spark.operators.text import dedup_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_chunks(docs, window=8, hash_fn="md5")
+    return out.select(F.col("id").alias("doc_id"), "n_chunks", "n_kept", "kept_fp")
+
+
+@_q(
+    "q74_quantize_embeddings",
+    oracle="""
+WITH amax AS (
+    SELECT vec_id,
+           len(embedding) AS dim,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale
+    FROM embeddings
+), q AS (
+    SELECT vec_id, dim, scale,
+           CASE WHEN scale = 0
+                THEN [0.0 for v in embedding]
+                ELSE [round(CAST(v AS DOUBLE) / scale, 0) for v in embedding]
+           END AS qs,
+           [CAST(v AS DOUBLE) for v in embedding] AS vs
+    FROM amax JOIN embeddings USING (vec_id)
+)
+SELECT vec_id,
+       CAST(dim AS INT) AS dim,
+       scale,
+       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+       CAST(list_min(qs) AS INT) AS q_min,
+       CAST(list_max(qs) AS INT) AS q_max,
+       list_max([abs(vs[i] - qs[i] * scale)
+                 for i in range(1, CAST(dim AS BIGINT) + 1)]) AS max_abs_err
+FROM q
+""",
+)
+def q74_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization audit
+    (similarity.py:quantize_embeddings): per-vector scale = max|v|/127,
+    integer code digest (sum/min/max — exact, order-free) and max
+    reconstruction error (per-element IEEE arithmetic, order-free max).
+    Explode + window, never a scalar-in-lambda HOF (the per-element
+    re-evaluation trap); groupBy rides the window's partitioning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.quantize_embeddings(emb).select(
+        F.col("id").alias("vec_id"),
+        "dim",
+        "scale",
+        "q_sum",
+        "q_min",
+        "q_max",
+        "max_abs_err",
+    )
+
+
+@_q(
+    "q75_rolling_window",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(round(value * 100, 0)) OVER w AS BIGINT) AS value_cents_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q75_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling aggregates: per-user trailing-1-hour event
+    count and spend at every event (RANGE frame over event time — the
+    per-event form of q38's tumbling buckets; frames are time-bounded
+    so ts ties are peers in both engines). One shuffle on user_id;
+    state per partition is the 1-hour frame, independent of history
+    length. Money as integer cents (order-free exact sums)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.round(F.col("value") * 100, 0)).over(w).cast("long").alias("value_cents_1h"),
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
