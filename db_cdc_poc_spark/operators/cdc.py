@@ -90,3 +90,49 @@ def apply_changes(
         latest = latest.filter(~cond)
     drop = [c for c in except_columns if c in latest.columns]
     return latest.drop(*drop) if drop else latest
+
+
+def apply_changes_scd2(
+    source: DataFrame,
+    keys: str | Sequence[str],
+    sequence_by: str,
+    apply_as_deletes: Column | str | None = None,
+    except_columns: Sequence[str] = (),
+    tie_breakers: str | Sequence[str] = (),
+    start_col: str = "__START_AT",
+    end_col: str = "__END_AT",
+) -> DataFrame:
+    """SCD Type 2 history from a changelog — DLT's
+    ``apply_changes(..., stored_as_scd_type=2)`` surface (the reference
+    runs type 1 at 03_Data_Ingestion.py:318-326; type 2 is the same
+    call with versioned output, provided here for parity).
+
+    Every upsert opens a version effective at its sequence value; the
+    next change to the key (upsert OR delete) closes it. Delete rows
+    close the open version without emitting one. The newest row per
+    key, if not a delete, has ``end_col`` NULL (the current version).
+
+    Unlike type 1 (``apply_changes``), no map-side reduction is
+    possible: the OUTPUT is the history, so every change row must reach
+    its key's partition — one window shuffle on the keys, state per
+    key = one lookahead row (lead), memory-flat however long the
+    history. Ties on the sequence are made total with ``tie_breakers``
+    so intervals are deterministic and oracle-comparable.
+    """
+    from pyspark.sql import Window
+
+    keys = _as_list(keys)
+    order_cols = [sequence_by, *_as_list(tie_breakers)]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    ended = source.withColumn(end_col, F.lead(sequence_by).over(w))
+    if apply_as_deletes is not None:
+        cond = (
+            F.expr(apply_as_deletes)
+            if isinstance(apply_as_deletes, str)
+            else apply_as_deletes
+        )
+        ended = ended.filter(~cond)
+    out = ended.withColumn(start_col, F.col(sequence_by))
+    drop = [c for c in except_columns if c in out.columns]
+    cols = [c for c in source.columns if c not in drop] + [start_col, end_col]
+    return out.select(*cols)

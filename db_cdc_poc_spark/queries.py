@@ -2612,5 +2612,290 @@ def q75_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q76_merge_into",
+    oracle="""
+WITH t AS (
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+    FROM customer
+), s AS (
+    SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+           CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
+    UNION ALL SELECT -1, 0, 123400
+)
+SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN t.c_custkey IS NULL THEN 'NEW' ELSE t.c_name END AS c_name,
+       CASE WHEN t.c_custkey IS NULL THEN 'NEW' ELSE t.c_mktsegment END
+           AS c_mktsegment,
+       CASE WHEN t.c_custkey IS NULL THEN s.total_cents
+            WHEN s.c_custkey IS NOT NULL THEN t.acctbal_cents + s.total_cents
+            ELSE t.acctbal_cents END AS acctbal_cents
+FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+           AND s.n_orders >= 20)
+""",
+)
+def q76_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic MERGE INTO (operators/merge.py): recent-order totals
+    merged into the customer table — WHEN MATCHED AND n_orders >= 20
+    DELETE (churn the hottest accounts), WHEN MATCHED UPDATE the
+    balance, WHEN NOT MATCHED INSERT (a planted new key exercises the
+    insert clause; pre-1997 customers exercise keep-as-is). One
+    full-outer join on the key, every clause a codegen'd CASE — the
+    lakehouse MERGE semantics without an engine dependency."""
+    from db_cdc_poc_spark.operators.merge import merge_into
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acctbal_cents"),
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _cents(F.col("o_totalprice")).alias("total_cents"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, 0, 123400)], "c_custkey bigint, n_orders bigint, total_cents bigint"
+            )
+        )
+    )
+    return merge_into(
+        cust,
+        src,
+        on="c_custkey",
+        matched_update={"acctbal_cents": "t.acctbal_cents + s.total_cents"},
+        matched_delete="s.n_orders >= 20",
+        not_matched_insert={
+            "c_name": "'NEW'",
+            "c_mktsegment": "'NEW'",
+            "acctbal_cents": "s.total_cents",
+        },
+    )
+
+
+@_q(
+    "q77_scd2",
+    oracle="""
+WITH src AS (
+    SELECT user_id, event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+           epoch_us(ts) AS seq_us, event_id
+    FROM events
+), led AS (
+    SELECT user_id, event_type, value_cents, seq_us,
+           lead(seq_us) OVER (PARTITION BY user_id
+                              ORDER BY seq_us, event_id) AS end_us
+    FROM src
+)
+SELECT user_id, event_type, value_cents,
+       seq_us AS "__START_AT", end_us AS "__END_AT"
+FROM led WHERE event_type <> 'error'
+""",
+)
+def q77_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history (operators/cdc.py:apply_changes_scd2 — the
+    stored_as_scd_type=2 form of the reference's apply_changes): each
+    event opens a version of its user's row, the next change closes
+    it, and 'error' rows act as deletes — they close the open version
+    without emitting one. One window shuffle; per-key state is a
+    single lookahead row regardless of history length."""
+    from db_cdc_poc_spark.operators.cdc import apply_changes_scd2
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        F.unix_micros("ts").alias("seq_us"),
+        "event_id",
+    )
+    return apply_changes_scd2(
+        ev,
+        keys="user_id",
+        sequence_by="seq_us",
+        apply_as_deletes="event_type = 'error'",
+        except_columns=["event_id", "seq_us"],
+        tie_breakers="event_id",
+    )
+
+
+@_q(
+    "q78_grouping_sets",
+    oracle="""
+SELECT coalesce(source, '*') AS source_k, coalesce(lang, '*') AS lang_k,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((source), (lang), (source, lang), ())
+""",
+)
+def q78_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS corpus data card: per-source, per-lang, per-cell
+    and grand-total document/char counts in ONE pass (Catalyst expands
+    the sets into a single Expand + aggregate — no self-union of four
+    scans). The coalesced '*' keys make roll-up rows self-describing
+    (source/lang are non-null in the data)."""
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__q78_docs")
+    return spark.sql(
+        """
+        SELECT coalesce(source, '*') AS source_k, coalesce(lang, '*') AS lang_k,
+               count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM __q78_docs
+        GROUP BY GROUPING SETS ((source), (lang), (source, lang), ())
+        """
+    )
+
+
+@_q(
+    "q79_bpe_pairs",
+    oracle="""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+), pairs AS (
+    SELECT substr(tok, CAST(i AS INT), 2) AS pair
+    FROM toks, unnest(range(1, length(tok))) AS t(i)
+    WHERE length(tok) >= 2
+)
+SELECT pair, n FROM (
+    SELECT pair, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+    FROM pairs GROUP BY pair
+) WHERE rk <= 30
+""",
+)
+def q79_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge candidates: corpus-wide counts of adjacent symbol
+    pairs within words — the inner loop of byte-pair-encoding tokenizer
+    training (the top pair is the next merge). Tokens explode once,
+    positions explode once (total chars, not chars^2), then a two-level
+    count and TakeOrderedAndProject pick the top 30 (ties by pair)."""
+    from db_cdc_poc_spark.operators.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(whitespace_tokens("text")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"), "tok"
+    ).select(F.expr("substring(tok, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
+
+
+@_q(
+    "q80_funnel",
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(epoch_us(ts)) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+    GROUP BY 1
+), p AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+    GROUP BY 1
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            ELSE 1 END AS stage
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def q80_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> later click -> later purchase) per user:
+    three cascaded keyed aggregates — each stage's anchor time joins
+    back to the events once, so ordering is enforced by a predicate,
+    not a per-user sort. All joins and aggs share the user_id key, so
+    AQE coalesces them onto one partitioning."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage"),
+        )
+    )
+
+
+@_q(
+    "q81_retention",
+    oracle="""
+WITH cohort AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS c_day FROM events GROUP BY 1
+)
+SELECT strftime(c_day, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', c_day, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN cohort USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q81_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-seen day, activity
+    counted per (cohort, day-offset) cell — the standard growth
+    matrix. The cohort dim is keyed on user_id (broadcast-sized here;
+    co-partitioned with the fact at scale) and the matrix is one
+    distinct-aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("c_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            F.date_format("c_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("c_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
