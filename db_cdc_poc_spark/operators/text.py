@@ -17,6 +17,8 @@ shuffle, no state; they pipeline with the scan and prune to the single
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,11 +54,27 @@ def regex_token_count(text: Column | str, pattern: str = TOKEN_REGEX) -> Column:
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
-    """Fraction of lowercase whitespace tokens that are stopwords."""
-    toks = F.transform(whitespace_tokens(text), lambda t: F.lower(t))
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    n = F.size(toks)
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    """Fraction of lowercase whitespace tokens that are stopwords.
+
+    Counted with ONE compiled-regex pass over the raw text:
+    ``(?<=^|\s)(w1|w2|...)(?=\s|$)`` on ``lower(text)`` is exactly
+    token equality, because whitespace tokens are the maximal
+    non-whitespace runs (lookarounds don't consume, so adjacent hits
+    both count). Equivalence to the array form is asserted in
+    test_text.py. No higher-order functions: the former
+    filter+array_contains lambda was interpreted per token per
+    language AND paid a multi-second one-time expression-compile on
+    first evaluation (the 8.6 s cold q26 bench sample); the DFA scan
+    is codegen'd and starts fast.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    pat = (
+        r"(?<=^|\s)(?:"
+        + "|".join(re.escape(w) for w in STOPWORDS[lang])
+        + r")(?=\s|$)"
+    )
+    n = F.size(whitespace_tokens(t))
+    hits = F.regexp_count(F.lower(t), F.lit(pat))
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
@@ -69,13 +87,12 @@ def punct_ratio(text: Column | str) -> Column:
 
 
 def mean_word_length(text: Column | str) -> Column:
-    toks = whitespace_tokens(text)
-    n = F.size(toks)
-    total = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    """Mean token length = non-whitespace chars / token count — no
+    per-token aggregate lambda (token chars are exactly the chars that
+    survive stripping ``\s+``)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.size(whitespace_tokens(t))
+    total = F.length(F.regexp_replace(t, r"\s+", ""))
     return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
 
 

@@ -2390,6 +2390,7 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
 
 @_q(
     "q71_hll_distinct",
+    headline=True,
     oracle=f"""
 WITH keyed AS (
     SELECT event_type,
@@ -2493,6 +2494,7 @@ def q72_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q73_chunk_dedup",
+    headline=True,
     oracle="""
 WITH tk AS (
     SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks

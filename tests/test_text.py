@@ -213,3 +213,53 @@ def test_redact_pii_is_map_only(spark):
     df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
     plan = tx.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_stopword_ratio_regex_equals_array_form(spark):
+    """The regex-count implementation == the array filter+contains
+    form it replaced (token equality over maximal non-whitespace
+    runs), on edge-shaped rows: adjacent stopwords, leading/trailing
+    whitespace, punctuation-glued tokens, empty text."""
+    from db_cdc_poc_spark.operators.text import (
+        STOPWORDS,
+        mean_word_length,
+        stopword_ratio,
+        whitespace_tokens,
+    )
+
+    rows = [
+        ("the the the",),
+        ("  the  a  of  ",),
+        ("the. a, of!",),  # glued punctuation: NOT token matches
+        ("",),
+        ("athe thea the",),
+        ("The A oF",),  # case folds
+        ("x\tthe\ny",),  # tabs/newlines are token boundaries
+    ]
+    df = spark.createDataFrame(rows, "text string")
+
+    def sw_array(text, lang):
+        toks = F.transform(whitespace_tokens(text), lambda t: F.lower(t))
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        n = F.size(toks)
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+    def mwl_array(text):
+        toks = whitespace_tokens(text)
+        n = F.size(toks)
+        total = F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        )
+        return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+    got = df.select(
+        *[stopword_ratio("text", lg).alias(f"n_{lg}") for lg in STOPWORDS],
+        mean_word_length("text").alias("n_mwl"),
+        *[sw_array("text", lg).alias(f"o_{lg}") for lg in STOPWORDS],
+        mwl_array("text").alias("o_mwl"),
+    ).collect()
+    for r in got:
+        for lg in STOPWORDS:
+            assert r[f"n_{lg}"] == r[f"o_{lg}"], (r, lg)
+        assert r["n_mwl"] == r["o_mwl"], r
