@@ -214,3 +214,113 @@ def bloom_hits(
             (F.col("hits") == k).alias("maybe_member"),
         )
     )
+
+
+def cm_positions(key: Column, depth: int = 4, width: int = 4096) -> Column:
+    """Array of ``depth`` (row, position) structs for a count-min
+    sketch: row i hashes the key with salt ``#i`` (md5 — portable and
+    oracle-replayable, like :func:`bloom_positions`)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.conv(
+                    F.substring(F.md5(F.concat(key.cast("string"), F.lit(f"#{i}"))), 1, 8),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .__mod__(F.lit(width))
+                .alias("pos"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cm_counters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Count-min sketch counters (Cormode & Muthukrishnan 2005):
+    ``depth x width`` cells, cell (r, pos) = number of input rows whose
+    salted hash lands there.
+
+    Output: (r, pos, c) — at most ``depth*width`` rows (16K cells at
+    the defaults) REGARDLESS of input size: the explode emits depth
+    rows per input row, and the groupBy's map-side partial collapses
+    them to the cell space before the shuffle. Two sketches merge by
+    summing cells (the CM union property) — same shape as
+    :func:`hll_registers` merging by max.
+    """
+    key = F.col(key_col)
+    return (
+        df.select(F.explode(cm_positions(key, depth, width)).alias("e"))
+        .groupBy(F.col("e.r").alias("r"), F.col("e.pos").alias("pos"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cm_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Point-query the sketch: est(key) = min over rows of the key's
+    cell — an overestimate of the true count (never under), within
+    ``e*N/width`` with probability ``1 - e^-depth``.
+
+    Plan: the counter table is cell-space-sized, so it broadcasts; the
+    keys explode to ``depth`` probe rows and aggregate back by key —
+    one shuffle on the key, none on the corpus the sketch summarized.
+    Output: (<key_col>, est).
+    """
+    key = F.col(key_col)
+    probes = keys.select(
+        key.alias("k"), F.explode(cm_positions(key, depth, width)).alias("e")
+    ).select("k", F.col("e.r").alias("r"), F.col("e.pos").alias("pos"))
+    return (
+        probes.join(F.broadcast(counters), ["r", "pos"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+        .select(F.col("k").alias(key_col), F.col("est").cast("long").alias("est"))
+    )
+
+
+def table_checksums(
+    df: DataFrame,
+    key_col: str,
+    digest_cols: list[str] | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Anti-entropy bucket checksums: (bucket, n, checksum) — ``n_buckets``
+    (count, xor-of-row-digest) cells that summarize the table.
+
+    Two copies of a keyed table (a CDC source and its target, two
+    replicas) compare by exchanging just this summary; buckets whose
+    cells differ are re-synced row-by-row — the Merkle-style repair
+    loop, one level deep. xor is order-free and self-inverse, so the
+    checksum is partitioning-independent and a row's insert+delete
+    cancels exactly. Both the digest and the bucket come from md5 so
+    the summary is portable across engines (DuckDB, or whatever system
+    holds the other copy).
+
+    Callers pass ``digest_cols`` already canonicalized to exact-integer
+    or string form (floats format differently across engines; integer
+    strings don't).
+    """
+    cols = digest_cols if digest_cols is not None else df.columns
+    mask = (1 << 63) - 1
+    digest = token_hash64(F.concat_ws("|", *cols), "md5").bitwiseAND(F.lit(mask))
+    bucket = token_hash64(F.col(key_col).cast("string"), "md5").bitwiseAND(
+        F.lit(mask)
+    ) % F.lit(n_buckets)
+    return (
+        df.select(bucket.alias("bucket"), digest.alias("digest"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.bit_xor("digest").alias("checksum"))
+    )

@@ -2899,5 +2899,107 @@ def q81_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q82_countmin_heavy",
+    oracle="""
+WITH terms AS (
+    SELECT lower(unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> ''))) AS term
+    FROM documents
+), pts AS (
+    SELECT term, r,
+           CAST(('0x' || substr(md5(term || '#' || CAST(r AS VARCHAR)), 1, 8))
+                ::UBIGINT % 4096 AS BIGINT) AS pos
+    FROM terms, unnest(range(4)) AS t(r)
+), counters AS (
+    SELECT r, pos, count(*) AS c FROM pts GROUP BY 1, 2
+), probes AS (
+    SELECT DISTINCT term, r,
+           CAST(('0x' || substr(md5(term || '#' || CAST(r AS VARCHAR)), 1, 8))
+                ::UBIGINT % 4096 AS BIGINT) AS pos
+    FROM terms, unnest(range(4)) AS t(r)
+), est AS (
+    SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+    FROM probes LEFT JOIN counters USING (r, pos)
+    GROUP BY term
+), exact AS (
+    SELECT term, count(*) AS exact_n FROM terms GROUP BY 1
+)
+SELECT term, est, exact_n FROM (
+    SELECT term, est, exact_n,
+           row_number() OVER (ORDER BY est DESC, term) AS rk
+    FROM est JOIN exact USING (term)
+) WHERE rk <= 20
+""",
+)
+def q82_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (operators/sketches.py:cm_counters/
+    cm_estimate): term frequencies estimated from a 4x4096-cell sketch
+    (fixed KB footprint however large the corpus; cells merge by sum),
+    top-20 by estimate with exact counts alongside — CM never
+    underestimates, so the sketch top-K is a superset screen for the
+    true one. Counter build is explode+map-side-partial; probes join
+    the broadcast cell table."""
+    from db_cdc_poc_spark.operators import sketches as sk
+    from db_cdc_poc_spark.operators.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.transform(whitespace_tokens("text"), lambda t: F.lower(t))).alias(
+            "term"
+        )
+    )
+    counters = sk.cm_counters(terms, "term", depth=4, width=4096)
+    est = sk.cm_estimate(terms.distinct(), counters, "term", depth=4, width=4096)
+    exact = terms.groupBy("term").agg(F.count("*").alias("exact_n"))
+    return (
+        est.join(exact, "term")
+        .orderBy(F.col("est").desc(), "term")
+        .limit(20)
+    )
+
+
+@_q(
+    "q83_table_checksums",
+    oracle="""
+WITH canon AS (
+    SELECT CAST(('0x' || substr(md5(concat_ws('|', event_id, user_id, event_type,
+                     CAST(round(value * 100, 0) AS BIGINT), epoch_us(ts))), 1, 16))
+                ::UBIGINT & 9223372036854775807 AS BIGINT) AS digest,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
+                ::UBIGINT & 9223372036854775807 AS BIGINT) % 64 AS bucket
+    FROM events
+)
+SELECT bucket, count(*) AS n, bit_xor(digest) AS checksum
+FROM canon GROUP BY bucket
+""",
+)
+def q83_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy bucket checksums: 64 (count, xor-of-row-digest)
+    cells summarize the whole table, so a CDC source and target can be
+    compared without moving either (mismatched buckets are then
+    re-synced individually — the Merkle-style repair loop,
+    cf. streaming/cdc.py's bucketed state layout). Map-side-partial
+    xor/count; md5 row digests make the checksum engine-portable.
+    Money and time are canonicalized to exact integers before
+    digesting (float formatting is NOT portable; integer strings
+    are)."""
+    from db_cdc_poc_spark.operators.sketches import table_checksums
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return table_checksums(
+        ev,
+        key_col="event_id",
+        digest_cols=["event_id", "user_id", "event_type", "value_cents", "ts_us"],
+        n_buckets=64,
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -154,3 +154,71 @@ def test_quantize_single_shuffle(spark):
 @pytest.fixture()
 def sf_dir():
     return "/root/testdata/sf0.001"
+
+
+def test_cm_counters_match_hashlib(spark):
+    import hashlib as h
+
+    keys = ["a", "b", "a", "c", "a", "b"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {(r.r, r.pos): r.c for r in sk.cm_counters(df, "k", depth=2, width=64).collect()}
+    want: dict[tuple[int, int], int] = {}
+    for k in keys:
+        for r in range(2):
+            pos = int(h.md5(f"{k}#{r}".encode()).hexdigest()[:8], 16) % 64
+            want[(r, pos)] = want.get((r, pos), 0) + 1
+    assert got == want
+
+
+def test_cm_never_underestimates_and_exact_when_sparse(spark):
+    df = spark.range(3000).select(
+        (F.col("id") % 100).cast("string").alias("k")  # 100 keys x 30 each
+    )
+    counters = sk.cm_counters(df, "k", depth=4, width=4096)
+    est = {
+        r.k: r.est
+        for r in sk.cm_estimate(df.distinct(), counters, "k", depth=4, width=4096).collect()
+    }
+    exact = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert all(est[k] >= exact[k] for k in exact)  # CM overestimates only
+    # 100 keys in 4x4096 cells: collisions essentially impossible
+    assert est == exact
+
+
+def test_cm_merge_by_sum(spark):
+    a = spark.range(500).select((F.col("id") % 7).cast("string").alias("k"))
+    b = spark.range(300).select((F.col("id") % 11).cast("string").alias("k"))
+    merged = (
+        sk.cm_counters(a, "k", depth=2, width=128)
+        .unionByName(sk.cm_counters(b, "k", depth=2, width=128))
+        .groupBy("r", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = sk.cm_counters(a.unionByName(b), "k", depth=2, width=128)
+    assert {(r.r, r.pos, r.c) for r in merged.collect()} == {
+        (r.r, r.pos, r.c) for r in direct.collect()
+    }
+
+
+def test_table_checksums_localize_a_difference(spark):
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    # one row's value perturbed
+    tampered = base.withColumn(
+        "v", F.when(F.col("k") == 123, F.lit(-1)).otherwise(F.col("v"))
+    )
+    a = {r.bucket: (r.n, r.checksum) for r in sk.table_checksums(base, "k").collect()}
+    b = {
+        r.bucket: (r.n, r.checksum) for r in sk.table_checksums(tampered, "k").collect()
+    }
+    diff = [bk for bk in a if a[bk] != b.get(bk)]
+    assert len(diff) == 1  # exactly the tampered row's bucket
+    assert a[diff[0]][0] == b[diff[0]][0]  # same count, different checksum
+
+
+def test_table_checksums_partitioning_invariant(spark):
+    base = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") % 13).alias("v"))
+    a = {tuple(r) for r in sk.table_checksums(base, "k").collect()}
+    b = {tuple(r) for r in sk.table_checksums(base.repartition(17), "k").collect()}
+    assert a == b
