@@ -3001,5 +3001,47 @@ def q83_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q84_ivm_aggregate",
+    oracle="""
+SELECT user_id, count(*) AS n,
+       CAST(sum(round(value * 100, 0)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+""",
+)
+def q84_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): the per-user
+    spend aggregate is built over the first half of the month, then
+    refreshed with the second half arriving as a Debezium-shaped
+    insert batch — signed delta images aggregated per touched key and
+    MERGEd into the base. The oracle is the full recompute over all
+    events: IVM's contract is exact equality with it, at
+    O(|changes| + touched keys) cost instead of O(|base|). Update and
+    delete-to-zero delta rules are exercised in test_ivm.py."""
+    from db_cdc_poc_spark.operators.ivm import delta_aggregate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        "ts",
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    base = (
+        ev.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+    img = F.struct("user_id", "value_cents")
+    changes = ev.filter(F.col("ts") >= cut).select(
+        F.lit("c").alias("op"),
+        img.alias("before"),  # never read for op='c'
+        img.alias("after"),
+    )
+    return delta_aggregate(base, changes, keys=["user_id"], measures=["value_cents"])
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

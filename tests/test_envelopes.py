@@ -89,3 +89,43 @@ def test_parse_cdc_envelope_binary_input(spark):
     )
     [r] = parse_cdc_envelope(raw).collect()
     assert r.quantity == 100
+
+
+def test_read_json_permissive_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from db_cdc_poc_spark.sources.files import read_json_permissive, split_corrupt
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "NaNo", "name": 3}\n'  # type mismatch: id unparseable
+        '{"id": 4}\n'  # missing field -> null, NOT corrupt
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    df = read_json_permissive(spark, str(p), schema)
+    clean, bad = split_corrupt(df)
+    got = {(r.id, r.name) for r in clean.collect()}
+    assert (1, "ok") in got and (2, "also ok") in got and (4, None) in got
+    raws = [r.raw for r in bad.collect()]
+    assert "this is not json" in raws
+    assert any("NaNo" in r for r in raws)
+    assert clean.count() + bad.count() == 5
+    df.unpersist()
+
+
+def test_read_json_permissive_counts_survive_full_scan(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from db_cdc_poc_spark.sources.files import read_json_permissive, split_corrupt
+
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join(['{"id": %d}' % i for i in range(50)] + ["junk"] * 3))
+    df = read_json_permissive(spark, str(p), StructType([StructField("id", LongType())]))
+    clean, bad = split_corrupt(df)
+    assert clean.count() == 50 and bad.count() == 3
+    df.unpersist()
