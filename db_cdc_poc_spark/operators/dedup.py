@@ -853,3 +853,132 @@ def embedding_neardup_pairs(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact repeated-span detection (substring-level dedup accounting)
+# --------------------------------------------------------------------------
+
+
+def span_hash_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, h) — one 64-bit hash per positional ``window``-gram span.
+
+    The unit of exact substring-level duplication analysis ("repeated
+    n-gram spans" in the deduplicating-training-data literature): every
+    length-``window`` token window, duplicates kept, hashed so the
+    corpus-wide span index carries 8 bytes per span instead of the
+    text. Map-only; documents shorter than ``window`` tokens emit no
+    rows.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams_col(text_col, window)).alias("gram"),
+    )
+    return grams.select("id", token_hash64("gram", hash_fn).alias("h"))
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-document duplicated-span accounting: how much of each doc is
+    a verbatim span shared with >= ``min_docs`` documents (itself
+    included). Output: (id, n_spans, n_dup_spans, dup_ppm).
+
+    The scale shape deliberately differs from the pair-based dedup
+    family: spans are aggregated (span-hash -> doc frequency), never
+    self-joined, so a boilerplate span in d documents costs d rows —
+    not d^2 — and the whole job is three linear shuffles (distinct
+    (h,id), count per h, re-join + per-doc aggregate). That is what
+    makes substring-level accounting feasible where a pair join is not:
+    at 100 TB the hot spans ARE the interesting ones. ``dup_ppm`` is an
+    exact integer (floor of parts-per-million), so value hashes are
+    engine-independent.
+    """
+    spans = span_hash_rows(df, id_col, text_col, window, hash_fn)
+    docfreq = (
+        spans.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("span_docs"))
+        .filter(F.col("span_docs") >= min_docs)
+    )
+    return (
+        spans.join(docfreq, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("span_docs").alias("n_dup_spans"),
+        )
+        .select(
+            "id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr("1000000 * n_dup_spans div n_spans").alias("dup_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus LSH (fuzzy decontamination / dedup against a prior corpus)
+# --------------------------------------------------------------------------
+
+
+def cross_lsh_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora via MinHash banding — the
+    fuzzy form of eval-set decontamination (decontam.contaminated_docs
+    is the exact-n-gram form) and of dedup-against-prior-training-set.
+
+    Both sides are banded with the SAME hash family, so a duplicate
+    pair collides on a band with the q21 S-curve probability
+    (miss ~ (1-J^r)^b ~ 4e-8 at J>=0.9 with 64/16); candidates come
+    from an equi-join on (band_id, band_hash) ACROSS the corpora — the
+    big side never self-joins, and a small eval set broadcasts. Every
+    candidate is exact-verified with shingle Jaccard, so output pairs
+    provably equal the exact cross-corpus pair set at the threshold.
+    Output: (id_a from df_a, id_b from df_b, jaccard).
+    """
+    ba = minhash_bands(df_a, id_col, text_col, num_hashes, bands, shingle_n).select(
+        F.col("id").alias("id_a"), "band_id", "band_hash"
+    )
+    bb = minhash_bands(df_b, id_col, text_col, num_hashes, bands, shingle_n).select(
+        F.col("id").alias("id_b"), "band_id", "band_hash"
+    )
+    cand = ba.join(bb, ["band_id", "band_hash"]).select("id_a", "id_b").distinct()
+    sh_a = df_a.select(
+        F.col(id_col).alias("id_a"),
+        word_shingles_col(text_col, shingle_n).alias("sh_a"),
+    )
+    sh_b = df_b.select(
+        F.col(id_col).alias("id_b"),
+        word_shingles_col(text_col, shingle_n).alias("sh_b"),
+    )
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

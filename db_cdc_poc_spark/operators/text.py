@@ -523,3 +523,66 @@ def dedup_chunks(
             )
         ).alias("kept_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram statistics (n-gram LM coverage / novelty scoring)
+# ---------------------------------------------------------------------------
+
+
+def bigram_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, bigram) — one row per positional token bigram, duplicates
+    kept. Built by zipping two shifted slices of the token array (each
+    input evaluated once per row — the same O(L) shape as
+    ``dedup.word_ngrams_col``). Documents under 2 tokens emit no rows.
+    """
+    toks = whitespace_tokens(text_col)
+    cnt = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, cnt),
+        F.slice(toks, 2, cnt),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(bigrams).alias("bigram")
+    )
+
+
+def bigram_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """n-gram language-model coverage scoring: train bigram counts on
+    the corpus itself, then score each document by the fraction of its
+    bigrams the corpus has seen >= ``min_count`` times — the join-based
+    skeleton of KenLM-style quality filtering (documents full of
+    never-repeated bigrams are noise/boilerplate candidates; documents
+    of all-common bigrams are template-like). Output: (id, n_bigrams,
+    n_common, common_ppm) with ``common_ppm`` an exact integer.
+
+    Scale: the count table is one row per distinct bigram (linear in
+    corpus vocabulary, map-side partial aggregation), and the re-join
+    is a shuffle equi-join on the bigram string where the count side
+    has exactly one row per key — hot boilerplate bigrams skew the
+    probe side only, which AQE skew-join splitting rebalances. Nothing
+    here is quadratic; this is the standard distributed LM-counting
+    shape.
+    """
+    rows = bigram_rows(df, id_col, text_col)
+    counts = rows.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        rows.join(counts, "bigram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(F.col("cnt") >= min_count, F.lit(1))).alias("n_common"),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            "n_common",
+            F.expr("1000000 * n_common div n_bigrams").alias("common_ppm"),
+        )
+    )

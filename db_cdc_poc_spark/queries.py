@@ -3043,5 +3043,217 @@ def q84_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_aggregate(base, changes, keys=["user_id"], measures=["value_cents"])
 
 
+# ---------------------------------------------------------------------------
+# Substring-level duplication, n-gram LM coverage, cross-corpus fuzzy
+# decontamination — the remaining corpus-analysis legs of the LLM pipeline
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q85_duplicate_spans",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+                           for i in range(1, greatest(len(toks) - 6, 1))]) AS gram
+    FROM tk WHERE len(toks) >= 8
+), s AS (
+    SELECT doc_id, ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS h FROM g
+), freq AS (
+    SELECT h, count(*) AS span_docs
+    FROM (SELECT DISTINCT doc_id, h FROM s) GROUP BY h HAVING count(*) >= 2
+)
+SELECT doc_id AS id,
+       count(*) AS n_spans,
+       count(span_docs) AS n_dup_spans,
+       1000000 * count(span_docs) // count(*) AS dup_ppm
+FROM s LEFT JOIN freq USING (h)
+GROUP BY doc_id
+""",
+    headline=True,
+)
+def q85_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span accounting (substring-level dedup, the
+    "repeated n-gram" analysis from the deduplicating-training-data
+    literature): fraction of each document's 8-token windows that occur
+    verbatim in >=2 documents. Aggregation-only — span hashes are
+    counted, never pair-joined, so boilerplate in d docs costs d rows,
+    not d^2 (see operators/dedup.py:duplicate_span_stats). md5 span
+    hashes make the oracle a full value-level replay."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.duplicate_span_stats(docs, window=8, min_docs=2, hash_fn="md5")
+
+
+@_q(
+    "q86_bigram_coverage",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), bg AS (
+    SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                           for i in range(1, greatest(len(toks), 1))]) AS bigram
+    FROM tk WHERE len(toks) >= 2
+), cnt AS (
+    SELECT bigram, count(*) AS c FROM bg GROUP BY bigram
+)
+SELECT doc_id AS id,
+       count(*) AS n_bigrams,
+       count(CASE WHEN c >= 2 THEN 1 END) AS n_common,
+       1000000 * count(CASE WHEN c >= 2 THEN 1 END) // count(*) AS common_ppm
+FROM bg JOIN cnt USING (bigram)
+GROUP BY doc_id
+""",
+)
+def q86_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram LM coverage scoring: bigram counts trained on the corpus
+    itself, each document scored by how much of it the corpus has seen
+    twice — the join-based skeleton of KenLM-style quality filters
+    (operators/text.py:bigram_coverage). All-integer output, exact
+    oracle replay."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_coverage(docs, min_count=2)
+
+
+@_q(
+    "q87_orc_roundtrip",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(sum(round(value * 100, 0)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+""",
+)
+def q87_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format source/sink: the events table written to ORC
+    (Spark's second native columnar format — same predicate-pushdown /
+    column-pruning scan surface as parquet) and read back; the
+    aggregate over the roundtripped scan must equal the oracle's
+    aggregate over the original parquet. Proves the engine isn't
+    parquet-only without needing external connector jars."""
+    ev = _t(spark, sf_dir, "events")
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    path = f"/tmp/db_cdc_poc_spark_orc/{tag}/events"
+    ev.write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _cents(F.col("value")).alias("value_cents"),
+        )
+    )
+
+
+@_q(
+    "q88_variant_extract",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+""",
+)
+def q88_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): props parsed once into
+    the binary VARIANT encoding, fields extracted with variant_get —
+    the lakehouse-native answer to schemaless JSON columns (vs q13's
+    from_json-with-declared-schema and q64's per-access string
+    get_json_object: variant parses once and field access is a binary
+    probe, not a re-parse)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.variant_get("v", "$.k", "bigint")).cast("long").alias("sum_k"),
+    )
+
+
+@_q(
+    "q89_python_datasource",
+    oracle="""
+WITH g AS (
+    SELECT i,
+           (i * 2654435761) % 97 AS user_id,
+           ['click','view','purchase','refund'][(i % 4) + 1] AS event_type,
+           (i * 1103515245 + 12345) % 10000 AS amount_cents
+    FROM range(0, 10000) t(i)
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(amount_cents) AS BIGINT) AS sum_cents,
+       CAST(sum(user_id) AS BIGINT) AS sum_user
+FROM g GROUP BY event_type
+""",
+)
+def q89_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source via the Spark 4 Python Data Source API
+    (sources/pydatasource.py): a deterministic arithmetic event feed
+    mounted as spark.read.format('synthetic_events') with real
+    InputPartition parallelism. The oracle replays the generator
+    formula over range(n) — proving the partitioned Python reader
+    produces exactly the declared rows."""
+    from db_cdc_poc_spark.sources import pydatasource
+
+    apply_runtime_confs(spark)
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 10_000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount_cents").cast("long").alias("sum_cents"),
+        F.sum("user_id").cast("long").alias("sum_user"),
+    )
+
+
+@_q(
+    "q90_fuzzy_decontam",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 1, 1))]) AS shingles
+    FROM tk WHERE len(toks) >= 3
+), ex AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sz AS (
+    SELECT doc_id, len(shingles) AS n FROM sh
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM ex a JOIN ex b ON a.shingle = b.shingle
+    WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9
+""",
+    headline=True,
+)
+def q90_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy eval-set decontamination: MinHash-LSH join BETWEEN corpora
+    (train = doc_id % 10 != 0, held-out eval = the rest) — the
+    near-duplicate complement to q52's exact-n-gram decontamination.
+    Candidates come from a band equi-join ACROSS the two sides (the
+    train corpus never self-joins; a small eval side broadcasts), each
+    verified with exact trigram Jaccard; at threshold 0.9 with 64
+    hashes / 16 bands the LSH miss probability is ~4e-8, so the output
+    provably equals the oracle's exact cross-corpus pair set
+    (operators/dedup.py:cross_lsh_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_ = docs.filter(F.col("doc_id") % 10 == 0)
+    return dd.cross_lsh_pairs(train, eval_, threshold=0.9)
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -36,6 +36,12 @@ RUNTIME_CONFS = {
     # and sources/testdata.py converts them to micros timestamps
     # (floor-division, matching DuckDB's nanos->micros truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Read parquet timestamps with isAdjustedToUTC=false as TIMESTAMP
+    # (LTZ), not TIMESTAMP_NTZ. The session TZ is pinned to UTC above, so
+    # the values are identical either way, but LTZ keeps the full function
+    # surface (unix_micros, window, watermarks) working and matches the
+    # DuckDB oracle's naive-timestamp arithmetic.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -321,3 +321,91 @@ def test_winnowed_containment_finds_planted_copy(spark):
            winnowed_containment_pairs(df, threshold=0.5).collect()}
     assert (1, 2) in out and out[(1, 2)] > 0.9
     assert not any(3 in p for p in out)
+
+
+# --------------------------------------------------------------------------
+# duplicate_span_stats (exact repeated-span accounting)
+# --------------------------------------------------------------------------
+
+
+def test_duplicate_spans_planted_boilerplate(spark):
+    boiler = "please subscribe to our newsletter for updates and offers today"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, boiler + " one two three four five six seven eight"),
+            (3, "totally original prose with no shared spans anywhere in the corpus at all"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in dd.duplicate_span_stats(df, window=8, min_docs=2).collect()}
+    # 10-token boilerplate -> its 3 complete 8-grams are shared by docs 1+2;
+    # 18 tokens per doc -> 11 8-gram spans each
+    assert out[1].n_spans == 11 and out[2].n_spans == 11
+    assert out[1].n_dup_spans == 3 and out[2].n_dup_spans == 3
+    assert out[1].dup_ppm == 1_000_000 * 3 // 11
+    assert out[3].n_dup_spans == 0
+    # doc 4 has < 8 tokens: no spans, absent from the output (documented)
+    assert 4 not in out
+
+
+def test_duplicate_spans_within_doc_repeat_not_counted_across(spark):
+    # a span repeated INSIDE one doc has doc-frequency 1 -> not "duplicated"
+    span = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, span + " x y z " + span), (2, "entirely different words never repeated elsewhere ok")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in dd.duplicate_span_stats(df, window=8, min_docs=2).collect()}
+    assert out[1].n_dup_spans == 0
+
+
+def test_duplicate_spans_md5_matches_xxhash_decisions(spark, docs):
+    a = {(r.id, r.n_spans, r.n_dup_spans)
+         for r in dd.duplicate_span_stats(docs, window=3, hash_fn="md5").collect()}
+    b = {(r.id, r.n_spans, r.n_dup_spans)
+         for r in dd.duplicate_span_stats(docs, window=3, hash_fn="xxhash64").collect()}
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# cross_lsh_pairs (cross-corpus fuzzy decontamination)
+# --------------------------------------------------------------------------
+
+
+def test_cross_lsh_finds_planted_cross_corpus_dup(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "completely different text about spark sql engines and query plans"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_ = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank now"),
+            (101, "benchmark questions about astronomy physics chemistry and biology"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.cross_lsh_pairs(train, eval_, threshold=0.5).collect()
+    }
+    # 14 tokens -> 12 trigrams, 11 shared (final today/now trigram differs):
+    # J = 11 / (12 + 12 - 11) = 11/13
+    assert set(got) == {(1, 100)}
+    assert got[(1, 100)] == pytest.approx(11 / 13, abs=1e-6)
+
+
+def test_cross_lsh_never_pairs_within_one_side(spark):
+    near_a = "one two three four five six seven eight nine ten eleven twelve"
+    train = spark.createDataFrame(
+        [(1, near_a + " alpha"), (2, near_a + " beta")], "doc_id long, text string"
+    )
+    eval_ = spark.createDataFrame(
+        [(100, "nothing in common with anything here at all whatsoever")],
+        "doc_id long, text string",
+    )
+    assert dd.cross_lsh_pairs(train, eval_, threshold=0.5).count() == 0

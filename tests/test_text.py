@@ -263,3 +263,37 @@ def test_stopword_ratio_regex_equals_array_form(spark):
         for lg in STOPWORDS:
             assert r[f"n_{lg}"] == r[f"o_{lg}"], (r, lg)
         assert r["n_mwl"] == r["o_mwl"], r
+
+
+# --------------------------------------------------------------------------
+# bigram_coverage (n-gram LM coverage scoring)
+# --------------------------------------------------------------------------
+
+
+def test_bigram_coverage_known_values(spark):
+    from db_cdc_poc_spark.operators.text import bigram_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),          # bigrams: "a b", "b c"
+            (2, "a b d"),          # bigrams: "a b", "b d"
+            (3, "x"),              # < 2 tokens: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in bigram_coverage(df, min_count=2).collect()}
+    # "a b" occurs twice corpus-wide; "b c"/"b d" once each
+    assert out[1].n_bigrams == 2 and out[1].n_common == 1
+    assert out[1].common_ppm == 500_000
+    assert out[2].n_bigrams == 2 and out[2].n_common == 1
+    assert 3 not in out
+
+
+def test_bigram_coverage_within_doc_repetition_counts(spark):
+    from db_cdc_poc_spark.operators.text import bigram_coverage
+
+    # the SAME doc repeating a bigram pushes it over min_count —
+    # coverage is an occurrence count, not a doc-frequency count
+    df = spark.createDataFrame([(1, "go go go")], "doc_id long, text string")
+    row = bigram_coverage(df, min_count=2).collect()[0]
+    assert row.n_bigrams == 2 and row.n_common == 2 and row.common_ppm == 1_000_000
