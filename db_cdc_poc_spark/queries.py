@@ -3255,5 +3255,65 @@ def q90_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cross_lsh_pairs(train, eval_, threshold=0.9)
 
 
+@_q(
+    "q91_stream_dedup_bounded",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q91_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup via dropDuplicatesWithinWatermark
+    (streaming/jobs.py): unlike q30's dropDuplicates — whose per-key
+    state never expires unless event time is part of the key — state
+    here is GUARANTEED evicted once the watermark passes, making it the
+    continuous-ingest production form. Delay wider than the data span +
+    availableNow drain => key set == batch DISTINCT (the oracle)."""
+    from db_cdc_poc_spark.streaming.jobs import stream_dedup_keys_within_watermark
+
+    return stream_dedup_keys_within_watermark(
+        spark, _staged_events_dir(spark, sf_dir), keys=["user_id", "event_type"]
+    )
+
+
+@_q(
+    "q92_python_udtf",
+    oracle="""
+WITH s AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\\.\\s+'), x -> x <> ''))
+               AS sentence
+    FROM documents
+)
+SELECT doc_id, sentence, CAST(length(sentence) AS BIGINT) AS n_chars
+FROM s
+""",
+)
+def q92_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 UDTF API): a
+    sentence-splitting table generator applied with LATERAL join —
+    the row-expanding extensibility surface (one input row -> N output
+    rows with a declared schema). Like q89's Python Data Source this is
+    the slow path by construction (row-at-a-time Python); the native
+    equivalents (explode over split, q14/q46) are the hot path — the
+    UDTF exists for logic that genuinely can't be a Column expression.
+    The oracle replays the same regex split in DuckDB."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence: string, n_chars: bigint")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: ANN001
+            import re as _re
+
+            for s in _re.split(r"\.\s+", text or ""):
+                if s != "":
+                    yield s, len(s)
+
+    docs = _t(spark, sf_dir, "documents")
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.sentence, t.n_chars "
+        "FROM __udtf_docs d, LATERAL split_sentences(d.text) t"
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 from db_cdc_poc_spark.operators.cdc import apply_changes
 from db_cdc_poc_spark.sources.testdata import load_table
 from db_cdc_poc_spark.streaming.cdc import CdcTarget, stream_apply_changes
-from db_cdc_poc_spark.streaming.jobs import stream_dedup_keys
+from db_cdc_poc_spark.streaming.jobs import (
+    stream_dedup_keys,
+    stream_dedup_keys_within_watermark,
+)
 
 from .conftest import SF_DIR
 
@@ -29,6 +32,23 @@ def test_stream_dedup_keys_equals_distinct(spark, events_dir):
     got = sorted(
         (r.user_id, r.event_type)
         for r in stream_dedup_keys(spark, events_dir, ["user_id", "event_type"]).collect()
+    )
+    want = sorted(
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(events_dir)
+        .select("user_id", "event_type").distinct().collect()
+    )
+    assert got == want
+
+
+def test_stream_dedup_within_watermark_equals_distinct(spark, events_dir):
+    # the bounded-state variant: with a delay wider than the data span,
+    # dropDuplicatesWithinWatermark's key set == batch DISTINCT
+    got = sorted(
+        (r.user_id, r.event_type)
+        for r in stream_dedup_keys_within_watermark(
+            spark, events_dir, ["user_id", "event_type"]
+        ).collect()
     )
     want = sorted(
         (r.user_id, r.event_type)
