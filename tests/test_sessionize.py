@@ -5,13 +5,18 @@ user's events arrive across micro-batches in chronological order."""
 from __future__ import annotations
 
 import os
+
+import pytest
 import tempfile
 
 from pyspark.sql import functions as F
 
 from db_cdc_poc_spark.operators.sessionize import session_summary, sessionize
 from db_cdc_poc_spark.sources.testdata import load_table
-from db_cdc_poc_spark.streaming.sessionize import stream_sessionize
+from db_cdc_poc_spark.streaming.sessionize import (
+    stream_sessionize,
+    stream_sessionize_tws,
+)
 
 from .conftest import SF_DIR
 
@@ -37,7 +42,8 @@ def test_sessionize_known_gaps(spark):
     assert summary == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
 
 
-def test_stream_sessionize_matches_batch_across_chronological_batches(spark):
+def _stage_chronological(spark):
+    """events staged as 3 time-ordered files (mtime-forced order)."""
     ev = load_table(spark, SF_DIR, "events").select("user_id", "event_id", "ts")
     # stage 3 files split at global time boundaries; force mtime order so
     # the file source drains them chronologically (one per micro-batch)
@@ -61,9 +67,14 @@ def test_stream_sessionize_matches_batch_across_chronological_batches(spark):
         os.rename(f"{staging}/{f}", dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         files.append(dst)
+    return root, files
+
+
+def _assert_stream_matches_batch(spark, stream_fn):
+    root, files = _stage_chronological(spark)
     got = {
         (r.user_id, r.event_id): r.session_seq
-        for r in stream_sessionize(
+        for r in stream_fn(
             spark, root, gap_seconds=1800, max_files_per_trigger=1
         ).collect()
         if r.event_id is not None
@@ -75,6 +86,18 @@ def test_stream_sessionize_matches_batch_across_chronological_batches(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_sessionize_matches_batch_across_chronological_batches(spark):
+    _assert_stream_matches_batch(spark, stream_sessionize)
+
+
+def test_stream_sessionize_tws_matches_batch_across_chronological_batches(spark):
+    # same fold, same parity, on Spark 4's transformWithStateInPandas.
+    # The tws state protocol needs google.protobuf, which this
+    # environment lacks (no pip) — skip there, run anywhere real.
+    pytest.importorskip("google.protobuf")
+    _assert_stream_matches_batch(spark, stream_sessionize_tws)
 
 
 def test_sessionize_invariants_property(spark):
