@@ -297,3 +297,29 @@ def test_cdc_schema_evolution_additive_column(spark, tmp_path):
     )
     cur2 = {r.k: (r.v, r.extra) for r in t.current(spark).collect()}
     assert cur2[2] == ("b2", None) and cur2[1] == ("a2", "X")
+
+
+def test_streaming_state_on_rocksdb_matches_default_store(spark, events_dir):
+    # the production state backend for large keyspaces: RocksDB spills
+    # state to local disk instead of keeping it JVM-heap-resident.
+    # Same query, same results, different provider — proving the
+    # operators don't depend on the default HDFS-backed store.
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    default = sorted(
+        (r.user_id, r.event_type)
+        for r in stream_dedup_keys(spark, events_dir, ["user_id", "event_type"]).collect()
+    )
+    spark.conf.set(provider_conf, rocksdb)
+    try:
+        rocks = sorted(
+            (r.user_id, r.event_type)
+            for r in stream_dedup_keys(
+                spark, events_dir, ["user_id", "event_type"]
+            ).collect()
+        )
+    finally:
+        spark.conf.unset(provider_conf)
+    assert rocks == default
