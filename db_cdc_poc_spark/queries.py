@@ -1332,10 +1332,11 @@ def q40_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q41_TABLES, _Q41_BITS = 16, 2
 
 
-def _q41_oracle(threshold: float = 0.4) -> str:
+def _q41_oracle(threshold: float = 0.4, tail: str | None = None) -> str:
     """DuckDB replica of the bucketed near-dup pipeline (same
     engine-independent-weights technique as q25): buckets -> candidate
-    equi-join -> exact cosine verify."""
+    equi-join -> exact cosine verify. ``tail`` swaps the final SELECT
+    (q93 reuses the CTE chain for its survivor anti-join)."""
     w = sim.rademacher_weights(_Q41_TABLES, _Q41_BITS, _Q25_DIM)
     values = ",\n".join(
         f"({t}, {p}, [{', '.join(str(x) for x in w[(t, p)])}]::DOUBLE[])"
@@ -1368,8 +1369,8 @@ WITH w(tbl, p, wv) AS (VALUES
     JOIN v x ON x.vec_id = c.id_a
     JOIN v y ON y.vec_id = c.id_b
 )
-SELECT id_a, id_b, round(cos_raw, 6) AS cosine
-FROM scored WHERE cos_raw >= {threshold}
+{tail if tail is not None else
+     f"SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM scored WHERE cos_raw >= {threshold}"}
 """
 
 
@@ -3313,6 +3314,37 @@ def q92_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.sentence, t.n_chars "
         "FROM __udtf_docs d, LATERAL split_sentences(d.text) t"
     )
+
+
+@_q(
+    "q93_semantic_dedup",
+    oracle=_q41_oracle(
+        0.4,
+        tail="""
+SELECT e.vec_id, e.label
+FROM embeddings e
+LEFT JOIN (SELECT DISTINCT id_b FROM scored WHERE cos_raw >= 0.4) d
+       ON e.vec_id = d.id_b
+WHERE d.id_b IS NULL
+""",
+    ),
+)
+def q93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup shape): embedding near-dup
+    pairs from the bucketed scale path (q41's hyperplane candidates +
+    exact cosine verify), then a greedy min-id survivor rule — any
+    vector whose cosine to a SMALLER-id vector clears the threshold is
+    dropped via one left-anti join. Deterministic, no driver state, and
+    the drop set is linear in the pair count (the cluster-exact variant
+    is q40's connected components; greedy-by-id is the common
+    production choice because it needs no iteration)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    weights = sim.rademacher_weights(_Q41_TABLES, _Q41_BITS, _Q25_DIM)
+    pairs = sim.neardup_pairs_bucketed(
+        emb, threshold=0.4, tables=_Q41_TABLES, bits=_Q41_BITS, weights=weights
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
 
 
 def registry() -> dict[str, Query]:

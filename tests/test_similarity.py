@@ -177,3 +177,23 @@ def test_ivf_topk_probes_cover_own_list(spark):
     # 4/~32 lists probed on near-orthogonal data: recall is the
     # selectivity tradeoff; just require it beats random chance by far
     assert len(exact & approx) / len(exact) >= 0.2
+
+
+def test_semantic_dedup_keeps_min_id_survivor(spark):
+    # three copies of one vector + one distinct vector: the greedy
+    # min-id rule keeps exactly the smallest copy and the distinct one
+    base = [1.0] + [0.0] * 63
+    other = [0.0] * 63 + [1.0]
+    emb = spark.createDataFrame(
+        [(1, base, 0), (2, base, 0), (3, base, 0), (10, other, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    w = sim.rademacher_weights(8, 4, 64)
+    pairs = sim.neardup_pairs_bucketed(
+        emb, threshold=0.99, tables=8, bits=4, weights=w
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    kept = sorted(
+        r.vec_id for r in emb.join(dropped, "vec_id", "left_anti").collect()
+    )
+    assert kept == [1, 10]
