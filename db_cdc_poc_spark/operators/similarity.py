@@ -653,3 +653,52 @@ def quantize_embeddings(
             F.max("err").alias("max_abs_err"),
         )
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-k most-similar corpus vectors with a DIFFERENT label — the
+    highest-value negatives precisely because the model currently finds
+    them similar.
+
+    Same plan shape as ``cosine_topk`` (broadcast query side, per-row
+    norms below the join, per-query ranking window) with the label
+    inequality folded into the join condition, so excluded same-label
+    pairs are never scored. Output: (query_id, negative_id, cosine,
+    rank), ties broken by negative_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+        norm(vec_col).alias("qn"),
+    )
+    c = df.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("c_label"),
+        norm(vec_col).alias("cn"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("q_label") != F.col("c_label")
+    ).withColumn("cosine", paired_cosine("qv", "cv", "qn", "cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "negative_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -3347,5 +3347,37 @@ def q93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
 
 
+@_q(
+    "q94_hard_negatives",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, e, label,
+           sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings)
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+           CASE WHEN q.nrm * c.nrm > 0
+                THEN list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                ELSE 0.0 END AS cos_raw
+    FROM v q JOIN v c ON q.label <> c.label
+    WHERE q.vec_id < 10
+)
+SELECT query_id, negative_id, round(cos_raw, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, negative_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
+)
+def q94_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): per query
+    vector, the top-5 most-similar vectors of a DIFFERENT label — the
+    contrastive-training data op. Same broadcast-query/corpus-stays-put
+    plan as q24 with the label inequality in the join condition."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -197,3 +197,19 @@ def test_semantic_dedup_keeps_min_id_survivor(spark):
         r.vec_id for r in emb.join(dropped, "vec_id", "left_anti").collect()
     )
     assert kept == [1, 10]
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    # nearest same-label vector must NOT appear; the best different-label
+    # vector must rank 1
+    a = [1.0] + [0.0] * 63
+    near_same = [0.999] + [0.001] + [0.0] * 62   # same label, closest
+    near_diff = [0.9] + [0.1] + [0.0] * 62       # different label
+    far_diff = [0.0] * 63 + [1.0]                # different label, orthogonal
+    emb = spark.createDataFrame(
+        [(1, a, 0), (2, near_same, 0), (3, near_diff, 1), (4, far_diff, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = sim.hard_negatives(emb, emb.filter(F.col("vec_id") == 1), k=2).collect()
+    got = [(r.negative_id, r.rank) for r in sorted(rows, key=lambda r: r.rank)]
+    assert got == [(3, 1), (4, 2)]  # 2 (same label) excluded entirely
