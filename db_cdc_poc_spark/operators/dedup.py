@@ -906,18 +906,24 @@ def duplicate_span_stats(
     engine-independent.
     """
     spans = span_hash_rows(df, id_col, text_col, window, hash_fn)
+    # Pre-aggregate to one row per (doc, span): everything downstream —
+    # the doc-frequency count, the re-join, the per-doc rollup — then
+    # carries distinct (id, h) rows instead of raw occurrences, so a
+    # span repeated k times inside one document costs one joined row,
+    # and the occurrence multiplicity survives as an integer weight.
+    per_doc = spans.groupBy("id", "h").agg(F.count(F.lit(1)).alias("occ"))
     docfreq = (
-        spans.distinct()
-        .groupBy("h")
+        per_doc.groupBy("h")
         .agg(F.count(F.lit(1)).alias("span_docs"))
         .filter(F.col("span_docs") >= min_docs)
     )
     return (
-        spans.join(docfreq, "h", "left")
+        per_doc.join(docfreq, "h", "left")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.count("span_docs").alias("n_dup_spans"),
+            F.sum("occ").alias("n_spans"),
+            F.sum(F.when(F.col("span_docs").isNotNull(), F.col("occ")).otherwise(F.lit(0)))
+            .alias("n_dup_spans"),
         )
         .select(
             "id",

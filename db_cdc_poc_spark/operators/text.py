@@ -571,13 +571,19 @@ def bigram_coverage(
     shape.
     """
     rows = bigram_rows(df, id_col, text_col)
-    counts = rows.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    # One row per (doc, bigram) with its in-doc occurrence count: the
+    # corpus count is then a SUM over these, and the re-join carries
+    # distinct (id, bigram) rows — a bigram repeated k times in one doc
+    # joins once with weight k instead of k times.
+    per_doc = rows.groupBy("id", "bigram").agg(F.count(F.lit(1)).alias("occ"))
+    counts = per_doc.groupBy("bigram").agg(F.sum("occ").alias("cnt"))
     return (
-        rows.join(counts, "bigram")
+        per_doc.join(counts, "bigram")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.count(F.when(F.col("cnt") >= min_count, F.lit(1))).alias("n_common"),
+            F.sum("occ").alias("n_bigrams"),
+            F.sum(F.when(F.col("cnt") >= min_count, F.col("occ")).otherwise(F.lit(0)))
+            .alias("n_common"),
         )
         .select(
             "id",
