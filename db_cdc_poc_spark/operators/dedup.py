@@ -948,10 +948,19 @@ def cross_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.9,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN two corpora via MinHash banding — the
     fuzzy form of eval-set decontamination (decontam.contaminated_docs
     is the exact-n-gram form) and of dedup-against-prior-training-set.
+
+    ``max_bucket_size`` is the same skew guard as in
+    ``minhash_lsh_pairs``, applied to the BIG (df_a) side: a band
+    bucket holding d_a train docs joins d_a x d_b candidate rows, so a
+    boilerplate bucket can dominate; buckets larger than the cap are
+    dropped before the join (docs colliding with >cap others almost
+    surely still collide in another band). Off by default so the
+    oracle-checked entry stays exhaustive; production call sites set it.
 
     Both sides are banded with the SAME hash family, so a duplicate
     pair collides on a band with the q21 S-curve probability
@@ -968,6 +977,14 @@ def cross_lsh_pairs(
     bb = minhash_bands(df_b, id_col, text_col, num_hashes, bands, shingle_n).select(
         F.col("id").alias("id_b"), "band_id", "band_hash"
     )
+    if max_bucket_size is not None:
+        small = (
+            ba.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        ba = ba.join(small, ["band_id", "band_hash"])
     cand = ba.join(bb, ["band_id", "band_hash"]).select("id_a", "id_b").distinct()
     sh_a = df_a.select(
         F.col(id_col).alias("id_a"),

@@ -409,3 +409,23 @@ def test_cross_lsh_never_pairs_within_one_side(spark):
         "doc_id long, text string",
     )
     assert dd.cross_lsh_pairs(train, eval_, threshold=0.5).count() == 0
+
+
+def test_cross_lsh_bucket_cap_bounds_candidates(spark):
+    # 30 near-identical train docs + 1 eval copy: uncapped, every train
+    # doc collides with the eval doc in some band; with the cap below
+    # the clone count, the hot buckets are dropped and the join stays
+    # bounded (the scale guard, not the exactness path)
+    base = "the same boilerplate sentence repeated across many documents here"
+    train = spark.createDataFrame(
+        [(i, f"{base} variant") for i in range(30)], "doc_id long, text string"
+    )
+    eval_ = spark.createDataFrame(
+        [(1000, f"{base} variant")], "doc_id long, text string"
+    )
+    uncapped = dd.cross_lsh_pairs(train, eval_, threshold=0.9).count()
+    capped = dd.cross_lsh_pairs(
+        train, eval_, threshold=0.9, max_bucket_size=5
+    ).count()
+    assert uncapped == 30
+    assert capped == 0  # every bucket holds all 30 clones -> all dropped

@@ -81,3 +81,29 @@ def test_q52_decontaminate_broadcasts_eval_side(spark):
     plan = _plan(spark, "q52_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q85_duplicate_spans_is_aggregation_only(spark):
+    # substring-level dedup accounting must never pair-join spans:
+    # only equi hash-joins (docfreq re-join), no nested loop, and the
+    # aggregates run with map-side partials
+    plan = _plan(spark, "q85_duplicate_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q90_cross_lsh_has_no_cartesian(spark):
+    # candidates come from the (band_id, band_hash) equi-join — a
+    # cartesian/nested-loop anywhere means the LSH blocking is broken
+    plan = _plan(spark, "q90_fuzzy_decontam")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q94_hard_negatives_broadcasts_query_side(spark):
+    # label-inequality join: the small query side must broadcast (the
+    # corpus never moves); a SortMergeJoin would shuffle the corpus
+    plan = _plan(spark, "q94_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
