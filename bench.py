@@ -8,11 +8,15 @@ Each query is forced to FULL evaluation with a checksum aggregate over
 every output column (``count() + sum(xxhash64(struct(*cols)))``):
 ``count()`` alone lets Catalyst prune unreferenced projection columns,
 so map-only queries would measure just the parquet scan, not their
-feature expressions. Timings are per-query wall clock on a warm
-session (the JVM/session start is excluded — the realistic comparator
-per BASELINE.md). Per-query formatted plans are persisted next to the
-bench output (``bench_plans/``) so rounds can diff plans, not just
-timings.
+feature expressions. Timings are per-query WARM wall clock: one
+untimed pass first (JIT/codegen/broadcast warm-up), then the measured
+pass — matching BASELINE.md, which names the warm-session re-run as
+the comparator ("Spark gold query, warm: 8.4 s"; "Compare against
+warm-session numbers"). A first-run column would measure mostly
+whole-stage-codegen compilation of each query's novel expression
+trees, which a production pipeline pays once, not per trigger.
+Per-query formatted plans are persisted next to the bench output
+(``bench_plans/``) so rounds can diff plans, not just timings.
 """
 
 from __future__ import annotations
@@ -60,6 +64,10 @@ def main() -> None:
     plans_dir.mkdir(exist_ok=True)
     timings: dict[str, float] = {}
     for name, q in sorted(headline.items()):
+        # warm-up pass: codegen/JIT/broadcast compile once, untimed
+        # (the streaming entries re-stage and re-drain either way —
+        # their measured pass repeats ALL work, not a cached result)
+        _force_full_eval(q.fn(spark, SF_DIR))
         t0 = time.time()
         df = q.fn(spark, SF_DIR)
         n = _force_full_eval(df)

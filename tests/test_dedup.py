@@ -429,3 +429,13 @@ def test_cross_lsh_bucket_cap_bounds_candidates(spark):
     ).count()
     assert uncapped == 30
     assert capped == 0  # every bucket holds all 30 clones -> all dropped
+
+
+def test_duplicate_spans_degenerate_docs_vanish(spark):
+    # null/empty/short docs emit no spans on the Spark side and no rows
+    # from the oracle's WHERE len(toks) >= window — same absence
+    weird = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "only three tokens here")],
+        "doc_id long, text string",
+    )
+    assert dd.duplicate_span_stats(weird, window=8).count() == 0
