@@ -115,3 +115,29 @@ def test_compact_parquet_sorted_keeps_clustering(spark):
     # range-partitioned + sorted output -> per-file k ranges are tight
     cov = _per_file_coverage(src, "k", 499.0)
     assert cov < 0.7
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    # the 100 TB star-join feature: a selective dim filter prunes fact
+    # PARTITIONS at runtime (no static literal available to the
+    # planner). Assert the executed plan carries a dynamicpruning
+    # subquery on the partition column and results stay correct.
+    from db_cdc_poc_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    root = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").parquet(root)
+    fact = spark.read.parquet(root)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3)], "event_type string, w int"
+    ).filter(F.col("w") == 1)
+    j = fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    [row] = j.collect()
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert (row.event_type, row.n) == ("click", want)
