@@ -3379,5 +3379,27 @@ def q94_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@_q(
+    "q95_stream_fanout",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def q95_stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch multi-sink fan-out (streaming/jobs.py:stream_fanout):
+    one availableNow drain writes every micro-batch to TWO parquet
+    sinks (single source pass, cached batch, idempotent per-batch
+    overwrite directories). The returned DataFrame reads sink B back —
+    its row set must equal the source, which is what the oracle
+    checks; sink-A/sink-B equality and multi-batch behavior are
+    asserted in tests."""
+    import tempfile as _tf
+
+    from db_cdc_poc_spark.streaming.jobs import stream_fanout
+
+    base = _tf.mkdtemp(prefix="fanout_q95_")
+    sinks = [f"{base}/a", f"{base}/b"]
+    stream_fanout(spark, _staged_events_dir(spark, sf_dir), sinks)
+    return spark.read.parquet(sinks[1]).select("event_id", "user_id", "event_type")
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -251,3 +251,47 @@ def stream_dedup_keys_within_watermark(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_fanout(
+    spark: SparkSession,
+    source_path: str,
+    sinks: Sequence[str],
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """One stream, N sinks, ONE source pass: a ``foreachBatch`` that
+    persists each micro-batch and writes it to every sink under a
+    ``batch_id=<n>`` subdirectory.
+
+    The alternative — N independent streaming queries — re-reads and
+    re-processes the source N times and keeps N checkpoints; fanout
+    inside one foreachBatch reads once and reuses the cached batch.
+    The per-batch directory + overwrite mode makes replay after a
+    checkpoint restart IDEMPOTENT: a re-delivered batch overwrites its
+    own directory instead of appending duplicates (the standard
+    exactly-once-to-file-sinks recipe when the sink itself isn't
+    transactional). Readers see each sink as a parquet table
+    partitioned by batch_id.
+    """
+    static = spark.read.parquet(source_path)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_path)
+
+    def _write_batch(df: DataFrame, batch_id: int) -> None:
+        df.persist()
+        try:
+            for sink in sinks:
+                df.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+        finally:
+            df.unpersist()
+
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_fanout_")
+    q = (
+        stream.writeStream.foreachBatch(_write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()

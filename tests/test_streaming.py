@@ -323,3 +323,23 @@ def test_streaming_state_on_rocksdb_matches_default_store(spark, events_dir):
     finally:
         spark.conf.unset(provider_conf)
     assert rocks == default
+
+
+def test_stream_fanout_writes_identical_sinks_across_batches(spark, events_dir):
+    import tempfile as _tf
+
+    from db_cdc_poc_spark.streaming.jobs import stream_fanout
+
+    base = _tf.mkdtemp(prefix="fanout_t_")
+    sinks = [f"{base}/a", f"{base}/b"]
+    # 1 file per trigger -> 4 micro-batches, each fanned to both sinks
+    stream_fanout(spark, events_dir, sinks, max_files_per_trigger=1)
+    src = sorted(
+        map(tuple, spark.read.parquet(events_dir).select("event_id", "value").collect())
+    )
+    a = spark.read.parquet(sinks[0])
+    b = spark.read.parquet(sinks[1])
+    assert sorted(map(tuple, a.select("event_id", "value").collect())) == src
+    assert sorted(map(tuple, b.select("event_id", "value").collect())) == src
+    # multi-batch really happened, and batch dirs are the idempotence unit
+    assert a.select("batch_id").distinct().count() == 4
