@@ -106,6 +106,18 @@ class CdcTarget:
         drop = [c for c in self.except_columns if c in state.columns]
         return state.drop(*drop) if drop else state
 
+    def current_at(self, spark: SparkSession, commit: int) -> DataFrame:
+        """Time travel: the applied table as of an earlier micro-batch
+        commit (``state.commits()`` lists them; retention bounded by
+        ``keep_versions`` — see ``BucketedStateTable.state_at``)."""
+        state = self.state.state_at(spark, commit)
+        if state is None:
+            raise ValueError(f"CDC target {self.path} empty at commit {commit}")
+        if self.apply_as_deletes is not None:
+            state = state.filter(~F.expr(self.apply_as_deletes))
+        drop = [c for c in self.except_columns if c in state.columns]
+        return state.drop(*drop) if drop else state
+
 
 def stream_apply_changes(
     spark: SparkSession,

@@ -5,6 +5,7 @@ incremental gold aggregate).
 Layout::
 
     <path>/bucket_0007/v_00000003/*.parquet
+    <path>/_commits/commit_00000002.json   (table-wide snapshot ids)
 
 Keys route to buckets via ``pmod(xxhash64(keys...), num_buckets)`` —
 deterministic across sessions. Each bucket is an independent version
@@ -23,6 +24,7 @@ the callback returns. ``streaming/cdc.py`` plugs in latest-row-per-key;
 
 from __future__ import annotations
 
+import json
 import shutil
 import tempfile
 from collections.abc import Callable, Sequence
@@ -34,6 +36,11 @@ from pyspark.sql import functions as F
 BUCKET_COL = "__state_bucket"
 
 MergeFn = Callable[[DataFrame | None, DataFrame], DataFrame]
+
+
+class StateVersionVacuumedError(RuntimeError):
+    """A time-travel read hit a version already pruned by
+    ``keep_versions`` — the Delta-vacuum tradeoff, surfaced loudly."""
 
 
 class BucketedStateTable:
@@ -81,6 +88,63 @@ class BucketedStateTable:
             if versions:
                 out.append(versions[-1])
         return out
+
+    # -- commit log / time travel -----------------------------------------
+
+    def _commits_dir(self) -> Path:
+        d = self.path / "_commits"
+        d.mkdir(exist_ok=True)
+        return d
+
+    def commits(self) -> list[int]:
+        """Committed merge ids, ascending (empty for a fresh table)."""
+        return sorted(
+            int(p.stem.split("_")[1]) for p in self._commits_dir().glob("commit_*.json")
+        )
+
+    def _record_commit(self) -> int:
+        """Append a commit record: the latest version of EVERY live
+        chain after this merge — a consistent table-wide snapshot id.
+        One tiny JSON per commit (directory listing, no data read);
+        the write-then-rename makes the record's appearance atomic."""
+        versions = {
+            str(b): int(vs[-1].name[2:])
+            for b in range(self.num_buckets)
+            if (vs := self._versions(b))
+        }
+        n = (self.commits() or [-1])[-1] + 1
+        tmp = self._commits_dir() / f".commit_{n:08d}.json.tmp"
+        tmp.write_text(json.dumps({"commit": n, "versions": versions}))
+        tmp.rename(self._commits_dir() / f"commit_{n:08d}.json")
+        return n
+
+    def state_at(self, spark: SparkSession, commit: int) -> DataFrame | None:
+        """Time travel: the full table exactly as of ``commit``.
+
+        Reads each bucket's version recorded in that commit's snapshot.
+        Retention is bounded by ``keep_versions`` (exactly Delta's
+        vacuum tradeoff): raise it on tables whose history must stay
+        queryable, or raise ``StateVersionVacuumedError`` when a
+        recorded version is gone.
+        """
+        rec = self._commits_dir() / f"commit_{commit:08d}.json"
+        if not rec.is_file():
+            raise KeyError(f"no commit {commit}; have {self.commits()}")
+        versions = json.loads(rec.read_text())["versions"]
+        paths = []
+        for b_str, v in versions.items():
+            p = self._bucket_dir(int(b_str)) / f"v_{v:08d}"
+            if not p.is_dir():
+                raise StateVersionVacuumedError(
+                    f"bucket {b_str} v{v} was vacuumed (keep_versions="
+                    f"{self.keep_versions}); raise keep_versions to retain history"
+                )
+            paths.append(p)
+        if not paths:
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[str(p) for p in paths]
+        )
 
     def state_for(
         self, spark: SparkSession, buckets: Sequence[int] | None = None
@@ -133,5 +197,6 @@ class BucketedStateTable:
                 src.rename(self._bucket_dir(b) / f"v_{next_n:08d}")
                 for old in self._versions(b)[: -self.keep_versions]:
                     shutil.rmtree(old, ignore_errors=True)
+            self._record_commit()
         finally:
             shutil.rmtree(staging, ignore_errors=True)

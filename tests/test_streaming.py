@@ -343,3 +343,47 @@ def test_stream_fanout_writes_identical_sinks_across_batches(spark, events_dir):
     assert sorted(map(tuple, b.select("event_id", "value").collect())) == src
     # multi-batch really happened, and batch dirs are the idempotence unit
     assert a.select("batch_id").distinct().count() == 4
+
+
+def test_state_table_time_travel_reconstructs_each_commit(spark):
+    # every merge_batch records a table-wide commit snapshot; state_at
+    # must reproduce the table exactly as it stood after each batch
+    target = CdcTarget(
+        tempfile.mkdtemp(prefix="cdc_tt_"),
+        keys="k", sequence_by="seq", num_buckets=4, keep_versions=100,
+    )
+    snapshots = []
+    for i, batch in enumerate([
+        [(1, "a", 10), (2, "b", 10)],
+        [(1, "a2", 20), (3, "c", 20)],
+        [(2, "b3", 30)],
+    ]):
+        target.upsert_batch(
+            spark.createDataFrame(batch, "k long, v string, seq long")
+        )
+        snapshots.append({(r.k, r.v) for r in target.current(spark).collect()})
+    commits = target.state.commits()
+    assert len(commits) == 3
+    for commit, want in zip(commits, snapshots):
+        got = {(r.k, r.v) for r in target.current_at(spark, commit).collect()}
+        assert got == want, f"commit {commit}"
+
+
+def test_state_table_time_travel_vacuumed_version_raises(spark):
+    from db_cdc_poc_spark.streaming.state import StateVersionVacuumedError
+
+    target = CdcTarget(
+        tempfile.mkdtemp(prefix="cdc_vac_"),
+        keys="k", sequence_by="seq", num_buckets=1, keep_versions=1,
+    )
+    for seq in (10, 20, 30):
+        target.upsert_batch(
+            spark.createDataFrame([(1, f"v{seq}", seq)], "k long, v string, seq long")
+        )
+    first = target.state.commits()[0]
+    with pytest.raises(StateVersionVacuumedError):
+        target.state.state_at(spark, first)
+    # the latest commit stays readable
+    latest = target.state.commits()[-1]
+    [r] = target.current_at(spark, latest).collect()
+    assert r.v == "v30"
