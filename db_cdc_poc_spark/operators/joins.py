@@ -166,3 +166,38 @@ def range_join(
         & (F.col(left_point) <= F.col(right_hi))
     )
     return out.drop("__b")
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    key_col: str,
+    block: Column,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Record-linkage candidate pairs: block, then edit-distance verify.
+
+    The classic entity-resolution shape — an all-pairs Levenshtein
+    over n records is O(n²) string comparisons and a cartesian plan;
+    production linkage ALWAYS blocks first. ``block`` is a cheap
+    deterministic key (last name token, soundex, sorted-trigram
+    prefix...); pairs are generated only WITHIN a block via a hash
+    equi-join on the block key, then verified with
+    ``levenshtein() <= max_distance``. ``a < b`` on the key
+    canonicalizes pair order.
+
+    Dedupe to DISTINCT keys before calling when the input has repeated
+    values — at 100 TB that collapse (a groupBy, map-side partial) is
+    what keeps block sizes bounded by vocabulary, not row count.
+
+    Output: ``(key_a, key_b, distance)``.
+    """
+    a = df.select(F.col(key_col).alias("key_a"), block.alias("__blk")).distinct()
+    b = df.select(F.col(key_col).alias("key_b"), block.alias("__blk")).distinct()
+    pairs = a.join(b, "__blk").filter(F.col("key_a") < F.col("key_b"))
+    return (
+        pairs.withColumn(
+            "distance", F.levenshtein(F.col("key_a"), F.col("key_b"))
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("key_a", "key_b", "distance")
+    )

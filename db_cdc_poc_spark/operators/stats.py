@@ -1,0 +1,159 @@
+"""Set-based statistics operators: per-group OLS regression, column
+profiling, and robust (median/MAD) outlier detection.
+
+These are the data-quality / drift-detection companions to the CDC
+pipeline (the reference recomputes gold per trigger —
+``notebooks/04_Current_Inventory.sql:3`` — and a production deployment
+needs exactly these checks running next to it), and standard
+feature-engineering steps for a training-data pipeline.
+
+Scale design, per operator:
+
+- ``group_regression``: one map-side-partial aggregation producing the
+  five OLS sufficient statistics (n, Σx, Σy, Σxy, Σx²) per group — a
+  single shuffle keyed by the group columns, no window, no second
+  pass. The sums are computed over INTEGER-valued inputs so they are
+  exact and aggregation-order-independent; the slope/intercept
+  division happens once per group in DOUBLE on identical operands, so
+  the result is bit-reproducible across engines and cluster layouts.
+- ``column_profile``: ALL columns profiled in ONE pass (a single agg
+  row with 4 statistics per column, then an unpivot to rows) — at
+  100 TB this matters: k columns cost one scan, not k scans.
+- ``mad_outliers``: two aggregations (median, then median of absolute
+  deviations) plus one broadcast join of the tiny per-group statistics
+  back onto the fact — the fact table is scanned twice but never
+  self-joined row-to-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["group_regression", "column_profile", "mad_outliers"]
+
+
+def group_regression(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y ~ x``.
+
+    ``x`` and ``y`` must be integer-valued expressions (cast your
+    inputs to days / cents / counts first): the five sufficient
+    statistics are then exact longs, immune to shuffle order, and the
+    final ``slope``/``intercept`` doubles are bit-identical on every
+    run. Equivalent to ``regr_slope``/``regr_intercept`` but with the
+    deterministic-sum discipline the value-hash gate needs.
+
+    Output: ``group_cols + [n, slope, intercept]``.
+    """
+    xl = x.cast("long")
+    yl = y.cast("long")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xl).alias("sx"),
+        F.sum(yl).alias("sy"),
+        F.sum(xl * yl).alias("sxy"),
+        F.sum(xl * xl).alias("sxx"),
+    )
+    # All operands cast to double FIRST, then one fixed expression
+    # shape — same IEEE ops in the oracle ⇒ same bits.
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass column profiler: for each column, its non-null count,
+    approximate-free exact distinct count, and min/max rendered as
+    strings (so heterogeneous column types can share one output
+    schema).
+
+    Single aggregation over the whole input (map-side partial for the
+    counts; ``count(DISTINCT ...)`` per column is expanded by Spark
+    into one expand + aggregate — still one scan), then a ``stack``
+    unpivot of the 1-row result. Output:
+    ``(column_name, n_nonnull, n_distinct, min_value, max_value)``.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.count_distinct(F.col(c)).alias(f"{c}__d"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args: list[Column] = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"{c}__n"),
+            F.col(f"{c}__d"),
+            F.col(f"{c}__min"),
+            F.col(f"{c}__max"),
+        ]
+    n = len(cols)
+    return one.select(
+        F.stack(
+            F.lit(n),
+            *stack_args,
+        ).alias("column_name", "n_nonnull", "n_distinct", "min_value", "max_value")
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier counts via median absolute deviation.
+
+    ``value`` should be integer-valued (cents) so the exact
+    ``percentile(0.5)`` interpolation (midpoint of two longs) matches
+    ANSI ``quantile_cont`` bit-for-bit. A row is an outlier when
+    ``|v - median| > k * 1.4826 * mad`` (the normal-consistency
+    constant); the threshold is computed once per group from identical
+    doubles, so the integer comparison is engine-deterministic.
+
+    Two aggregations + one broadcast join of per-group medians back to
+    the fact; output ``group_cols + [n, median_value, mad, n_outliers]``.
+    """
+    vl = value.cast("long")
+    with_v = df.select(*group_cols, vl.alias("__v"))
+    med = with_v.groupBy(*group_cols).agg(
+        F.expr("percentile(__v, 0.5)").alias("__med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = with_v.join(F.broadcast(med), group_cols).withColumn(
+        "__adev", F.abs(F.col("__v") - F.col("__med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(F.expr("percentile(__adev, 0.5)").alias("__mad"))
+    thresh = F.lit(float(k)) * F.lit(1.4826) * F.col("__mad")
+    out = (
+        dev.join(F.broadcast(mad), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.first("n").alias("n"),
+            F.first("__med").alias("median_value"),
+            F.first("__mad").alias("mad"),
+            F.sum((F.col("__adev") > thresh).cast("long")).alias("n_outliers"),
+        )
+    )
+    return out.select(*group_cols, "n", "median_value", "mad", "n_outliers")

@@ -1,0 +1,100 @@
+"""Time-series resampling operators: dense calendar gap-fill and
+last-observation-carried-forward (LOCF).
+
+The reference's gold table is a *latest state per key* rollup
+(``notebooks/04_Current_Inventory.sql:14-17``); the natural companion
+for dashboards over the same event feed is a *dense* per-bucket series
+where silent periods still produce a row. This module builds that as a
+pure DataFrame composition:
+
+1. aggregate events into integer time buckets (map-side partial — one
+   shuffle keyed by (series, bucket));
+2. build the dense bucket spine with ``sequence()`` + ``explode`` over
+   the distinct series keys (spine size = |series| × |buckets| — a
+   dimension, broadcast-joinable, never proportional to the events);
+3. left-join the aggregates onto the spine;
+4. fill gaps with an ``last(..., ignorenulls)`` running window per
+   series.
+
+Scale notes: the spine join broadcasts (the spine is tiny next to the
+fact), and the only window runs over the *spine*, not the raw events —
+|series| × |buckets| rows. With few series the LOCF window has few
+partitions; for wide deployments split the window per (series,
+coarse-period) and seed each period with the previous period's closing
+value (two-pass LOCF) — the seam is documented at the call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bucketed_series", "gapfill_locf"]
+
+
+def bucketed_series(
+    df: DataFrame,
+    series_col: str,
+    ts: Column,
+    value: Column,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Aggregate ``value`` (integer-valued expression) into
+    ``bucket_seconds`` buckets per series: one map-side-partial
+    aggregation. Output ``(series, bucket, bucket_value)`` where
+    ``bucket`` is the integer epoch-bucket index."""
+    bucket = F.floor(ts.cast("double").cast("long") / bucket_seconds).cast("long")
+    return df.groupBy(
+        F.col(series_col).alias("series"), bucket.alias("bucket")
+    ).agg(F.sum(value.cast("long")).alias("bucket_value"))
+
+
+def gapfill_locf(
+    df: DataFrame,
+    series_col: str,
+    ts: Column,
+    value: Column,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Dense gap-filled series with LOCF.
+
+    Buckets ``df`` per (series, bucket), then emits one row for EVERY
+    bucket between the global min and max bucket for every series.
+    Buckets with no events get ``bucket_value = 0``, ``filled = true``
+    and carry the last observed ``locf_value`` forward (NULL-leading
+    buckets before a series' first observation coalesce to 0).
+
+    Output: ``(series, bucket, bucket_ts, bucket_value, locf_value,
+    filled)`` — ``bucket_ts`` is the bucket start as a timestamp.
+    """
+    agg = bucketed_series(df, series_col, ts, value, bucket_seconds)
+    bounds = agg.select(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = (
+        agg.select("series")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "series",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dense = spine.join(agg, ["series", "bucket"], "left")
+    return dense.select(
+        "series",
+        "bucket",
+        F.timestamp_seconds(F.col("bucket") * bucket_seconds).alias("bucket_ts"),
+        F.coalesce(F.col("bucket_value"), F.lit(0)).cast("long").alias("bucket_value"),
+        F.coalesce(
+            F.last(F.col("bucket_value"), ignorenulls=True).over(w), F.lit(0)
+        )
+        .cast("long")
+        .alias("locf_value"),
+        F.col("bucket_value").isNull().alias("filled"),
+    )

@@ -3401,5 +3401,125 @@ def q95_stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sinks[1]).select("event_id", "user_id", "event_type")
 
 
+@_q(
+    "q96_regr_trend",
+    oracle="""
+WITH s AS (
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx,
+           CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x * y) AS DOUBLE) AS sxy,
+           CAST(sum(x * x) AS DOUBLE) AS sxx
+    FROM (SELECT o_orderpriority,
+                 CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS x,
+                 CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+          FROM orders)
+    GROUP BY 1
+)
+SELECT o_orderpriority, n,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+       (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+         / CAST(n AS DOUBLE) AS intercept
+FROM s
+""",
+)
+def q96_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (stats.group_regression): slope/intercept of
+    order value (cents) over order age (days) per priority class — the
+    drift-detection companion to the reference's per-trigger gold
+    recompute (04_Current_Inventory.sql:3). One map-side-partial
+    aggregation produces exact integer sufficient statistics; the
+    double division is bit-reproducible because both engines divide
+    identical operands with the identical expression shape."""
+    from db_cdc_poc_spark.operators.stats import group_regression
+
+    orders = _t(spark, sf_dir, "orders")
+    return group_regression(
+        orders,
+        ["o_orderpriority"],
+        x=F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")),
+        y=F.round(F.col("o_totalprice") * 100, 0),
+    )
+
+
+@_q(
+    "q97_gapfill_locf",
+    oracle="""
+WITH agg AS (
+    SELECT event_type AS series,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+           CAST(sum(round(value * 100, 0)) AS BIGINT) AS bucket_value
+    FROM events GROUP BY 1, 2
+), bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+spine AS (
+    SELECT s.series, unnest(generate_series(b.lo, b.hi)) AS bucket
+    FROM (SELECT DISTINCT series FROM agg) s CROSS JOIN bounds b
+)
+SELECT sp.series, sp.bucket,
+       coalesce(a.bucket_value, 0) AS bucket_value,
+       coalesce(last_value(a.bucket_value IGNORE NULLS) OVER (
+           PARTITION BY sp.series ORDER BY sp.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS locf_value,
+       a.bucket_value IS NULL AS filled
+FROM spine sp LEFT JOIN agg a
+  ON sp.series = a.series AND sp.bucket = a.bucket
+""",
+)
+def q97_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar gap-fill + LOCF (timeseries.gapfill_locf): every
+    hour bucket for every event series between the global bounds, with
+    empty hours zero-filled and the running last-observed value carried
+    forward — the dense-dashboard companion to the latest-state gold
+    table. The spine (|series| × |hours|) is dimension-sized and
+    broadcast; the LOCF window runs over the spine, never the raw
+    events. At production series-cardinality the window splits per
+    (series, day) with a carried seed — documented in the module."""
+    from db_cdc_poc_spark.operators.timeseries import gapfill_locf
+
+    events = _t(spark, sf_dir, "events")
+    out = gapfill_locf(
+        events,
+        "event_type",
+        ts=F.col("ts"),
+        value=F.round(F.col("value") * 100, 0),
+        bucket_seconds=3600,
+    )
+    return out.select("series", "bucket", "bucket_value", "locf_value", "filled")
+
+
+@_q(
+    "q98_fuzzy_name_pairs",
+    oracle="""
+WITH names AS (
+    SELECT DISTINCT p_name AS nm, string_split(p_name, ' ')[-1] AS blk
+    FROM part
+)
+SELECT a.nm AS key_a, b.nm AS key_b,
+       CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS distance
+FROM names a JOIN names b ON a.blk = b.blk AND a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 4
+""",
+)
+def q98_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy pairs (joins.blocked_fuzzy_pairs): distinct
+    part names blocked on their head noun, Levenshtein-verified within
+    blocks only — the entity-resolution primitive, with the blocking
+    equi-join (never a cartesian) as the load-bearing scale choice.
+    The distinct-first collapse bounds block size by vocabulary, not
+    row count."""
+    from db_cdc_poc_spark.operators.joins import blocked_fuzzy_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        part,
+        "p_name",
+        block=F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_distance=4,
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

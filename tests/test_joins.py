@@ -146,3 +146,40 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# blocked_fuzzy_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_fuzzy_pairs_blocks_and_verifies(spark):
+    from db_cdc_poc_spark.operators.joins import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [("red bolt",), ("rod bolt",), ("red ring",), ("blue bolt",), ("red bolt",)],
+        "name string",
+    )
+    got = {
+        (r.key_a, r.key_b): r.distance
+        for r in blocked_fuzzy_pairs(
+            df, "name", block=F.element_at(F.split("name", " "), -1), max_distance=2
+        ).collect()
+    }
+    # same-noun block, distance <= 2; "red ring" is in another block so the
+    # (red bolt, red ring) pair (distance 3 anyway) never forms
+    assert got == {("red bolt", "rod bolt"): 1}
+
+
+def test_blocked_fuzzy_pairs_no_cartesian_and_distinct_first(spark):
+    from db_cdc_poc_spark.operators.joins import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame([("red bolt",)] * 100, "name string")
+    out = blocked_fuzzy_pairs(
+        df, "name", block=F.element_at(F.split("name", " "), -1)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    # 100 copies of one name: distinct-first means zero pairs, not 4950
+    assert out.count() == 0

@@ -1,0 +1,106 @@
+"""stats operators: OLS regression vs numpy, one-pass profiler,
+median/MAD outliers vs a python reference, plus plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from db_cdc_poc_spark.operators.stats import (
+    column_profile,
+    group_regression,
+    mad_outliers,
+)
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "g string, x long, y long")
+
+
+def test_group_regression_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, (a, b) in {"u": (3.0, 10.0), "v": (-2.0, 500.0)}.items():
+        xs = rng.integers(0, 1000, size=200)
+        for x in xs:
+            noise = int(rng.integers(-50, 50))
+            rows.append((g, int(x), int(round(a * x + b)) + noise))
+    got = {
+        r.g: r
+        for r in group_regression(
+            _pts(spark, rows), ["g"], F.col("x"), F.col("y")
+        ).collect()
+    }
+    for g in ("u", "v"):
+        xs = np.array([x for gg, x, _ in rows if gg == g], dtype=float)
+        ys = np.array([y for gg, _, y in rows if gg == g], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert got[g].n == 200
+        assert got[g].slope == pytest.approx(slope, rel=1e-9)
+        assert got[g].intercept == pytest.approx(intercept, rel=1e-6)
+
+
+def test_group_regression_single_shuffle_no_window(spark):
+    df = _pts(spark, [("a", 1, 2), ("a", 2, 4), ("b", 1, 1), ("b", 3, 2)])
+    plan = (
+        group_regression(df, ["g"], F.col("x"), F.col("y"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # partial + final hash aggregate around ONE exchange
+    assert plan.count("Exchange") == 1
+
+
+def test_column_profile_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.5)],
+        "k long, s string, v double",
+    )
+    got = {r.column_name: r for r in column_profile(df).collect()}
+    assert set(got) == {"k", "s", "v"}
+    assert (got["k"].n_nonnull, got["k"].n_distinct) == (3, 2)
+    assert (got["k"].min_value, got["k"].max_value) == ("1", "2")
+    assert (got["s"].n_nonnull, got["s"].n_distinct) == (2, 2)
+    assert (got["v"].n_nonnull, got["v"].n_distinct) == (2, 2)
+    assert got["v"].min_value == "5.0"
+
+
+def test_column_profile_is_single_scan(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    plan = (
+        column_profile(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one source scan feeding an Expand (the per-column count_distincts
+    # share the pass); never one scan per column
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Expand" in plan
+
+
+def _mad_reference(values, k=3.0):
+    v = np.array(sorted(values), dtype=float)
+    med = float(np.median(v))
+    adev = np.abs(v - med)
+    mad = float(np.median(adev))
+    out = int((adev > k * 1.4826 * mad).sum())
+    return med, mad, out
+
+
+def test_mad_outliers_matches_reference(spark):
+    vals = [10, 12, 11, 13, 12, 11, 10, 500, 12, 11, 13, -400]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    row = mad_outliers(df, ["g"], F.col("v")).collect()[0]
+    med, mad, out = _mad_reference(vals)
+    assert row.n == len(vals)
+    assert row.median_value == pytest.approx(med)
+    assert row.mad == pytest.approx(mad)
+    assert row.n_outliers == out
+
+
+def test_mad_outliers_zero_mad_group(spark):
+    # constant group: mad == 0, every row equals the median, no outliers
+    df = spark.createDataFrame([("c", 7)] * 5, "g string, v long")
+    row = mad_outliers(df, ["g"], F.col("v")).collect()[0]
+    assert (row.mad, row.n_outliers) == (0.0, 0)
