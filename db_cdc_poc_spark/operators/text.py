@@ -592,3 +592,46 @@ def bigram_coverage(
             F.expr("1000000 * n_common div n_bigrams").alias("common_ppm"),
         )
     )
+
+
+def char_entropy_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-distribution quality signals: total and
+    distinct character counts, the modal character's count, and the
+    Shannon entropy of the character distribution (nats, rounded to
+    5 dp) — the standard gibberish / boilerplate detector (low entropy
+    = repeated filler, implausibly high = random bytes).
+
+    Set-based: explode one row per character position (map-side
+    partial aggregation collapses to one row per (doc, char) before
+    the shuffle), then one aggregate per doc using the
+    order-independent decomposition ``H = ln(n) - (Σ c·ln c)/n`` —
+    the only float accumulation is Σ c·ln c, whose last-ulp shuffle
+    wobble the 5 dp rounding absorbs.
+
+    Output: ``(id, n_chars, n_unique_chars, top_char_count,
+    char_entropy)``.
+    """
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col})),"
+                f" i -> substr({text_col}, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return counts.groupBy("id").agg(
+        n.cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_chars"),
+        F.max("c").cast("long").alias("top_char_count"),
+        F.round(
+            F.log(n.cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / n.cast("double"),
+            5,
+        ).alias("char_entropy"),
+    )

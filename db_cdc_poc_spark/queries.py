@@ -3521,5 +3521,112 @@ def q98_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q99_char_entropy",
+    oracle="""
+WITH ch AS (
+    SELECT doc_id AS id,
+           unnest([substr(text, i, 1) for i in range(1, len(text) + 1)]) AS c
+    FROM documents
+), cnt AS (
+    SELECT id, c, count(*) AS n FROM ch GROUP BY 1, 2
+)
+SELECT id,
+       CAST(sum(n) AS BIGINT) AS n_chars,
+       count(*) AS n_unique_chars,
+       CAST(max(n) AS BIGINT) AS top_char_count,
+       round(ln(CAST(sum(n) AS DOUBLE))
+             - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+               / CAST(sum(n) AS DOUBLE), 5) AS char_entropy
+FROM cnt GROUP BY id
+""",
+)
+def q99_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution quality stats (text.char_entropy_stats):
+    per-doc char counts, distinct chars, modal char count, and Shannon
+    entropy — the gibberish/boilerplate filter alongside q26's ratio
+    features. The order-independent H = ln(n) − (Σ c·ln c)/n
+    decomposition plus 5 dp rounding keeps the value hash stable under
+    shuffle order."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.char_entropy_stats(docs, "doc_id", "text")
+
+
+@_q(
+    "q100_column_profile",
+    oracle="""
+SELECT 'l_orderkey' AS column_name, count(l_orderkey) AS n_nonnull,
+       count(DISTINCT l_orderkey) AS n_distinct,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(l_orderkey) AS VARCHAR) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(l_returnflag), count(DISTINCT l_returnflag),
+       CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(l_shipdate), count(DISTINCT l_shipdate),
+       CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', count(l_linenumber), count(DISTINCT l_linenumber),
+       CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+FROM lineitem
+""",
+)
+def q100_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (stats.column_profile): non-null count,
+    exact distinct count, min/max per column over lineitem — the
+    data-quality sweep a CDC landing zone runs before promoting a
+    batch. ALL columns share ONE scan (Expand feeds the per-column
+    count_distincts); the oracle is the k-scan UNION ALL formulation,
+    which is exactly the plan shape the operator avoids."""
+    from db_cdc_poc_spark.operators.stats import column_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return column_profile(
+        li, ["l_orderkey", "l_returnflag", "l_shipdate", "l_linenumber"]
+    )
+
+
+@_q(
+    "q101_outlier_mad",
+    oracle="""
+WITH v AS (
+    SELECT l_returnflag AS g,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS val
+    FROM lineitem
+), med AS (
+    SELECT g, median(val) AS med, count(*) AS n FROM v GROUP BY g
+), dev AS (
+    SELECT v.g, v.val, m.med, m.n, abs(v.val - m.med) AS adev
+    FROM v JOIN med m ON v.g = m.g
+), mad AS (
+    SELECT g, median(adev) AS mad FROM dev GROUP BY g
+)
+SELECT d.g AS l_returnflag,
+       any_value(d.n) AS n,
+       any_value(d.med) AS median_value,
+       any_value(md.mad) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * md.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad md ON d.g = md.g
+GROUP BY d.g
+""",
+)
+def q101_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier counts (stats.mad_outliers): median and
+    median-absolute-deviation of line item value (cents) per return
+    flag, counting rows beyond 3·1.4826·MAD — the heavy-tail-safe
+    anomaly screen (a mean/stddev z-score is dragged by the very
+    outliers it hunts). Integer cents make the exact-percentile
+    midpoints engine-identical; the fact table is aggregated twice and
+    joined only against tiny per-group stat tables (broadcast)."""
+    from db_cdc_poc_spark.operators.stats import mad_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mad_outliers(li, ["l_returnflag"], F.round(F.col("l_extendedprice") * 100, 0))
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -297,3 +297,30 @@ def test_bigram_coverage_within_doc_repetition_counts(spark):
     df = spark.createDataFrame([(1, "go go go")], "doc_id long, text string")
     row = bigram_coverage(df, min_count=2).collect()[0]
     assert row.n_bigrams == 2 and row.n_common == 2 and row.common_ppm == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# char_entropy_stats
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from db_cdc_poc_spark.operators.text import char_entropy_stats
+
+    texts = {1: "aaaa", 2: "abab", 3: "the quick brown fox", 4: "x"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.id: r for r in char_entropy_stats(df).collect()}
+    for i, t in texts.items():
+        cnt = Counter(t)
+        n = len(t)
+        h = round(-sum(c / n * math.log(c / n) for c in cnt.values()), 5)
+        assert got[i].n_chars == n, i
+        assert got[i].n_unique_chars == len(cnt), i
+        assert got[i].top_char_count == max(cnt.values()), i
+        assert abs(got[i].char_entropy - h) < 1e-9, (i, got[i].char_entropy, h)
+    # degenerate single-char doc: zero entropy exactly
+    assert got[4].char_entropy == 0.0
+    assert got[1].char_entropy == 0.0
