@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from db_cdc_poc_spark.operators.dedup import token_hash64
@@ -180,3 +180,52 @@ def split_assign(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, out)
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    target_rows: int,
+    salt: str = "mix",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Temperature-based corpus mixing (T = 0.5): resample strata so the
+    output mixture follows p_s ∝ √n_s — the standard flattening that
+    upweights small domains without letting one giant crawl dominate a
+    training mix. Rows are kept per-stratum with probability
+    ``min(1, target_rows · p_s / n_s)`` via the deterministic md5
+    bucket, so the draw is repeatable and oracle-replayable.
+
+    Determinism discipline: √n_s is IEEE-exact (sqrt is correctly
+    rounded, unlike pow(x, α)); the weight is then FLOOR-quantized to
+    an integer so the cross-strata normalizer is an exact long sum —
+    no float accumulation whose order could wobble the thresholds.
+
+    One tiny aggregate (|strata| rows) broadcast back onto the fact;
+    the per-row filter is a map-only hash compare.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_s"))
+    counts = counts.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("n_s").cast("double")) * F.lit(1_000_000.0)).cast(
+            "long"
+        ),
+        # NB: not "W" — Spark resolves column names case-insensitively,
+        # so a "W" would silently REPLACE "w".
+    ).withColumn("w_tot", F.sum("w").over(Window.partitionBy()))
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(target_rows))
+        * (F.col("w").cast("double") / F.col("w_tot").cast("double"))
+        / F.col("n_s").cast("double"),
+    )
+    thr = counts.select(
+        stratum_col,
+        F.floor(frac * F.lit(float(buckets))).cast("long").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), stratum_col)
+        .filter(hash_bucket(id_col, salt, buckets) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -43,7 +43,7 @@ alpha*m^2/S expression of IEEE basic ops, bit-identical everywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from db_cdc_poc_spark.operators.dedup import token_hash64
@@ -323,4 +323,57 @@ def table_checksums(
         df.select(bucket.alias("bucket"), digest.alias("digest"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"), F.bit_xor("digest").alias("checksum"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value: Column,
+    qs: list[float] | None = None,
+    bin_width: int = 100_000,
+) -> DataFrame:
+    """Mergeable equi-width-histogram quantile estimates.
+
+    Exact percentiles at 100 TB need a full sort (or Spark's GK-sketch
+    ``percentile_approx``, whose internal state no oracle can replay);
+    the mergeable alternative is an equi-width histogram: per-bin
+    counts combine with ``+`` (map-side partial, storable, unionable
+    across days, same shape as the HLL register table) and the
+    q-quantile is read off as the lower edge of the first bin whose
+    cumulative count reaches ``ceil(q·n)``. Estimation error is
+    bounded by ``bin_width`` — pick it from the value scale.
+
+    ``value`` must be an integer-valued expression (cents). Output:
+    one row per requested quantile, ``(quantile, est_lo)`` where
+    ``est_lo = bin * bin_width`` is the bin's inclusive lower edge.
+
+    The cumulative window runs over the BIN TABLE (|range|/bin_width
+    rows — sketch-sized), never the input.
+    """
+    qs = qs or [0.5, 0.9, 0.99]
+    vl = value.cast("long")
+    bins = df.groupBy(
+        F.floor(vl / F.lit(bin_width)).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy())
+    )
+    aggs = []
+    for i, q in enumerate(qs):
+        rank = F.ceil(F.lit(float(q)) * F.col("n").cast("double"))
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("bin"))).alias(f"__b{i}")
+        )
+    one = cum.agg(*aggs)
+    stack_args: list[Column] = []
+    for i, q in enumerate(qs):
+        stack_args += [
+            F.lit(float(q)),
+            (F.col(f"__b{i}") * F.lit(bin_width)).cast("long"),
+        ]
+    return one.select(
+        F.stack(F.lit(len(qs)), *stack_args).alias("quantile", "est_lo")
     )

@@ -3628,5 +3628,82 @@ def q101_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(li, ["l_returnflag"], F.round(F.col("l_extendedprice") * 100, 0))
 
 
+@_q(
+    "q102_temperature_mix",
+    oracle="""
+WITH c AS (
+    SELECT source, count(*) AS n_s FROM documents GROUP BY 1
+), w AS (
+    SELECT source, n_s,
+           CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+    FROM c
+), t AS (
+    SELECT source, n_s, w, sum(w) OVER () AS tw FROM w
+), thr AS (
+    SELECT source,
+           CAST(floor(least(1.0,
+                300.0 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
+                      / CAST(n_s AS DOUBLE)) * 1000000.0) AS BIGINT) AS thr
+    FROM t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE (('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+       & 9223372036854775807) % 1000000 < thr.thr
+""",
+)
+def q102_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (sampling.temperature_mix,
+    T = 0.5): resample sources toward p_s ∝ √n_s so small domains are
+    upweighted in the training mix — the dataset-mixture op. sqrt is
+    IEEE-correctly-rounded (unlike pow) and the weights are
+    floor-quantized to longs before the cross-strata sum, so every
+    threshold is engine-identical and the md5 draw replays in the
+    oracle."""
+    from db_cdc_poc_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(docs, "doc_id", "source", target_rows=300).select(
+        "doc_id", "source"
+    )
+
+
+@_q(
+    "q103_histogram_quantile",
+    oracle="""
+WITH b AS (
+    SELECT CAST(floor(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                      / 100000) AS BIGINT) AS bin,
+           count(*) AS c
+    FROM lineitem GROUP BY 1
+), cu AS (
+    SELECT bin, c,
+           sum(c) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER () AS n
+    FROM b
+)
+SELECT CAST(q AS DOUBLE) AS quantile,
+       CAST((SELECT min(bin) FROM cu
+             WHERE cum >= ceil(q * CAST(n AS DOUBLE))) * 100000 AS BIGINT)
+           AS est_lo
+FROM (VALUES (0.5), (0.9), (0.99)) AS qv(q)
+""",
+)
+def q103_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles (sketches.histogram_quantiles):
+    p50/p90/p99 of line item value (cents) read off an equi-width bin
+    table — the sketch-shaped alternative to a full-sort percentile at
+    100 TB (bin counts merge with +, store, and union across days; the
+    cumulative window runs over the sketch, not the fact). The
+    integer-bin construction lets DuckDB replay the estimate exactly."""
+    from db_cdc_poc_spark.operators.sketches import histogram_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, F.round(F.col("l_extendedprice") * 100, 0), [0.5, 0.9, 0.99], 100_000
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -141,3 +141,39 @@ def test_top_k_per_stratum_prefilter_preserves_result(spark):
         df, "doc_id", ["grp_a"], k=5, salt="p", prefilter_rate=0.1
     )
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, pre.collect()))
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_flattens_and_is_deterministic(spark):
+    from db_cdc_poc_spark.operators.sampling import temperature_mix
+
+    # one giant stratum, one small one: T=0.5 should keep the small
+    # stratum whole and downsample the giant toward sqrt proportions
+    rows = [(i, "big") for i in range(1900)] + [(i + 10_000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_mix(df, "doc_id", "source", target_rows=400).collect()
+    by_src = {}
+    for r in kept:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # weights: w_big = sqrt(1900) ~ 43.6, w_small = 10 -> p_small ~ 0.187
+    # keep_small = min(1, 400*0.187/100) = 0.746; keep_big = 400*0.813/1900 = 0.171
+    assert abs(by_src["big"] / 1900 - 0.171) < 0.05
+    assert abs(by_src["small"] / 100 - 0.746) < 0.12
+    # small stratum's SHARE is far above its raw 5%
+    assert by_src["small"] / len(kept) > 0.15
+    # deterministic: identical second draw
+    again = temperature_mix(df, "doc_id", "source", target_rows=400).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in kept}
+
+
+def test_temperature_mix_small_stratum_kept_whole(spark):
+    from db_cdc_poc_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "a") for i in range(50)] + [(i + 100, "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # target >= input: every row keeps (frac clamps at 1.0)
+    assert temperature_mix(df, "doc_id", "source", target_rows=1000).count() == 100

@@ -222,3 +222,58 @@ def test_table_checksums_partitioning_invariant(spark):
     a = {tuple(r) for r in sk.table_checksums(base, "k").collect()}
     b = {tuple(r) for r in sk.table_checksums(base.repartition(17), "k").collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# histogram_quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantiles_within_bin_width_of_exact(spark):
+    import numpy as np
+
+    from db_cdc_poc_spark.operators.sketches import histogram_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = [int(v) for v in rng.integers(0, 1_000_000, size=5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.quantile: r.est_lo
+        for r in histogram_quantiles(
+            df, F.col("v"), [0.5, 0.9, 0.99], bin_width=10_000
+        ).collect()
+    }
+    for q in (0.5, 0.9, 0.99):
+        exact = float(np.quantile(vals, q))
+        assert abs(got[q] - exact) <= 10_000 + 1, (q, got[q], exact)
+
+
+def test_histogram_quantiles_merge_property(spark):
+    # bin tables from two halves merged with + give the same estimate
+    # as one pass over the union — the sketch contract
+    from db_cdc_poc_spark.operators.sketches import histogram_quantiles
+
+    a = [(v,) for v in range(0, 1000)]
+    b = [(v,) for v in range(500, 1500)]
+    df_all = spark.createDataFrame(a + b, "v long")
+    whole = {
+        r.quantile: r.est_lo
+        for r in histogram_quantiles(df_all, F.col("v"), [0.5], 100).collect()
+    }
+    # manual merge: per-half bin counts, summed, cumulated
+    from collections import Counter
+
+    c = Counter()
+    for v, in a + b:
+        c[v // 100] += 1
+    n = sum(c.values())
+    cum = 0
+    import math
+
+    est = None
+    for bin_ in sorted(c):
+        cum += c[bin_]
+        if cum >= math.ceil(0.5 * n):
+            est = bin_ * 100
+            break
+    assert whole[0.5] == est
