@@ -3403,6 +3403,7 @@ def q95_stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q96_regr_trend",
+    headline=True,
     oracle="""
 WITH s AS (
     SELECT o_orderpriority,
@@ -3447,6 +3448,7 @@ def q96_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q97_gapfill_locf",
+    headline=True,
     oracle="""
 WITH agg AS (
     SELECT event_type AS series,
@@ -3670,6 +3672,7 @@ def q102_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q103_histogram_quantile",
+    headline=True,
     oracle="""
 WITH b AS (
     SELECT CAST(floor(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
