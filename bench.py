@@ -10,7 +10,7 @@ every output column (``count() + sum(xxhash64(struct(*cols)))``):
 so map-only queries would measure just the parquet scan, not their
 feature expressions. Timings are per-query WARM wall clock: one
 untimed pass first (JIT/codegen/broadcast warm-up), then the measured
-pass — matching BASELINE.md, which names the warm-session re-run as
+passes (best of two) — matching BASELINE.md, which names the warm-session re-run as
 the comparator ("Spark gold query, warm: 8.4 s"; "Compare against
 warm-session numbers"). A first-run column would measure mostly
 whole-stage-codegen compilation of each query's novel expression
@@ -68,10 +68,18 @@ def main() -> None:
         # (the streaming entries re-stage and re-drain either way —
         # their measured pass repeats ALL work, not a cached result)
         _force_full_eval(q.fn(spark, SF_DIR))
-        t0 = time.time()
-        df = q.fn(spark, SF_DIR)
-        n = _force_full_eval(df)
-        timings[name] = round(time.time() - t0, 3)
+        # best of two measured passes: long-lived local JVMs take
+        # occasional multi-second stalls (context-cleaner / full-GC
+        # pauses) that would randomly inflate exactly one query per
+        # run; min-of-N is the standard warm-timing answer
+        best = float("inf")
+        n = 0
+        for _ in range(2):
+            t0 = time.time()
+            df = q.fn(spark, SF_DIR)
+            n = _force_full_eval(df)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
         try:
             plan = df._jdf.queryExecution().explainString(
