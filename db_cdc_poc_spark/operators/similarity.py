@@ -702,3 +702,27 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-label mean embedding (class centroids / prototypes): the
+    nearest-centroid classification and k-means-style cluster summary
+    primitive. posexplode -> groupBy(label, dim) is one shuffle of
+    |rows|·|dims| skinny rows with map-side partial sums — the
+    set-based shape; no vectors are ever collected. ``ndigits``
+    rounding absorbs the last-ulp wobble of float summation order.
+
+    Output: ``(label, pos, centroid)`` — one row per (label, dimension).
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), ndigits).alias("centroid")
+    )

@@ -157,3 +157,43 @@ def mad_outliers(
         )
     )
     return out.select(*group_cols, "n", "median_value", "mad", "n_outliers")
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostics: the pre-flight check for
+    any 100 TB shuffle. One count-per-key aggregation, then a single
+    summary row: key cardinality, total rows, the hottest key's count,
+    p50/p99 of the per-key distribution, and the share (ppm) of all
+    rows held by the ``top_k`` hottest keys — the number that tells you
+    whether a salted join (operators/joins.py:salted_join) or AQE skew
+    split is worth it.
+
+    The top-k sum uses a TakeOrdered (per-partition heaps + driver
+    merge of k rows), never a global sort; ties break on the key for
+    determinism. ppm is an exact integer.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), *key_cols).limit(top_k)
+    topsum = top.agg(F.sum("cnt").alias("top_cnt"))
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_cnt"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(topsum))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            F.expr("1000000 * top_cnt div n_rows").alias(
+                f"top{top_k}_share_ppm"
+            ),
+        )
+    )

@@ -3708,5 +3708,109 @@ def q103_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q104_label_centroids",
+    oracle="""
+WITH e AS (
+    SELECT label,
+           unnest([{'pos': i - 1, 'val': emb[i]}
+                   for i in range(1, len(emb) + 1)]) AS u
+    FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings)
+)
+SELECT label, CAST(u.pos AS INTEGER) AS pos,
+       round(avg(u.val), 6) AS centroid
+FROM e GROUP BY 1, 2
+""",
+)
+def q104_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class centroids (similarity.label_centroids): per-label mean
+    embedding — the nearest-centroid / cluster-summary primitive.
+    posexplode to (label, dim) skinny rows, one map-side-partial
+    aggregation; vectors never leave the executors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.label_centroids(emb, "label", "embedding")
+
+
+@_q(
+    "q105_skew_report",
+    oracle="""
+WITH c AS (
+    SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+), t AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS top_cnt
+    FROM (SELECT cnt FROM c ORDER BY cnt DESC, k LIMIT 10)
+), a AS (
+    SELECT count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           max(cnt) AS max_cnt,
+           round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+           round(quantile_cont(cnt, 0.99), 6) AS p99_cnt
+    FROM c
+)
+SELECT n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
+       CAST(1000000 * top_cnt // n_rows AS BIGINT) AS top10_share_ppm
+FROM a, t
+""",
+)
+def q105_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (stats.key_skew_report) on
+    lineitem's part key: cardinality, hottest-key count, p50/p99 of the
+    per-key distribution, and the top-10 keys' row share in ppm — the
+    pre-flight that decides between a plain, salted
+    (operators/joins.py:salted_join) or AQE-skew-split join. TakeOrdered
+    for the top-k (no global sort); exact-integer ppm."""
+    from db_cdc_poc_spark.operators.stats import key_skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_report(li, ["l_partkey"], top_k=10)
+
+
+@_q(
+    "q106_session_window",
+    oracle="""
+WITH o AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 10 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(round(value * 100, 0)) AS BIGINT) AS total_cents
+FROM s GROUP BY user_id, sid
+""",
+)
+def q106_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window aggregation (10-min inactivity
+    gap): the declarative sibling of q48's explicit lag/cumsum
+    sessionizer — one groupBy, merging handled by the engine, and the
+    same operator works unchanged in Structured Streaming with a
+    watermark. Session end = last event + gap (matched by the oracle's
+    interval arithmetic)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "10 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _cents(F.col("value")).alias("total_cents"),
+    )
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "total_cents",
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -213,3 +213,33 @@ def test_hard_negatives_excludes_same_label(spark):
     rows = sim.hard_negatives(emb, emb.filter(F.col("vec_id") == 1), k=2).collect()
     got = [(r.negative_id, r.rank) for r in sorted(rows, key=lambda r: r.rank)]
     assert got == [(3, 1), (4, 2)]  # 2 (same label) excluded entirely
+
+
+# ---------------------------------------------------------------------------
+# label_centroids
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroids_matches_numpy(spark):
+    import numpy as np
+
+    from db_cdc_poc_spark.operators.similarity import label_centroids
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vecs = {0: [], 1: []}
+    for i in range(40):
+        label = i % 2
+        v = [float(x) for x in rng.normal(size=8).astype("float32")]
+        vecs[label].append(v)
+        rows.append((i, v, label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        (r.label, r.pos): r.centroid
+        for r in label_centroids(df).collect()
+    }
+    assert len(got) == 16
+    for label in (0, 1):
+        mean = np.asarray(vecs[label], dtype="float64").mean(axis=0)
+        for pos in range(8):
+            assert abs(got[(label, pos)] - round(float(mean[pos]), 6)) <= 1e-6

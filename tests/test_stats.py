@@ -104,3 +104,29 @@ def test_mad_outliers_zero_mad_group(spark):
     df = spark.createDataFrame([("c", 7)] * 5, "g string, v long")
     row = mad_outliers(df, ["g"], F.col("v")).collect()[0]
     assert (row.mad, row.n_outliers) == (0.0, 0)
+
+
+def test_key_skew_report_known_distribution(spark):
+    from db_cdc_poc_spark.operators.stats import key_skew_report
+
+    # key 0 is hot (100 rows), keys 1..20 have 5 rows each
+    rows = [(0,)] * 100 + [(k,) for k in range(1, 21) for _ in range(5)]
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_report(df, ["k"], top_k=3).collect()[0]
+    assert r.n_keys == 21
+    assert r.n_rows == 200
+    assert r.max_cnt == 100
+    assert r.p50_cnt == 5.0
+    # top-3 = 100 + 5 + 5 = 110 of 200 rows
+    assert r.top3_share_ppm == 1_000_000 * 110 // 200
+
+
+def test_key_skew_report_no_global_sort(spark):
+    from db_cdc_poc_spark.operators.stats import key_skew_report
+
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+    plan = (
+        key_skew_report(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
