@@ -726,3 +726,68 @@ def label_centroids(
     return ex.groupBy("label", "pos").agg(
         F.round(F.avg(F.col("val").cast("double")), ndigits).alias("centroid")
     )
+
+
+def nearest_centroid(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment: classify every vector to its closest
+    class centroid (squared L2), returning ``(id, true_label,
+    pred_label, dist2)`` — the prototype classifier / cluster-assignment
+    step (one k-means iteration is exactly this plus a re-centroid).
+
+    Scale shape: centroids are a |labels|-row table joined BROADCAST
+    onto the corpus (the corpus never moves); the per-pair distance is
+    a sequential ``aggregate`` fold over ``zip_with`` — executor-side
+    codegen, bit-reproducible (0.0 + x = x exactly, so the fold order
+    matches any strict left-fold replay), no UDF; the argmin is a
+    ``min_by`` with a (dist, label) struct key, one map-side-partial
+    aggregation, ties broken by label.
+    """
+    cen = (
+        label_centroids(df, label_col, vec_col, ndigits)
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda x: x.centroid,
+            ).alias("cvec")
+        )
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("true_label"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = v.join(F.broadcast(cen)).withColumn("dist2", dist2)
+    return scored.groupBy("id").agg(
+        F.first("true_label").alias("true_label"),
+        F.min_by(F.col("clabel"), F.struct(F.col("dist2"), F.col("clabel"))).alias(
+            "pred_label"
+        ),
+        F.min("dist2").alias("dist2"),
+    )
+
+
+def centroid_confusion(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Confusion counts of the nearest-centroid assignment:
+    ``(true_label, pred_label, n)`` — the embedding-space separability
+    report (a diagonal-heavy matrix = labels form tight clusters)."""
+    assigned = nearest_centroid(df, label_col, vec_col, id_col)
+    return assigned.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -3812,5 +3812,51 @@ def q106_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q107_centroid_confusion",
+    oracle="""
+WITH cen AS (
+    SELECT label AS clabel, list(centroid ORDER BY pos) AS cvec
+    FROM (
+        SELECT label, CAST(u.pos AS INTEGER) AS pos,
+               round(avg(u.val), 6) AS centroid
+        FROM (SELECT label,
+                     unnest([{'pos': i - 1, 'val': emb[i]}
+                             for i in range(1, len(emb) + 1)]) AS u
+              FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings))
+        GROUP BY 1, 2
+    ) GROUP BY label
+), v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+), d AS (
+    SELECT v.vec_id, v.label AS true_label, c.clabel,
+           list_reduce(
+               list_transform(list_zip(v.emb, c.cvec),
+                              x -> (x[1] - x[2]) * (x[1] - x[2])),
+               (a, b) -> a + b) AS dist2
+    FROM v CROSS JOIN cen c
+), best AS (
+    SELECT vec_id, true_label, clabel AS pred_label
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist2, clabel) AS rn
+          FROM d)
+    WHERE rn = 1
+)
+SELECT true_label, pred_label, count(*) AS n
+FROM best GROUP BY 1, 2
+""",
+)
+def q107_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix (similarity.centroid_confusion):
+    assign every embedding to its closest class centroid and count
+    (true, predicted) pairs — the embedding-space separability report
+    and one half of a k-means iteration. Broadcast centroid table, the
+    corpus never moves; the distance is a strict-left-fold aggregate
+    (0.0 + x = x) so the oracle's list_reduce replays it bit-for-bit;
+    min_by on a (dist, label) struct breaks ties deterministically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.centroid_confusion(emb, "label", "embedding", "vec_id")
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -243,3 +243,44 @@ def test_label_centroids_matches_numpy(spark):
         mean = np.asarray(vecs[label], dtype="float64").mean(axis=0)
         for pos in range(8):
             assert abs(got[(label, pos)] - round(float(mean[pos]), 6)) <= 1e-6
+
+
+def test_nearest_centroid_separable_clusters(spark):
+    import numpy as np
+
+    from db_cdc_poc_spark.operators.similarity import (
+        centroid_confusion,
+        nearest_centroid,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    centers = {0: np.array([10.0, 0.0, 0.0]), 1: np.array([-10.0, 0.0, 0.0])}
+    for i in range(60):
+        label = i % 2
+        v = centers[label] + rng.normal(scale=0.5, size=3)
+        rows.append((i, [float(x) for x in v.astype("float32")], label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # well-separated clusters: every vector maps back to its own label
+    assigned = nearest_centroid(df).collect()
+    assert all(r.pred_label == r.true_label for r in assigned)
+    assert all(r.dist2 >= 0.0 for r in assigned)
+    conf = {
+        (r.true_label, r.pred_label): r.n for r in centroid_confusion(df).collect()
+    }
+    assert conf == {(0, 0): 30, (1, 1): 30}
+
+
+def test_nearest_centroid_broadcast_no_cartesian_blowup(spark):
+    from db_cdc_poc_spark.operators.similarity import nearest_centroid
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 3) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    plan = (
+        nearest_centroid(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # centroid side must broadcast (|labels| rows); the corpus must not
+    # range-shuffle for a sort
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
