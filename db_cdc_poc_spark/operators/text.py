@@ -635,3 +635,59 @@ def char_entropy_stats(
             5,
         ).alias("char_entropy"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 5,
+) -> DataFrame:
+    """Bigram language-model log-likelihood per document: train
+    ``p(w2|w1) = c(w1 w2) / c(w1 ·)`` on the corpus itself, then score
+    each document by its mean bigram log-probability — the actual
+    number behind KenLM-style perplexity quality filtering
+    (``bigram_coverage`` is the coverage skeleton; this is the model).
+    Self-trained scores skew optimistic for verbatim-duplicated text,
+    which is exactly why perplexity filters double as dedup signals.
+
+    Shape: two linear aggregations (bigram counts, first-token
+    marginals — the marginal is derived FROM the bigram table, so
+    probabilities normalize exactly), then a re-join against distinct
+    per-doc bigrams carrying occurrence multiplicity (a bigram repeated
+    k times in one doc joins once, weighted k — the q85 trick). The
+    mean is Σ occ·logp / Σ occ rounded to ``ndigits`` (the only float
+    accumulation; ln-ulp and shuffle-order wobble sit ~1e-12 below the
+    rounding grain).
+
+    Output: ``(id, n_bigrams, avg_logprob)``; docs under 2 tokens emit
+    no row.
+    """
+    bg = bigram_rows(df, id_col, text_col)
+    per_doc = bg.groupBy("id", "bigram").agg(F.count(F.lit(1)).alias("occ"))
+    corpus = per_doc.groupBy("bigram").agg(F.sum("occ").alias("c_bg"))
+    first_tok = F.split(F.col("bigram"), " ").getItem(0)
+    marginal = corpus.groupBy(first_tok.alias("w1")).agg(
+        F.sum("c_bg").alias("c_w1")
+    )
+    logp = corpus.join(
+        marginal, F.split(corpus.bigram, " ").getItem(0) == F.col("w1")
+    ).select(
+        "bigram",
+        (
+            F.log(F.col("c_bg").cast("double"))
+            - F.log(F.col("c_w1").cast("double"))
+        ).alias("logp"),
+    )
+    return (
+        per_doc.join(logp, "bigram")
+        .groupBy("id")
+        .agg(
+            F.sum("occ").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("occ").cast("double") * F.col("logp"))
+                / F.sum("occ").cast("double"),
+                ndigits,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -3858,5 +3858,47 @@ def q107_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.centroid_confusion(emb, "label", "embedding", "vec_id")
 
 
+@_q(
+    "q108_bigram_lm",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), bg AS (
+    SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                           for i in range(1, greatest(len(toks), 1))]) AS bigram
+    FROM tk WHERE len(toks) >= 2
+), per_doc AS (
+    SELECT doc_id AS id, bigram, count(*) AS occ FROM bg GROUP BY 1, 2
+), corpus AS (
+    SELECT bigram, CAST(sum(occ) AS BIGINT) AS c_bg FROM per_doc GROUP BY 1
+), marginal AS (
+    SELECT string_split(bigram, ' ')[1] AS w1,
+           CAST(sum(c_bg) AS BIGINT) AS c_w1
+    FROM corpus GROUP BY 1
+), logp AS (
+    SELECT bigram,
+           ln(CAST(c_bg AS DOUBLE)) - ln(CAST(c_w1 AS DOUBLE)) AS logp
+    FROM corpus JOIN marginal ON string_split(corpus.bigram, ' ')[1] = w1
+)
+SELECT id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       round(sum(CAST(occ AS DOUBLE) * logp)
+             / CAST(sum(occ) AS DOUBLE), 5) AS avg_logprob
+FROM per_doc JOIN logp USING (bigram)
+GROUP BY id
+""",
+)
+def q108_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM log-likelihood scoring (text.bigram_lm_scores): the
+    KenLM-style perplexity quality filter, self-trained — p(w2|w1)
+    from corpus counts with the marginal derived from the bigram table
+    so probabilities normalize exactly; per-doc mean log-prob rounded
+    to 5 dp. Two linear aggregations + one weighted re-join; no pair
+    joins, no windows."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_lm_scores(docs, "doc_id", "text")
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

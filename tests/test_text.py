@@ -324,3 +324,36 @@ def test_char_entropy_matches_python_reference(spark):
     # degenerate single-char doc: zero entropy exactly
     assert got[4].char_entropy == 0.0
     assert got[1].char_entropy == 0.0
+
+
+def test_bigram_lm_scores_match_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from db_cdc_poc_spark.operators.text import bigram_lm_scores
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat",
+        3: "a dog ran",
+        4: "single",  # < 2 tokens: no row
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.id: r for r in bigram_lm_scores(df).collect()}
+    assert 4 not in got
+    # python reference
+    bigs = {i: list(zip(t.split(), t.split()[1:])) for i, t in texts.items()}
+    corpus = Counter(b for bb in bigs.values() for b in bb)
+    marg = Counter()
+    for (w1, _), c in corpus.items():
+        marg[w1] += c
+    for i in (1, 2, 3):
+        lp = [math.log(corpus[b]) - math.log(marg[b[0]]) for b in bigs[i]]
+        want = round(sum(lp) / len(lp), 5)
+        assert got[i].n_bigrams == len(bigs[i])
+        assert abs(got[i].avg_logprob - want) < 1e-9, (i, got[i].avg_logprob, want)
+    # doc 3's bigrams are the only continuations of their first tokens:
+    # p(w2|w1) = 1, score 0 (the self-trained-conditional-LM ceiling);
+    # doc 2's "the ..." bigrams compete with doc 1's, so it scores below
+    assert got[3].avg_logprob == 0.0
+    assert got[2].avg_logprob < 0.0
