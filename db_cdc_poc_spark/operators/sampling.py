@@ -229,3 +229,36 @@ def temperature_mix(
         .filter(hash_bucket(id_col, salt, buckets) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def training_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    salt: str = "order-v1",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Reproducible global shuffle into balanced training shards.
+
+    Training wants data in a shuffled order that is (a) independent of
+    how the corpus happens to be partitioned, (b) identical on every
+    rerun, and (c) writable as N parallel shards. A ``df.orderBy(rand())``
+    fails all three. Here every row gets a deterministic md5 draw: one
+    hash picks the shard (uniform mod ``n_shards``), an independent
+    hash (different salt namespace) orders rows WITHIN the shard, ties
+    broken by id. The only non-map work is one row_number window
+    partitioned BY SHARD — |shard| partitions of |rows|/n_shards each,
+    no global sort, no single-partition window.
+
+    Output: input columns + ``(shard, pos)`` — write with
+    ``partitionBy(shard)`` sorted by pos for ready-to-stream shards.
+    """
+    shard = hash_bucket(id_col, f"{salt}:shard", buckets) % n_shards
+    order = hash_bucket(id_col, f"{salt}:order", buckets)
+    w = Window.partitionBy("shard").orderBy("__ord", id_col)
+    return (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("__ord", order)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__ord")
+    )

@@ -197,3 +197,34 @@ def key_skew_report(
             ),
         )
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value: Column,
+    n_bins: int = 10,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency (quantile) bucketing of an integer-valued
+    expression — the feature-engineering discretizer (deciles by
+    default). One tiny aggregation computes the n−1 interior exact
+    percentile thresholds; the assignment is a broadcast of that 1-row
+    threshold array plus a map-only count of thresholds at or below
+    each value. Spark's own ``QuantileDiscretizer`` is this with an
+    approximate sketch; the exact form stays oracle-replayable.
+
+    Output: input columns + ``out_col`` (0-based bin index).
+    """
+    probs = [i / n_bins for i in range(1, n_bins)]
+    vl = value.cast("long")
+    with_v = df.withColumn("__v", vl)
+    ths = with_v.agg(
+        F.expr(
+            "percentile(__v, array({}))".format(",".join(str(p) for p in probs))
+        ).alias("__ths")
+    )
+    binned = with_v.crossJoin(F.broadcast(ths)).withColumn(
+        out_col,
+        F.size(F.filter(F.col("__ths"), lambda t: F.col("__v") >= t)).cast("int"),
+    )
+    return binned.drop("__v", "__ths")

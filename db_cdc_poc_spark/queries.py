@@ -3900,5 +3900,69 @@ def q108_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_lm_scores(docs, "doc_id", "text")
 
 
+@_q(
+    "q109_quantile_bins",
+    oracle="""
+WITH v AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS val
+    FROM orders
+), th AS (
+    SELECT quantile_cont(val, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]) AS ths
+    FROM v
+)
+SELECT o_orderkey,
+       CAST(len(list_filter(ths, t -> val >= t)) AS INTEGER) AS bin
+FROM v, th
+""",
+)
+def q109_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile bucketing (stats.quantile_bins) of order
+    value — the exact-percentile feature discretizer (Spark ML's
+    QuantileDiscretizer with the approximate sketch swapped for an
+    oracle-replayable exact threshold array). One tiny aggregation +
+    broadcast threshold array + map-only assignment."""
+    from db_cdc_poc_spark.operators.stats import quantile_bins
+
+    orders = _t(spark, sf_dir, "orders")
+    return quantile_bins(
+        orders.select("o_orderkey", "o_totalprice"),
+        F.round(F.col("o_totalprice") * 100, 0),
+        n_bins=10,
+    ).select("o_orderkey", "bin")
+
+
+@_q(
+    "q110_training_shards",
+    oracle="""
+WITH h AS (
+    SELECT doc_id,
+           CAST((('0x' || substr(md5('order-v1:shard:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                 & 9223372036854775807) % 1000000 % 8 AS INTEGER) AS shard,
+           (('0x' || substr(md5('order-v1:order:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+            & 9223372036854775807) % 1000000 AS ord
+    FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS pos
+FROM h
+""",
+)
+def q110_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle into balanced shards
+    (sampling.training_shards): one md5 draw picks the shard, an
+    independent draw orders within the shard — rerun-identical,
+    partitioning-independent, and the only non-map work is a
+    row_number window PER SHARD (never a global single-partition
+    sort). The write-side recipe is partitionBy(shard) sorted by pos."""
+    from db_cdc_poc_spark.operators.sampling import training_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return training_shards(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -177,3 +177,48 @@ def test_temperature_mix_small_stratum_kept_whole(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string")
     # target >= input: every row keeps (frac clamps at 1.0)
     assert temperature_mix(df, "doc_id", "source", target_rows=1000).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# training_shards
+# ---------------------------------------------------------------------------
+
+
+def test_training_shards_balanced_deterministic_dense(spark):
+    from db_cdc_poc_spark.operators.sampling import training_shards
+
+    df = _docs(spark, 4000)
+    out = training_shards(df, "doc_id", n_shards=8).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # all 8 shards used, roughly balanced
+    assert set(by_shard) == set(range(8))
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) - min(sizes) < 200
+    # positions are dense 1..n within each shard
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # rerun identical
+    again = training_shards(df, "doc_id", n_shards=8).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in again} == {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
+    # repartitioning the input does not change the assignment
+    shuffled = training_shards(df.repartition(13), "doc_id", n_shards=8).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in shuffled} == {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
+
+
+def test_training_shards_no_global_sort(spark):
+    from db_cdc_poc_spark.operators.sampling import training_shards
+
+    df = _docs(spark, 100)
+    plan = (
+        training_shards(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    )
+    # the window shuffles BY SHARD (hashpartitioning), never a
+    # single-partition or range sort
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan

@@ -130,3 +130,19 @@ def test_key_skew_report_no_global_sort(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from db_cdc_poc_spark.operators.stats import quantile_bins
+
+    df = spark.createDataFrame([(i, i) for i in range(1000)], "id long, v long")
+    out = quantile_bins(df, F.col("v"), n_bins=10).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.bin] = sizes.get(r.bin, 0) + 1
+    assert set(sizes) == set(range(10))
+    # exact percentiles on a uniform ramp: every decile within 1 row
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # monotone: bin is nondecreasing in v
+    by_v = sorted(out, key=lambda r: r.id)
+    assert all(a.bin <= b.bin for a, b in zip(by_v, by_v[1:]))
