@@ -228,3 +228,48 @@ def quantile_bins(
         F.size(F.filter(F.col("__ths"), lambda t: F.col("__v") >= t)).cast("int"),
     )
     return binned.drop("__v", "__ths")
+
+
+def zscore_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    out_col: str = "z",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group z-score standardization — the feature-normalization
+    step (works per language / per source / per store). ``value`` must
+    be integer-valued AND sized so its square-sum fits a long (whole
+    dollars, not cents, for money at billions of rows): the mean and
+    sample-variance then derive from exact integer sums (one map-side-
+    partial aggregation), every group's (mean, std) is bit-identical on
+    every engine, and the per-row z is one broadcast join + map.
+
+    Rows in groups with zero variance (or a single row) get z = 0.0.
+
+    Output: input columns + ``out_col`` (rounded to ``ndigits``).
+    """
+    vl = value.cast("long")
+    with_v = df.withColumn("__v", vl)
+    stats = with_v.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__v").alias("__sx"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    mean = sx / n
+    std = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
+    stats = stats.select(
+        *group_cols, mean.alias("__mean"), std.alias("__std")
+    )
+    z = F.when(
+        F.col("__std") > 0.0,
+        F.round((F.col("__v").cast("double") - F.col("__mean")) / F.col("__std"), ndigits),
+    ).otherwise(F.lit(0.0))
+    return (
+        with_v.join(F.broadcast(stats), group_cols)
+        .withColumn(out_col, z)
+        .drop("__v", "__mean", "__std")
+    )

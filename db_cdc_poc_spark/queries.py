@@ -3964,5 +3964,50 @@ def q110_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q111_zscore",
+    oracle="""
+WITH v AS (
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(round(l_extendedprice, 0) AS BIGINT) AS val
+    FROM lineitem
+), s AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(val) AS BIGINT) AS sx,
+           CAST(sum(val * val) AS BIGINT) AS sxx
+    FROM v GROUP BY 1
+), st AS (
+    SELECT l_returnflag,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           sqrt((CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1.0)) AS std
+    FROM s
+)
+SELECT v.l_orderkey, v.l_linenumber,
+       CASE WHEN st.std > 0.0
+            THEN round((CAST(v.val AS DOUBLE) - st.mean) / st.std, 6)
+            ELSE 0.0 END AS z
+FROM v JOIN st USING (l_returnflag)
+""",
+)
+def q111_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (stats.zscore_normalize) of
+    line item price (whole dollars — sized so the square-sum stays an
+    exact long at billions of rows) per return flag: exact integer
+    sufficient statistics, bit-identical (mean, std) per group, one
+    broadcast join + map for the per-row score."""
+    from db_cdc_poc_spark.operators.stats import zscore_normalize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    out = zscore_normalize(
+        li, ["l_returnflag"], F.round(F.col("l_extendedprice"), 0)
+    )
+    return out.select("l_orderkey", "l_linenumber", "z")
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

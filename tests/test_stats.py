@@ -146,3 +146,29 @@ def test_quantile_bins_equal_frequency(spark):
     # monotone: bin is nondecreasing in v
     by_v = sorted(out, key=lambda r: r.id)
     assert all(a.bin <= b.bin for a, b in zip(by_v, by_v[1:]))
+
+
+def test_zscore_normalize_matches_numpy(spark):
+    import numpy as np
+
+    from db_cdc_poc_spark.operators.stats import zscore_normalize
+
+    rng = np.random.default_rng(13)
+    vals = [int(v) for v in rng.integers(0, 10_000, size=300)]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, v long"
+    )
+    out = {r.id: r.z for r in zscore_normalize(df, ["g"], F.col("v")).collect()}
+    arr = np.array(vals, dtype=float)
+    std = arr.std(ddof=1)
+    for i, v in enumerate(vals):
+        assert abs(out[i] - round((v - arr.mean()) / std, 6)) <= 1e-6
+
+
+def test_zscore_constant_group_is_zero(spark):
+    from db_cdc_poc_spark.operators.stats import zscore_normalize
+
+    df = spark.createDataFrame([(i, "c", 42) for i in range(5)], "id long, g string, v long")
+    assert all(
+        r.z == 0.0 for r in zscore_normalize(df, ["g"], F.col("v")).collect()
+    )

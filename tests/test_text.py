@@ -357,3 +357,33 @@ def test_bigram_lm_scores_match_python_reference(spark):
     # doc 2's "the ..." bigrams compete with doc 1's, so it scores below
     assert got[3].avg_logprob == 0.0
     assert got[2].avg_logprob < 0.0
+
+
+def test_compression_ratios_rank_quality(spark):
+    import zlib
+
+    from db_cdc_poc_spark.operators.text import compression_ratios
+
+    import hashlib as _hl
+
+    texts = {
+        1: "spam spam spam " * 200,          # highly repetitive
+        2: "the quick brown fox jumps over the lazy dog. " * 50,
+        3: "".join(                          # hash chain: incompressible
+            _hl.sha256(bytes([i])).hexdigest() for i in range(47)
+        ),
+        4: "",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.id: r for r in compression_ratios(df).collect()}
+    # exact python parity (same zlib, same level)
+    for i, t in texts.items():
+        b = t.encode()
+        assert got[i].n_bytes == len(b)
+        if b:
+            c = len(zlib.compress(b, 6))
+            assert got[i].n_compressed == c
+            assert got[i].ratio_ppm == 1_000_000 * c // len(b)
+    # repetitive text compresses far below the noisy text
+    assert got[1].ratio_ppm < got[2].ratio_ppm < got[3].ratio_ppm
+    assert got[4].ratio_ppm == 1_000_000
