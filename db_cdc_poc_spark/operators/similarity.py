@@ -791,3 +791,34 @@ def centroid_confusion(
     return assigned.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration of k-means, seeded from the label centroids:
+    assign every vector to its nearest centroid (broadcast, fold-exact
+    distances — see :func:`nearest_centroid`), then recompute the
+    centroid of each ASSIGNED cluster. Iterative ML on Spark without a
+    driver loop per element: each iteration is two aggregations and a
+    broadcast join, so k iterations are a k-stage declarative chain —
+    and one step stays fully oracle-replayable.
+
+    Output: ``(label, pos, centroid)`` — the refined centroid table,
+    same shape as :func:`label_centroids` (labels that captured no
+    vectors disappear, exactly as in Lloyd's algorithm).
+    """
+    assigned = nearest_centroid(df, label_col, vec_col, id_col, ndigits)
+    reassigned = df.join(
+        assigned.select(F.col("id").alias(id_col), "pred_label"), id_col
+    )
+    return label_centroids(
+        reassigned.select(F.col("pred_label").alias("label"), vec_col),
+        "label",
+        vec_col,
+        ndigits,
+    )

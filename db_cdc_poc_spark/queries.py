@@ -4009,5 +4009,90 @@ def q111_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "z")
 
 
+@_q(
+    "q112_kmeans_refine",
+    oracle="""
+WITH cen AS (
+    SELECT label AS clabel, list(centroid ORDER BY pos) AS cvec
+    FROM (
+        SELECT label, CAST(u.pos AS INTEGER) AS pos,
+               round(avg(u.val), 6) AS centroid
+        FROM (SELECT label,
+                     unnest([{'pos': i - 1, 'val': emb[i]}
+                             for i in range(1, len(emb) + 1)]) AS u
+              FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings))
+        GROUP BY 1, 2
+    ) GROUP BY label
+), v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), d AS (
+    SELECT v.vec_id, v.emb, c.clabel,
+           list_reduce(
+               list_transform(list_zip(v.emb, c.cvec),
+                              x -> (x[1] - x[2]) * (x[1] - x[2])),
+               (a, b) -> a + b) AS dist2
+    FROM v CROSS JOIN cen c
+), best AS (
+    SELECT vec_id, emb, clabel AS pred_label
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist2, clabel) AS rn
+          FROM d)
+    WHERE rn = 1
+)
+SELECT pred_label AS label, CAST(u.pos AS INTEGER) AS pos,
+       round(avg(u.val), 6) AS centroid
+FROM (SELECT pred_label,
+             unnest([{'pos': i - 1, 'val': emb[i]}
+                     for i in range(1, len(emb) + 1)]) AS u
+      FROM best)
+GROUP BY 1, 2
+""",
+)
+def q112_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd k-means iteration (similarity.kmeans_refine): assign
+    to nearest label-seeded centroid, recompute assigned-cluster means
+    — iterative ML as a declarative two-aggregation chain (no driver
+    loop over elements, no collect), with the full step replayed by
+    the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.kmeans_refine(emb, "label", "embedding", "vec_id")
+
+
+@_q(
+    "q113_cumulative_users",
+    oracle="""
+WITH fs AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+), per_day AS (
+    SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_users
+FROM per_day
+""",
+)
+def q113_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day WITHOUT a quadratic
+    day×user recount: first-seen day per user (one aggregation), new
+    users per day (second aggregation), then a running sum over the
+    |days|-row table — the standard growth-curve rewrite that turns
+    COUNT(DISTINCT) OVER an expanding window (unsupported and
+    unscalable) into two linear aggregations plus a window over the
+    day dimension."""
+    ev = _t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    per_day = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

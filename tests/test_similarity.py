@@ -284,3 +284,45 @@ def test_nearest_centroid_broadcast_no_cartesian_blowup(spark):
     # centroid side must broadcast (|labels| rows); the corpus must not
     # range-shuffle for a sort
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmeans_refine_fixed_point_on_separated_clusters(spark):
+    import numpy as np
+
+    from db_cdc_poc_spark.operators.similarity import (
+        kmeans_refine,
+        label_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    centers = {0: [20.0, 0.0], 1: [-20.0, 0.0], 2: [0.0, 20.0]}
+    for i in range(90):
+        label = i % 3
+        v = np.array(centers[label]) + rng.normal(scale=0.3, size=2)
+        rows.append((i, [float(x) for x in v.astype("float32")], label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # separated clusters: the label seeding is already Lloyd's fixed
+    # point, so one refinement step reproduces the label centroids
+    before = {(r.label, r.pos): r.centroid for r in label_centroids(df).collect()}
+    after = {(r.label, r.pos): r.centroid for r in kmeans_refine(df).collect()}
+    assert after == before
+
+
+def test_kmeans_refine_moves_misseeded_points(spark):
+    from db_cdc_poc_spark.operators.similarity import kmeans_refine
+
+    # two tight groups, but one point of group 1 is mislabeled as 0:
+    # the refinement assigns it to its true (near) centroid, so cluster
+    # 0's refined centroid is the pure group-0 mean
+    rows = [
+        (0, [0.0, 0.0], 0),
+        (1, [0.2, 0.0], 0),
+        (2, [10.0, 0.0], 1),
+        (3, [10.2, 0.0], 1),
+        (4, [10.1, 0.0], 0),  # mislabeled
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    after = {(r.label, r.pos): r.centroid for r in kmeans_refine(df).collect()}
+    assert after[(0, 0)] == 0.1  # mean of 0.0, 0.2 — outlier reassigned away
+    assert abs(after[(1, 0)] - 10.1) < 1e-6
