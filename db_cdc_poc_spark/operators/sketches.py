@@ -377,3 +377,40 @@ def histogram_quantiles(
     return one.select(
         F.stack(F.lit(len(qs)), *stack_args).alias("quantile", "est_lo")
     )
+
+
+def hll_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    p: int = 10,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """HLL set algebra: estimated |A|, |B|, |A ∪ B| and (by
+    inclusion–exclusion) |A ∩ B| from two register tables — overlap
+    between key sets that are each too large to materialize (shared
+    users between products, common documents between crawls). The
+    union register table is just ``max`` over the two sketches (HLL's
+    union property), so the whole comparison touches ``3·2^p`` register
+    rows, never the raw keys; sketches built on different days / by
+    different jobs compose the same way.
+
+    Output: one row ``(est_a, est_b, est_union, est_intersection)``.
+    Intersection error compounds (it is a difference of estimates) —
+    treat small intersections of large sets as noise, the standard HLL
+    caveat.
+    """
+    ra = hll_registers(df_a, key_col, p=p, hash_fn=hash_fn)
+    rb = hll_registers(df_b, key_col, p=p, hash_fn=hash_fn)
+    ru = ra.unionByName(rb).groupBy("bucket").agg(F.max("r").alias("r"))
+    ea = hll_estimate(ra, p=p).select(F.col("est_distinct").alias("est_a"))
+    eb = hll_estimate(rb, p=p).select(F.col("est_distinct").alias("est_b"))
+    eu = hll_estimate(ru, p=p).select(F.col("est_distinct").alias("est_union"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .withColumn(
+            "est_intersection",
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        )
+    )

@@ -27,7 +27,7 @@ Scale design, per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["group_regression", "column_profile", "mad_outliers"]
@@ -272,4 +272,55 @@ def zscore_normalize(
         with_v.join(F.broadcast(stats), group_cols)
         .withColumn(out_col, z)
         .drop("__v", "__mean", "__std")
+    )
+
+
+def transition_pmi(
+    df: DataFrame,
+    seq_cols: list[str],
+    state: Column,
+    order_cols: list[str],
+    ndigits: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of consecutive state transitions —
+    "which event follows which" beyond raw counts (PMI > 0: the pair
+    co-occurs more than independence predicts). The sequence-mining
+    companion to the funnel (q80) and sessionize (q48) operators.
+
+    One lead() window per sequence (partitioned by ``seq_cols`` — the
+    natural key distribution, no global sort), then three tiny
+    aggregations (pair counts, both margins) joined broadcast. PMI =
+    ln(n_xy·N / (n_x·n_y)) on exact integer counts, rounded.
+
+    Output: ``(from_state, to_state, n, pmi)``.
+    """
+    w = Window.partitionBy(*seq_cols).orderBy(*order_cols)
+    tr = (
+        df.select(
+            *seq_cols,
+            *order_cols,
+            state.alias("__s"),
+        )
+        .withColumn("__next", F.lead("__s").over(w))
+        .filter(F.col("__next").isNotNull())
+    )
+    pairs = tr.groupBy(
+        F.col("__s").alias("from_state"), F.col("__next").alias("to_state")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from_m = pairs.groupBy("from_state").agg(F.sum("n").alias("n_x"))
+    to_m = pairs.groupBy("to_state").agg(F.sum("n").alias("n_y"))
+    total = pairs.agg(F.sum("n").alias("n_tot"))
+    pmi = F.round(
+        F.log(
+            F.col("n").cast("double")
+            * F.col("n_tot").cast("double")
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+        ),
+        ndigits,
+    )
+    return (
+        pairs.join(F.broadcast(from_m), "from_state")
+        .join(F.broadcast(to_m), "to_state")
+        .crossJoin(F.broadcast(total))
+        .select("from_state", "to_state", "n", pmi.alias("pmi"))
     )

@@ -4094,5 +4094,112 @@ def q113_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q114_transition_pmi",
+    oracle="""
+WITH tr AS (
+    SELECT user_id, event_type AS from_state,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_state
+    FROM events
+), pairs AS (
+    SELECT from_state, to_state, count(*) AS n
+    FROM tr WHERE to_state IS NOT NULL GROUP BY 1, 2
+), fm AS (
+    SELECT from_state, CAST(sum(n) AS BIGINT) AS n_x FROM pairs GROUP BY 1
+), tm AS (
+    SELECT to_state, CAST(sum(n) AS BIGINT) AS n_y FROM pairs GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM pairs
+)
+SELECT from_state, to_state, n,
+       round(ln(CAST(n AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 5) AS pmi
+FROM pairs JOIN fm USING (from_state) JOIN tm USING (to_state), tot
+""",
+)
+def q114_transition_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition PMI (stats.transition_pmi): which event type
+    follows which more often than independence predicts — the
+    sequence-mining feature next to funnels (q80) and sessions (q48).
+    One lead() window partitioned by user (never a global sort), three
+    tiny broadcast-joined margin aggregates, exact-integer counts under
+    a rounded ln."""
+    from db_cdc_poc_spark.operators.stats import transition_pmi
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_pmi(
+        ev, ["user_id"], F.col("event_type"), ["ts", "event_id"]
+    )
+
+
+@_q(
+    "q115_hll_overlap",
+    oracle=f"""
+WITH ha AS (
+    SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+                & 9223372036854775807 AS BIGINT) AS hv
+    FROM events WHERE event_type = 'click'
+), hb AS (
+    SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+                & 9223372036854775807 AS BIGINT) AS hv
+    FROM events WHERE event_type = 'purchase'
+), ra AS (
+    SELECT hv >> 55 AS bucket,
+           max(CASE WHEN (hv & ((1::BIGINT << 55) - 1)) = 0 THEN 50
+               ELSE least(56 - length(bin(hv & ((1::BIGINT << 55) - 1))), 50)
+               END) AS r
+    FROM ha GROUP BY 1
+), rb AS (
+    SELECT hv >> 55 AS bucket,
+           max(CASE WHEN (hv & ((1::BIGINT << 55) - 1)) = 0 THEN 50
+               ELSE least(56 - length(bin(hv & ((1::BIGINT << 55) - 1))), 50)
+               END) AS r
+    FROM hb GROUP BY 1
+), ru AS (
+    SELECT bucket, max(r) AS r
+    FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1
+), est AS (
+    SELECT
+      (SELECT CAST({_HLL_ALPHA!r} AS DOUBLE) * {float(_HLL_M)!r} * {float(_HLL_M)!r}
+              * {float(1 << 50)!r}
+              / CAST(sum(1::BIGINT << (50 - r))
+                     + ({_HLL_M} - count(*)) * (1::BIGINT << 50) AS DOUBLE)
+       FROM ra) AS est_a,
+      (SELECT CAST({_HLL_ALPHA!r} AS DOUBLE) * {float(_HLL_M)!r} * {float(_HLL_M)!r}
+              * {float(1 << 50)!r}
+              / CAST(sum(1::BIGINT << (50 - r))
+                     + ({_HLL_M} - count(*)) * (1::BIGINT << 50) AS DOUBLE)
+       FROM rb) AS est_b,
+      (SELECT CAST({_HLL_ALPHA!r} AS DOUBLE) * {float(_HLL_M)!r} * {float(_HLL_M)!r}
+              * {float(1 << 50)!r}
+              / CAST(sum(1::BIGINT << (50 - r))
+                     + ({_HLL_M} - count(*)) * (1::BIGINT << 50) AS DOUBLE)
+       FROM ru) AS est_union
+)
+SELECT est_a, est_b, est_union,
+       est_a + est_b - est_union AS est_intersection
+FROM est
+""",
+)
+def q115_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (sketches.hll_overlap): estimated distinct
+    clickers, purchasers, their union (register max-merge — HLL's
+    union property) and inclusion-exclusion intersection — key-set
+    overlap without ever materializing the sets. 3·2^p register rows
+    do all the work; the md5 path lets the oracle replay every
+    register and the exact-integer harmonic math bit-for-bit."""
+    from db_cdc_poc_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    return sk.hll_overlap(a, b, "uid", p=_HLL_P, hash_fn="md5")
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

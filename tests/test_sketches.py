@@ -277,3 +277,28 @@ def test_histogram_quantiles_merge_property(spark):
             est = bin_ * 100
             break
     assert whole[0.5] == est
+
+
+def test_hll_overlap_inclusion_exclusion(spark):
+    from db_cdc_poc_spark.operators.sketches import hll_overlap
+
+    # A = 0..3999, B = 2000..5999 -> |A|=|B|=4000, union 6000, inter 2000
+    a = spark.range(0, 4000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("k"))
+    r = hll_overlap(a, b, "k", p=10).collect()[0]
+    assert abs(r.est_a - 4000) / 4000 < 0.15
+    assert abs(r.est_b - 4000) / 4000 < 0.15
+    assert abs(r.est_union - 6000) / 6000 < 0.15
+    assert abs(r.est_intersection - 2000) / 2000 < 0.5  # compounded error
+    # algebra holds exactly by construction
+    assert r.est_intersection == r.est_a + r.est_b - r.est_union
+
+
+def test_hll_overlap_disjoint_sets_near_zero_intersection(spark):
+    from db_cdc_poc_spark.operators.sketches import hll_overlap
+
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(50_000, 53_000).select(F.col("id").cast("string").alias("k"))
+    r = hll_overlap(a, b, "k", p=10).collect()[0]
+    # intersection estimate of disjoint sets stays within the noise band
+    assert abs(r.est_intersection) < 0.2 * r.est_union

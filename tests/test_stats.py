@@ -172,3 +172,25 @@ def test_zscore_constant_group_is_zero(spark):
     assert all(
         r.z == 0.0 for r in zscore_normalize(df, ["g"], F.col("v")).collect()
     )
+
+
+def test_transition_pmi_known_sequence(spark):
+    import math
+
+    from db_cdc_poc_spark.operators.stats import transition_pmi
+
+    # user 1: a->b, b->a, a->b ; user 2: a->b
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    got = {
+        (r.from_state, r.to_state): r
+        for r in transition_pmi(df, ["u"], F.col("s"), ["t"]).collect()
+    }
+    # transitions: (a,b)x3, (b,a)x1 ; N=4; n_a·=3, n_b·=1; n_·b=3, n_·a=1
+    assert got[("a", "b")].n == 3
+    assert got[("b", "a")].n == 1
+    assert got[("a", "b")].pmi == round(math.log(3 * 4 / (3 * 3)), 5)
+    assert got[("b", "a")].pmi == round(math.log(1 * 4 / (1 * 1)), 5)
