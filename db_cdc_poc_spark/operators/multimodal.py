@@ -162,3 +162,104 @@ def media_stats(media: DataFrame) -> DataFrame:
             F.avg("meta.duration_ms").alias("avg_duration_ms"),
         )
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _fake_resize(content: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a decoded-resize-reencode kernel:
+    sha256-keyed bytes sized proportionally to the target pixel count
+    (3 bytes/pixel, capped) — stable across runs, lets plumbing tests
+    assert sizes and schemas without a codec."""
+    digest = hashlib.sha256(content).digest()
+    n = min(3 * w * h, 1 << 16)
+    reps = (n + len(digest) - 1) // len(digest)
+    return (digest * reps)[:n]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """The decode → resize → re-encode stage of an image training
+    pipeline, as an Arrow-batched ``mapInPandas``: binary in, binary
+    out, bytes cross the boundary once per batch. Only image rows are
+    processed (filter BEFORE the Python stage, so video/audio blobs
+    never reach the worker). With ``fake_decode=False`` this is where
+    PIL/libvips would run — it raises ``DecodeUnavailable`` in this
+    container.
+
+    Output: ``(media_id, content, width, height, n_bytes)``.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise DecodeUnavailable(
+                    "media codecs not installed; pass fake_decode=True"
+                )
+            out = pdf["content"].map(
+                lambda b: _fake_resize(bytes(b), width, height)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": out.map(len).astype("int64"),
+                }
+            )
+
+    return (
+        media.filter(F.col("meta.media_type") == "image")
+        .select("media_id", "content")
+        .mapInPandas(_resize, schema=RESIZED_SCHEMA)
+    )
+
+
+def audio_chunk_plan(
+    media: DataFrame, chunk_ms: int = 30_000
+) -> DataFrame:
+    """Expand each audio row into fixed-duration chunk boundaries
+    (media_id, chunk_no, start_ms, end_ms, n_samples) — the audio
+    sibling of ``frame_sample_plan``: pure Column arithmetic over the
+    metadata (sequence + explode), the blob is never read. Chunk decode
+    happens downstream in an ``extract_features``-style stage that
+    slices by byte range.
+    """
+    n_chunks = F.greatest(
+        F.ceil(F.col("meta.duration_ms").cast("double") / chunk_ms).cast("long"),
+        F.lit(1),
+    )
+    out = (
+        media.filter(F.col("meta.media_type") == "audio")
+        .select(
+            "media_id",
+            F.col("meta.duration_ms").alias("__dur"),
+            F.col("meta.sample_rate").alias("__sr"),
+            F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_no", "__x"),
+        )
+    )
+    start = F.col("chunk_no").cast("long") * chunk_ms
+    end = F.least(start + chunk_ms, F.col("__dur"))
+    return out.select(
+        "media_id",
+        "chunk_no",
+        start.alias("start_ms"),
+        end.alias("end_ms"),
+        ((end - start) * F.col("__sr").cast("long") / F.lit(1000))
+        .cast("long")
+        .alias("n_samples"),
+    )

@@ -68,3 +68,50 @@ def test_media_stats_prunes_binary_column(spark, media):
     assert read_schema and all(
         "content" not in ln for ln in read_schema
     ), "binary column must be pruned from metadata scans"
+
+
+def test_resize_images_only_images_and_sized_output(spark, media):
+    out = {r.media_id: r for r in mm.resize_images(media, 8, 8).collect()}
+    # only the image row survives the pre-Python filter
+    assert set(out) == {1}
+    r = out[1]
+    assert (r.width, r.height) == (8, 8)
+    assert r.n_bytes == 3 * 8 * 8
+    assert len(bytes(r.content)) == r.n_bytes
+    # deterministic kernel
+    again = {r.media_id: bytes(r.content) for r in mm.resize_images(media, 8, 8).collect()}
+    assert again[1] == bytes(r.content)
+
+
+def test_resize_real_decode_raises(spark, media):
+    with pytest.raises(Exception) as exc:
+        mm.resize_images(media, 8, 8, fake_decode=False).collect()
+    assert "DecodeUnavailable" in str(exc.value) or "codecs" in str(exc.value)
+
+
+def test_audio_chunk_plan(spark, media):
+    rows = mm.audio_chunk_plan(media, chunk_ms=2000).collect()
+    # only the audio row (5000 ms) -> chunks [0,2000),[2000,4000),[4000,5000)
+    assert {r.media_id for r in rows} == {2}
+    chunks = sorted((r.chunk_no, r.start_ms, r.end_ms, r.n_samples) for r in rows)
+    assert chunks == [
+        (0, 0, 2000, 32000),
+        (1, 2000, 4000, 32000),
+        (2, 4000, 5000, 16000),
+    ]
+
+
+def test_audio_chunk_plan_never_reads_blob(spark, media):
+    # pruning is visible on a file scan (ReadSchema), not a local relation
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="media_chunk_") + "/media"
+    media.write.parquet(path)
+    plan = (
+        mm.audio_chunk_plan(spark.read.parquet(path))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("content" not in ln for ln in read_schema)
