@@ -387,3 +387,32 @@ def test_state_table_time_travel_vacuumed_version_raises(spark):
     latest = target.state.commits()[-1]
     [r] = target.current_at(spark, latest).collect()
     assert r.v == "v30"
+
+
+def test_state_diff_classifies_changes_between_commits(spark):
+    import tempfile
+
+    from db_cdc_poc_spark.streaming.cdc import CdcTarget, state_diff
+
+    target = CdcTarget(
+        tempfile.mkdtemp(prefix="cdc_diff_"),
+        keys="k", sequence_by="seq", apply_as_deletes="op = 'd'",
+        except_columns=["op", "seq"], keep_versions=6,
+    )
+    target.upsert_batch(spark.createDataFrame(
+        [(1, "a", "u", 10), (2, "b", "u", 10), (3, "c", "u", 10)],
+        "k long, v string, op string, seq long",
+    ))
+    target.upsert_batch(spark.createDataFrame(
+        [(2, "b2", "u", 20), (1, "a", "d", 20), (4, "d", "u", 20)],
+        "k long, v string, op string, seq long",
+    ))
+    c1, c2 = target.state.commits()
+    diff = {r.k: r.change_kind for r in state_diff(target, spark, c1, c2).collect()}
+    # 1 deleted, 2 updated, 4 inserted, 3 untouched (absent from diff)
+    assert diff == {1: "removed", 2: "changed", 4: "added"}
+    # self-diff is empty
+    assert state_diff(target, spark, c2, c2).count() == 0
+    # reversed direction flips added/removed
+    rev = {r.k: r.change_kind for r in state_diff(target, spark, c2, c1).collect()}
+    assert rev == {1: "added", 2: "changed", 4: "removed"}
