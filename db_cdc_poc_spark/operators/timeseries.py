@@ -67,7 +67,13 @@ def gapfill_locf(
     Output: ``(series, bucket, bucket_ts, bucket_value, locf_value,
     filled)`` — ``bucket_ts`` is the bucket start as a timestamp.
     """
-    agg = bucketed_series(df, series_col, ts, value, bucket_seconds)
+    # The bucket aggregate is referenced three times (bounds, distinct
+    # series, the spine join); materialize it once (lazy local
+    # checkpoint) so the fact table is scanned ONCE, not per reference
+    # — at production scale the raw-event scan is the dominant cost.
+    agg = bucketed_series(df, series_col, ts, value, bucket_seconds).localCheckpoint(
+        eager=False
+    )
     bounds = agg.select(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
