@@ -262,3 +262,44 @@ def training_shards(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("__ord")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    target_rows: int,
+    salt: str = "wsample",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministic importance sampling with PER-ROW integer weights:
+    row i is kept with probability ``min(1, target_rows · w_i / W)``
+    (Poisson sampling with expected size ``target_rows`` when no
+    probability clamps) — quality-weighted corpus selection, where
+    better documents are proportionally more likely to survive.
+    Complements :func:`temperature_mix`, whose weights are per-STRATUM.
+
+    ``weight`` must be a non-negative integer-valued expression
+    (quality ppm, token count...): the normalizer ``W = Σw`` is then an
+    exact long, every per-row threshold derives from identical integers
+    with one fixed double expression, and the md5 draw replays anywhere.
+    Zero-weight rows are never kept. One tiny total-aggregate broadcast
+    + a map-only filter.
+    """
+    wl = weight.cast("long")
+    with_w = df.withColumn("__w", wl)
+    tot = with_w.agg(F.sum("__w").alias("__wtot"))
+    thr = F.floor(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_rows))
+            * F.col("__w").cast("double")
+            / F.col("__wtot").cast("double"),
+        )
+        * F.lit(float(buckets))
+    ).cast("long")
+    return (
+        with_w.crossJoin(F.broadcast(tot))
+        .filter(hash_bucket(id_col, salt, buckets) < thr)
+        .drop("__w", "__wtot")
+    )

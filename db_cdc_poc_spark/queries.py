@@ -4201,5 +4201,39 @@ def q115_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hll_overlap(a, b, "uid", p=_HLL_P, hash_fn="md5")
 
 
+@_q(
+    "q116_weighted_sample",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, least(n_chars, 2000) AS wt FROM documents
+), t AS (
+    SELECT CAST(sum(wt) AS BIGINT) AS wtot FROM w
+), thr AS (
+    SELECT doc_id, wt,
+           CAST(floor(least(1.0, 200.0 * CAST(wt AS DOUBLE)
+                                 / CAST(wtot AS DOUBLE)) * 1000000.0)
+                AS BIGINT) AS thr
+    FROM w, t
+)
+SELECT doc_id FROM thr
+WHERE (('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+       & 9223372036854775807) % 1000000 < thr
+""",
+)
+def q116_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row importance sampling (sampling.weighted_sample): keep
+    probability ∝ document length (capped) with expected sample size
+    200 — quality-weighted corpus selection, the row-level sibling of
+    q102's stratum-level temperature mix. Exact-integer normalizer,
+    one fixed double expression per threshold, md5 draw replayed by
+    the oracle."""
+    from db_cdc_poc_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "doc_id", F.least(F.col("n_chars"), F.lit(2000)), target_rows=200
+    ).select("doc_id")
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

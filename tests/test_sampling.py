@@ -222,3 +222,36 @@ def test_training_shards_no_global_sort(spark):
     # single-partition or range sort
     assert "rangepartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from db_cdc_poc_spark.operators.sampling import weighted_sample
+
+    # 1000 light rows (w=1) + 100 heavy rows (w=50): heavy rows should
+    # be picked at ~50x the light rate
+    rows = [(i, 1) for i in range(1000)] + [(i + 10_000, 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = weighted_sample(df, "doc_id", F.col("w"), target_rows=300).collect()
+    heavy = sum(1 for r in kept if r.doc_id >= 10_000)
+    light = len(kept) - heavy
+    # expectations: W=6000; heavy p=min(1, 300*50/6000)=1.0 -> all 100
+    # light p=300*1/6000=0.05 -> ~50
+    assert heavy == 100
+    assert abs(light - 50) < 25
+    again = weighted_sample(df, "doc_id", F.col("w"), target_rows=300).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in kept}
+
+
+def test_weighted_sample_zero_weight_never_kept(spark):
+    from db_cdc_poc_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 10)], "doc_id long, w long"
+    )
+    kept = {r.doc_id for r in weighted_sample(df, "doc_id", F.col("w"), 100).collect()}
+    assert kept == {3}
