@@ -106,6 +106,55 @@ def stream_windowed_counts(
     )
 
 
+def stream_session_counts(
+    spark: SparkSession,
+    source_path: str,
+    gap: str = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The q106 ``session_window`` aggregation run AS A STREAM: the
+    same declarative operator, drained availableNow against a memory
+    sink in complete mode, so the result equals the batch
+    session_window aggregate exactly (sessions merge across
+    micro-batches in state — the engine, not the caller, handles a
+    session spanning a batch boundary). A continuous deployment uses
+    ``withWatermark`` + append and publishes each session one
+    watermark-delay after it closes; complete mode is the
+    finite-drain/bounded-session-count form, same tradeoff as
+    ``stream_windowed_counts``.
+    """
+    from pyspark.sql import functions as F
+
+    static = spark.read.parquet(source_path)
+    stream = spark.readStream.schema(static.schema).parquet(source_path)
+    agg = stream.groupBy(
+        key_col, F.session_window(F.col(ts_col), gap).alias("w")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col(value_col) * 100, 0)).cast("long").alias("total_cents"),
+    )
+    name = f"sess_counts_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_sess_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        key_col,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "total_cents",
+    )
+
+
 def stream_stream_join(
     spark: SparkSession,
     source_path: str,

@@ -416,3 +416,37 @@ def test_state_diff_classifies_changes_between_commits(spark):
     # reversed direction flips added/removed
     rev = {r.k: r.change_kind for r in state_diff(target, spark, c2, c1).collect()}
     assert rev == {1: "added", 2: "changed", 4: "removed"}
+
+
+def test_stream_session_window_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from db_cdc_poc_spark.queries import _staged_events_dir
+    from db_cdc_poc_spark.streaming.jobs import stream_session_counts
+
+    src = _staged_events_dir(spark, SF_DIR)
+    streamed = sorted(
+        map(tuple, stream_session_counts(spark, src, gap="10 minutes").collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src)
+            .groupBy("user_id", F.session_window(F.col("ts"), "10 minutes").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100, 0)).cast("long").alias("total_cents"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "total_cents",
+            )
+            .collect(),
+        )
+    )
+    # sessions merged across micro-batches in state == batch sessions
+    assert streamed == batch
+    assert len(streamed) > 0
