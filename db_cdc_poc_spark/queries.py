@@ -4235,5 +4235,139 @@ def q116_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+@_q(
+    "q117_group_mode",
+    oracle="""
+WITH c AS (
+    SELECT c_mktsegment, c_nationkey, count(*) AS n
+    FROM customer GROUP BY 1, 2
+)
+SELECT c_mktsegment, c_nationkey AS mode_nation, n AS mode_n
+FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY n DESC, c_nationkey) AS rn
+      FROM c)
+WHERE rn = 1
+""",
+)
+def q117_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent nation per market segment): the
+    count-then-argmax rewrite — one aggregation to (group, value)
+    counts, then max_by over a (count, value) struct with the value as
+    deterministic tie-break; a single map-side-partial argmax instead
+    of a sort, and the second stage's input is already collapsed to
+    distinct (group, value) pairs."""
+    cust = _t(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.groupBy("c_mktsegment").agg(
+        F.max_by(
+            F.col("c_nationkey"), F.struct(F.col("n"), -F.col("c_nationkey"))
+        ).alias("mode_nation"),
+        F.max("n").alias("mode_n"),
+    )
+
+
+@_q(
+    "q118_chi_square",
+    oracle="""
+WITH obs AS (
+    SELECT event_type, CAST(dayofweek(ts) AS INTEGER) AS dow, count(*) AS o
+    FROM events GROUP BY 1, 2
+), m AS (
+    SELECT event_type, CAST(sum(o) AS BIGINT) AS row_n FROM obs GROUP BY 1
+), d AS (
+    SELECT dow, CAST(sum(o) AS BIGINT) AS col_n FROM obs GROUP BY 1
+), t AS (
+    SELECT CAST(sum(o) AS BIGINT) AS total FROM obs
+), cell AS (
+    SELECT obs.event_type, obs.dow, obs.o,
+           CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+               / CAST(total AS DOUBLE) AS e
+    FROM obs JOIN m USING (event_type) JOIN d USING (dow), t
+)
+SELECT event_type,
+       CAST(sum(o) AS BIGINT) AS n,
+       round(sum((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e), 4)
+           AS chi2_contrib
+FROM cell GROUP BY event_type
+""",
+)
+def q118_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen (event type × day-of-week): the
+    drift/seasonality detector — per-type contribution of observed-vs-
+    expected cell deviations. Three tiny margin aggregates broadcast
+    onto the |types|×|days| contingency cells; expected counts derive
+    from exact integer margins with one fixed double expression, and
+    the per-type sum (≤7 cells) rounds above the wobble."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_m = obs.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    col_m = obs.groupBy("dow").agg(F.sum("o").alias("col_n"))
+    tot = obs.agg(F.sum("o").alias("total"))
+    e = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("total").cast("double")
+    )
+    od = F.col("o").cast("double")
+    cell = (
+        obs.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__e", e)
+    )
+    return cell.groupBy("event_type").agg(
+        F.sum("o").alias("n"),
+        F.round(
+            F.sum((od - F.col("__e")) * (od - F.col("__e")) / F.col("__e")), 4
+        ).alias("chi2_contrib"),
+    )
+
+
+@_q(
+    "q119_benford",
+    oracle="""
+WITH d AS (
+    SELECT substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS digit
+    FROM orders WHERE o_totalprice > 0
+), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+SELECT digit, count(*) AS n,
+       CAST(1000000 * count(*) // any_value(total) AS BIGINT) AS obs_ppm
+FROM d, t GROUP BY digit
+""",
+)
+def q119_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of order values — the fraud /
+    synthetic-data screen (natural multi-scale amounts follow
+    log-uniform leading digits; fabricated ones usually don't). The
+    digit comes from the STRING of the integer cents — never
+    floor(log10(v)), whose not-correctly-rounded log10 misclassifies
+    exact powers of ten. Map-side count per digit + one broadcast
+    total; exact-integer ppm."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("1000000 * n div total").alias("obs_ppm"),
+        )
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
