@@ -244,7 +244,13 @@ def audio_chunk_plan(
         F.lit(1),
     )
     out = (
-        media.filter(F.col("meta.media_type") == "audio")
+        # unknown-duration audio is excluded, not fabricated: least()
+        # skips NULLs, so a NULL duration would otherwise invent a
+        # full-length chunk with made-up boundaries
+        media.filter(
+            (F.col("meta.media_type") == "audio")
+            & F.col("meta.duration_ms").isNotNull()
+        )
         .select(
             "media_id",
             F.col("meta.duration_ms").alias("__dur"),

@@ -19,10 +19,13 @@ Scale design, per operator:
 - ``column_profile``: ALL columns profiled in ONE pass (a single agg
   row with 4 statistics per column, then an unpivot to rows) — at
   100 TB this matters: k columns cost one scan, not k scans.
-- ``mad_outliers``: two aggregations (median, then median of absolute
-  deviations) plus one broadcast join of the tiny per-group statistics
-  back onto the fact — the fact table is scanned twice but never
-  self-joined row-to-row.
+- ``mad_outliers``: three aggregations (median, median of absolute
+  deviations, outlier count) over a once-materialized projection of
+  the fact plus broadcast joins of the tiny per-group statistics —
+  one raw-table scan, never a row-to-row self-join.
+
+Later additions (same discipline): ``key_skew_report``,
+``quantile_bins``, ``zscore_normalize``, ``transition_pmi``.
 """
 
 from __future__ import annotations
@@ -30,7 +33,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["group_regression", "column_profile", "mad_outliers"]
+__all__ = [
+    "group_regression",
+    "column_profile",
+    "mad_outliers",
+    "key_skew_report",
+    "quantile_bins",
+    "zscore_normalize",
+    "transition_pmi",
+]
 
 
 def group_regression(
@@ -132,11 +143,14 @@ def mad_outliers(
     constant); the threshold is computed once per group from identical
     doubles, so the integer comparison is engine-deterministic.
 
-    Two aggregations + one broadcast join of per-group medians back to
-    the fact; output ``group_cols + [n, median_value, mad, n_outliers]``.
+    The projected fact is materialized once (lazy local checkpoint) and
+    re-read by the three aggregations (median, MAD, outlier count) —
+    one raw-table scan total, plus broadcast joins of the tiny
+    per-group statistics. Output
+    ``group_cols + [n, median_value, mad, n_outliers]``.
     """
     vl = value.cast("long")
-    with_v = df.select(*group_cols, vl.alias("__v"))
+    with_v = df.select(*group_cols, vl.alias("__v")).localCheckpoint(eager=False)
     med = with_v.groupBy(*group_cols).agg(
         F.expr("percentile(__v, 0.5)").alias("__med"),
         F.count(F.lit(1)).alias("n"),

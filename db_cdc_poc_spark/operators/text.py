@@ -613,7 +613,11 @@ def char_entropy_stats(
     Output: ``(id, n_chars, n_unique_chars, top_char_count,
     char_entropy)``.
     """
-    chars = df.select(
+    chars = df.filter(F.length(F.col(text_col)) > 0).select(
+        # the length guard is load-bearing: Spark's sequence(1, 0)
+        # counts DOWN to [1, 0] (default step -1), so an empty document
+        # would fabricate two ''-characters; with the filter, empty
+        # docs emit no row — same as the oracle's empty range()
         F.col(id_col).alias("id"),
         F.explode(
             F.expr(

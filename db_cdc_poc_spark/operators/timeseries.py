@@ -43,7 +43,10 @@ def bucketed_series(
     ``bucket_seconds`` buckets per series: one map-side-partial
     aggregation. Output ``(series, bucket, bucket_value)`` where
     ``bucket`` is the integer epoch-bucket index."""
-    bucket = F.floor(ts.cast("double").cast("long") / bucket_seconds).cast("long")
+    # floor of the FRACTIONAL epoch seconds: a cast-to-long first would
+    # truncate toward zero and put 1969-12-31T23:59:59.5 in bucket 0
+    # instead of bucket -1 (ANSI floor semantics, matching the oracle)
+    bucket = F.floor(ts.cast("double") / F.lit(float(bucket_seconds))).cast("long")
     return df.groupBy(
         F.col(series_col).alias("series"), bucket.alias("bucket")
     ).agg(F.sum(value.cast("long")).alias("bucket_value"))

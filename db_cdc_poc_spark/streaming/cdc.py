@@ -196,13 +196,24 @@ def state_diff(
     a = target.current_at(spark, from_commit)
     b = target.current_at(spark, to_commit)
     keys = target.keys
-    val_cols = [c for c in a.columns if c not in keys]
-    sa = a.select(
-        *keys, F.struct(*[F.col(c) for c in val_cols]).alias("__va")
-    )
-    sb = b.select(
-        *keys, F.struct(*[F.col(c) for c in val_cols]).alias("__vb")
-    )
+    # value columns = the UNION of both snapshots' columns: the sink
+    # supports additive schema evolution, so a column added between the
+    # commits must participate (NULL on the side that predates it) or a
+    # row whose only change is in the new column would diff as
+    # unchanged
+    types = {f.name: f.dataType for f in [*a.schema.fields, *b.schema.fields]}
+    val_cols = sorted(c for c in types if c not in keys)
+
+    def _struct(df: DataFrame) -> Column:
+        return F.struct(
+            *[
+                F.col(c) if c in df.columns else F.lit(None).cast(types[c]).alias(c)
+                for c in val_cols
+            ]
+        )
+
+    sa = a.select(*keys, _struct(a).alias("__va"))
+    sb = b.select(*keys, _struct(b).alias("__vb"))
     joined = sa.join(sb, keys, "full_outer")
     kind = (
         F.when(F.col("__va").isNull(), F.lit("added"))

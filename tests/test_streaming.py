@@ -450,3 +450,25 @@ def test_stream_session_window_equals_batch(spark):
     # sessions merged across micro-batches in state == batch sessions
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_state_diff_sees_changes_in_evolved_columns(spark):
+    import tempfile
+
+    from db_cdc_poc_spark.streaming.cdc import CdcTarget, state_diff
+
+    target = CdcTarget(
+        tempfile.mkdtemp(prefix="cdc_diff_evo_"),
+        keys="k", sequence_by="seq", except_columns=["seq"], keep_versions=6,
+    )
+    target.upsert_batch(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k long, v string, seq long"
+    ))
+    # commit 2 adds column extra; key 1's ONLY change is in that column
+    target.upsert_batch(spark.createDataFrame(
+        [(1, "a", 20, "new")], "k long, v string, seq long, extra string"
+    ))
+    c1, c2 = target.state.commits()
+    diff = {r.k: r.change_kind for r in state_diff(target, spark, c1, c2).collect()}
+    # the evolved column must participate in the comparison
+    assert diff == {1: "changed"}

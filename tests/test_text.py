@@ -387,3 +387,16 @@ def test_compression_ratios_rank_quality(spark):
     # repetitive text compresses far below the noisy text
     assert got[1].ratio_ppm < got[2].ratio_ppm < got[3].ratio_ppm
     assert got[4].ratio_ppm == 1_000_000
+
+
+def test_char_entropy_empty_doc_emits_no_row(spark):
+    from db_cdc_poc_spark.operators.text import char_entropy_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "ab")], "doc_id long, text string"
+    )
+    got = {r.id: r for r in char_entropy_stats(df).collect()}
+    # sequence(1, 0) counts DOWN in Spark; the length guard must keep
+    # the empty doc from fabricating phantom characters
+    assert 1 not in got
+    assert got[2].n_chars == 2

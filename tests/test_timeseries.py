@@ -78,3 +78,12 @@ def test_gapfill_window_runs_on_spine_not_events(spark):
     # the only row-multiplying joins are the 1-row bounds broadcast and
     # the spine equi-join — never an unbounded cartesian
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_series_pre_epoch_fractional_floor(spark):
+    # 1969-12-31T23:59:59.5 is epoch -0.5s: floor puts it in bucket -1;
+    # a truncate-toward-zero cast would put it in bucket 0
+    df = _ev(spark, [("a", dt.datetime(1969, 12, 31, 23, 59, 59, 500000), 7)])
+    [r] = bucketed_series(df, "series", F.col("ts"), F.col("v"), 3600).collect()
+    assert r.bucket == -1
+    assert r.bucket_value == 7
