@@ -191,10 +191,15 @@ def blocked_fuzzy_pairs(
 
     Output: ``(key_a, key_b, distance)``.
     """
-    # ONE distinct pass, self-joined under two aliases — two separate
-    # .distinct() projections (differing only in the alias) defeat
-    # Catalyst's exchange reuse and scan+shuffle the input twice
-    d = df.select(F.col(key_col).alias("__key"), block.alias("__blk")).distinct()
+    # ONE distinct pass, materialized once (lazy local checkpoint) and
+    # self-joined under two aliases — without it the self-join's
+    # expression re-aliasing makes Catalyst treat the two sides as
+    # distinct subtrees and scan+shuffle the input twice
+    d = (
+        df.select(F.col(key_col).alias("__key"), block.alias("__blk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     a = d.select(F.col("__key").alias("key_a"), "__blk")
     b = d.select(F.col("__key").alias("key_b"), "__blk")
     pairs = a.join(b, "__blk").filter(F.col("key_a") < F.col("key_b"))
