@@ -303,3 +303,42 @@ def weighted_sample(
         .filter(hash_bucket(id_col, salt, buckets) < thr)
         .drop("__w", "__wtot")
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    stratum_col: str,
+    epochs: Mapping[str, int],
+    default_epochs: int = 1,
+) -> DataFrame:
+    """Repetition-factor data mixing: replicate each stratum's rows a
+    whole number of times (the Pile-style "epochs per source" lever —
+    high-quality sources are seen k times per training pass while the
+    crawl is seen once). The complement of downsampling mixers:
+    deterministic, exact, and order-free.
+
+    Rows gain an ``epoch`` column (0-based); a row with k epochs
+    appears exactly k times with epoch = 0..k-1. The replication is a
+    literal CASE over the stratum compiled into ``explode(sequence)``
+    — map-only row generation, no shuffle, no join.
+    """
+    for name, k in epochs.items():
+        if k < 0:
+            raise ValueError(f"epochs for {name!r} must be >= 0: {k}")
+    if default_epochs < 0:
+        raise ValueError(f"default_epochs must be >= 0: {default_epochs}")
+    k_col: Column | None = None
+    for name, k in epochs.items():
+        cond = F.col(stratum_col) == F.lit(name)
+        k_col = F.when(cond, k) if k_col is None else k_col.when(cond, k)
+    k_col = (
+        F.lit(default_epochs)
+        if k_col is None
+        else k_col.otherwise(default_epochs)
+    )
+    # k = 0 drops the stratum entirely: explode of an empty array emits
+    # no row (a bare sequence(0, -1) would throw on illegal bounds)
+    seq = F.when(k_col > 0, F.sequence(F.lit(0), k_col.cast("int") - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(seq))

@@ -4369,5 +4369,81 @@ def q119_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q120_epoch_upsample",
+    oracle="""
+SELECT doc_id, source, CAST(e AS INTEGER) AS epoch
+FROM (
+    SELECT doc_id, source,
+           unnest(CASE WHEN source = 'src0' THEN [0, 1, 2]
+                       WHEN source = 'src1' THEN []::INTEGER[]
+                       ELSE [0] END) AS e
+    FROM documents
+)
+""",
+)
+def q120_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-factor mixing (sampling.epoch_upsample): src0 is seen
+    3 epochs per pass, src1 is dropped, everything else once — the
+    Pile-style per-source epochs lever, as map-only explode(sequence)
+    row generation (no shuffle, no join; the inverse of the
+    downsampling mixers q55/q102/q116)."""
+    from db_cdc_poc_spark.operators.sampling import epoch_upsample
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_upsample(
+        docs, "source", {"src0": 3, "src1": 0}, default_epochs=1
+    ).select("doc_id", "source", "epoch")
+
+
+@_q(
+    "q121_vocab_growth",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS tok
+    FROM documents
+), first_seen AS (
+    SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY 1
+), per_doc AS (
+    SELECT first_doc AS doc_id, count(*) AS new_tokens
+    FROM first_seen GROUP BY 1
+)
+SELECT doc_id, new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS vocab_size
+FROM per_doc
+""",
+)
+def q121_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps-law diagnostic): distinct tokens
+    introduced per document in doc_id order and the running vocabulary
+    size — corpus-health monitoring (a flattening curve means new data
+    stopped adding diversity). Same first-occurrence rewrite as q113:
+    min(doc_id) per token, counts per introducing doc, then a window
+    over the |docs|-row table — never a cumulative COUNT(DISTINCT)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    first_seen = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_doc.select(
+        "doc_id",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

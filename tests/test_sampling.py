@@ -255,3 +255,37 @@ def test_weighted_sample_zero_weight_never_kept(spark):
     )
     kept = {r.doc_id for r in weighted_sample(df, "doc_id", F.col("w"), 100).collect()}
     assert kept == {3}
+
+
+# ---------------------------------------------------------------------------
+# epoch_upsample
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_upsample_replication_and_drop(spark):
+    from db_cdc_poc_spark.operators.sampling import epoch_upsample
+
+    rows = [(1, "gold"), (2, "gold"), (3, "crawl"), (4, "junk")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_upsample(df, "source", {"gold": 3, "junk": 0}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    # gold rows appear 3x with epochs 0..2; crawl once; junk dropped
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    assert sorted(by_doc[2]) == [0, 1, 2]
+    assert by_doc[3] == [0]
+    assert 4 not in by_doc
+
+
+def test_epoch_upsample_is_map_only(spark):
+    from db_cdc_poc_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = (
+        epoch_upsample(df, "source", {"a": 2})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
