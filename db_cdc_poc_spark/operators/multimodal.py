@@ -94,6 +94,14 @@ def extract_features(
     run — it raises ``DecodeUnavailable`` here because codecs are not in
     the container.
     """
+    if not fake_decode:
+        # raised EAGERLY, at plan-build time: a lazy in-worker raise
+        # would silently succeed whenever no batch reaches the stage
+        # (empty input) and otherwise surface as an opaque executor
+        # PythonException at first action
+        raise DecodeUnavailable(
+            "media codecs not installed; pass fake_decode=True"
+        )
     if batch_size is not None:
         media.sparkSession.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
@@ -101,10 +109,6 @@ def extract_features(
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decode:
-                raise DecodeUnavailable(
-                    "media codecs not installed; pass fake_decode=True"
-                )
             content = pdf["content"]
             yield pd.DataFrame(
                 {
@@ -203,12 +207,15 @@ def resize_images(
     Output: ``(media_id, content, width, height, n_bytes)``.
     """
 
+    if not fake_decode:
+        # eager, same rationale as extract_features: no silent success
+        # on image-free input, no opaque executor-wrapped error
+        raise DecodeUnavailable(
+            "media codecs not installed; pass fake_decode=True"
+        )
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decode:
-                raise DecodeUnavailable(
-                    "media codecs not installed; pass fake_decode=True"
-                )
             out = pdf["content"].map(
                 lambda b: _fake_resize(bytes(b), width, height)
             )
@@ -244,12 +251,13 @@ def audio_chunk_plan(
         F.lit(1),
     )
     out = (
-        # unknown-duration audio is excluded, not fabricated: least()
-        # skips NULLs, so a NULL duration would otherwise invent a
-        # full-length chunk with made-up boundaries
+        # unknown or corrupt durations are excluded, not fabricated:
+        # least() skips NULLs (a NULL duration would invent a
+        # full-length chunk) and a non-positive duration would emit
+        # degenerate or inverted byte ranges
         media.filter(
             (F.col("meta.media_type") == "audio")
-            & F.col("meta.duration_ms").isNotNull()
+            & (F.col("meta.duration_ms") > 0)
         )
         .select(
             "media_id",

@@ -286,7 +286,11 @@ def weighted_sample(
     Zero-weight rows are never kept. One tiny total-aggregate broadcast
     + a map-only filter.
     """
-    wl = weight.cast("long")
+    # NULL weights count as 0 (kept-with-p=1 would be the NULL-poisoned
+    # least() result otherwise), and rows with no positive weight are
+    # dropped BEFORE the threshold math — so an all-zero/empty frame
+    # returns empty instead of dividing by a zero total
+    wl = F.coalesce(weight.cast("long"), F.lit(0))
     with_w = df.withColumn("__w", wl)
     tot = with_w.agg(F.sum("__w").alias("__wtot"))
     thr = F.floor(
@@ -299,7 +303,8 @@ def weighted_sample(
         * F.lit(float(buckets))
     ).cast("long")
     return (
-        with_w.crossJoin(F.broadcast(tot))
+        with_w.filter(F.col("__w") > 0)
+        .crossJoin(F.broadcast(tot))
         .filter(hash_bucket(id_col, salt, buckets) < thr)
         .drop("__w", "__wtot")
     )

@@ -121,7 +121,14 @@ def hll_estimate(
         F.sum(F.expr(f"shiftleft(1L, {HLL_SCALE} - r)")).alias("s_used"),
     )
     n_zero = F.lit(m) - F.col("n_used")
-    s = F.col("s_used") + n_zero.cast("long") * F.lit(1 << HLL_SCALE).cast("long")
+    # coalesce: an EMPTY register table (global agg over zero rows)
+    # gives s_used = NULL; treating it as 0 makes every register count
+    # as untouched and the estimate degrade to the raw all-zero value
+    # alpha*m (no linear-counting correction — documented above)
+    # instead of NULL-poisoning downstream arithmetic
+    s = F.coalesce(F.col("s_used"), F.lit(0)) + n_zero.cast("long") * F.lit(
+        1 << HLL_SCALE
+    ).cast("long")
     return agg.select(
         *groups,
         F.lit(m).alias("m"),

@@ -23,6 +23,28 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _drain_to_memory(
+    agg: DataFrame, prefix: str, output_mode: str
+) -> DataFrame:
+    """Shared drain mechanics for the synchronous streaming jobs: write
+    the streaming frame to a uniquely-named memory sink with an
+    availableNow trigger and a throwaway checkpoint, wait for the drain,
+    and read the sink back as a batch DataFrame. Centralized so a fix
+    to the drain (checkpoint handling, error surfacing) lands once."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
 def stream_dedup_keys(
     spark: SparkSession,
     source_path: str,
@@ -47,18 +69,7 @@ def stream_dedup_keys(
         .dropDuplicates(list(keys))
         .select(*keys)
     )
-    name = f"dedup_keys_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_dedup_")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(deduped, "dedup_keys", "append")
 
 
 def stream_windowed_counts(
@@ -90,18 +101,7 @@ def stream_windowed_counts(
         F.count("*").alias("n"),
         F.sum(F.round(F.col(value_col) * 100, 0)).cast("long").alias("value_cents"),
     )
-    name = f"win_counts_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_win_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _drain_to_memory(agg, "win_counts", "complete").select(
         F.col("w.start").alias("window_start"), "n", "value_cents"
     )
 
@@ -135,18 +135,7 @@ def stream_session_counts(
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col(value_col) * 100, 0)).cast("long").alias("total_cents"),
     )
-    name = f"sess_counts_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_sess_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _drain_to_memory(agg, "sess_counts", "complete").select(
         key_col,
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
@@ -211,18 +200,7 @@ def stream_stream_join(
             f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval {join_window}"
         ),
     ).select("l_id", "r_id", F.col("l_key").alias("user_id"), "l_ts", "r_ts")
-    name = f"ss_join_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_ssjoin_")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(joined, "ss_join", "append")
 
 
 def stream_enrich(
@@ -246,18 +224,7 @@ def stream_enrich(
     enriched = stream.join(F.broadcast(dim), on).select(
         "event_id", on, "event_type", *dim_cols
     )
-    name = f"enrich_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_enrich_")
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(enriched, "enrich", "append")
 
 
 def stream_dedup_keys_within_watermark(
@@ -288,18 +255,7 @@ def stream_dedup_keys_within_watermark(
         .dropDuplicatesWithinWatermark(list(keys))
         .select(*keys)
     )
-    name = f"dedup_wm_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_dedup_wm_")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(deduped, "dedup_wm", "append")
 
 
 def stream_fanout(

@@ -38,11 +38,11 @@ def test_extract_features_deterministic(spark, media):
 
 
 def test_real_decode_raises_decode_unavailable(spark, media):
-    with pytest.raises(Exception) as exc_info:
-        mm.extract_features(media, fake_decode=False).collect()
-    assert "DecodeUnavailable" in str(exc_info.value) or "codecs not installed" in str(
-        exc_info.value
-    )
+    # eager: raised at plan-build time, not wrapped in an executor
+    # exception at first action (and never silently skipped on empty
+    # input)
+    with pytest.raises(mm.DecodeUnavailable):
+        mm.extract_features(media, fake_decode=False)
 
 
 def test_frame_sample_plan(spark, media):
@@ -84,9 +84,12 @@ def test_resize_images_only_images_and_sized_output(spark, media):
 
 
 def test_resize_real_decode_raises(spark, media):
-    with pytest.raises(Exception) as exc:
-        mm.resize_images(media, 8, 8, fake_decode=False).collect()
-    assert "DecodeUnavailable" in str(exc.value) or "codecs" in str(exc.value)
+    with pytest.raises(mm.DecodeUnavailable):
+        mm.resize_images(media, 8, 8, fake_decode=False)
+    # eager even when the input has no image rows at all
+    no_images = media.filter(F.col("meta.media_type") == "audio")
+    with pytest.raises(mm.DecodeUnavailable):
+        mm.resize_images(no_images, 8, 8, fake_decode=False)
 
 
 def test_audio_chunk_plan(spark, media):
@@ -115,3 +118,17 @@ def test_audio_chunk_plan_never_reads_blob(spark, media):
     )
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and all("content" not in ln for ln in read_schema)
+
+
+def test_audio_chunk_plan_excludes_null_and_nonpositive_durations(spark):
+    rows = [
+        (10, b"x", ("audio", "wav", None, None, None, 16000)),    # NULL dur
+        (11, b"y", ("audio", "wav", None, None, -100, 16000)),    # corrupt
+        (12, b"z", ("audio", "wav", None, None, 0, 16000)),       # zero
+        (13, b"w", ("audio", "wav", None, None, 1000, 16000)),    # good
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.audio_chunk_plan(df, chunk_ms=2000).collect()
+    assert {r.media_id for r in out} == {13}
+    [r] = out
+    assert (r.start_ms, r.end_ms, r.n_samples) == (0, 1000, 16000)

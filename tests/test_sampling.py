@@ -289,3 +289,17 @@ def test_epoch_upsample_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_null_and_all_zero_weights(spark):
+    from db_cdc_poc_spark.operators.sampling import weighted_sample
+
+    # NULL weight == zero weight: never kept (not kept-with-p=1)
+    df = spark.createDataFrame(
+        [(1, None), (2, 10)], "doc_id long, w long"
+    )
+    kept = {r.doc_id for r in weighted_sample(df, "doc_id", F.col("w"), 1).collect()}
+    assert kept == {2}
+    # all-zero total: empty result, not a divide-by-zero
+    zeros = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, w long")
+    assert weighted_sample(zeros, "doc_id", F.col("w"), 10).count() == 0

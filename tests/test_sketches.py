@@ -302,3 +302,17 @@ def test_hll_overlap_disjoint_sets_near_zero_intersection(spark):
     r = hll_overlap(a, b, "k", p=10).collect()[0]
     # intersection estimate of disjoint sets stays within the noise band
     assert abs(r.est_intersection) < 0.2 * r.est_union
+
+
+def test_hll_overlap_empty_side_is_numeric_not_null(spark):
+    from db_cdc_poc_spark.operators.sketches import hll_overlap
+
+    a = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    b = a.filter(F.col("k") == "nope")  # empty
+    r = hll_overlap(a, b, "k", p=8).collect()[0]
+    # the empty side estimates the raw all-zero-register value (no
+    # linear-counting correction, documented), never NULL
+    assert r.est_b is not None
+    assert r.est_union is not None
+    assert r.est_intersection is not None
+    assert r.est_intersection == r.est_a + r.est_b - r.est_union
