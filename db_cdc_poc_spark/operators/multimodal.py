@@ -245,6 +245,11 @@ def audio_chunk_plan(
     metadata (sequence + explode), the blob is never read. Chunk decode
     happens downstream in an ``extract_features``-style stage that
     slices by byte range.
+
+    Rows with NULL or non-positive ``meta.duration_ms`` are excluded
+    (no boundaries can be planned). Rows with an unknown
+    ``meta.sample_rate`` are KEPT — time boundaries are still valid and
+    decodable — but their ``n_samples`` is NULL rather than fabricated.
     """
     n_chunks = F.greatest(
         F.ceil(F.col("meta.duration_ms").cast("double") / chunk_ms).cast("long"),
@@ -273,7 +278,8 @@ def audio_chunk_plan(
         "chunk_no",
         start.alias("start_ms"),
         end.alias("end_ms"),
-        ((end - start) * F.col("__sr").cast("long") / F.lit(1000))
-        .cast("long")
-        .alias("n_samples"),
+        F.when(
+            F.col("__sr") > 0,
+            ((end - start) * F.col("__sr").cast("long") / F.lit(1000)).cast("long"),
+        ).alias("n_samples"),
     )

@@ -59,6 +59,11 @@ def group_regression(
     run. Equivalent to ``regr_slope``/``regr_intercept`` but with the
     deterministic-sum discipline the value-hash gate needs.
 
+    Degenerate groups (constant ``x``, including every single-row
+    group) have a zero denominator; ``try_divide`` yields NULL slope
+    and intercept there instead of an ANSI DIVIDE_BY_ZERO abort —
+    mirror with ``NULLIF(denom, 0)`` in SQL oracles.
+
     Output: ``group_cols + [n, slope, intercept]``.
     """
     xl = x.cast("long")
@@ -78,7 +83,7 @@ def group_regression(
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     denom = n * sxx - sx * sx
-    slope = (n * sxy - sx * sy) / denom
+    slope = F.try_divide(n * sxy - sx * sy, denom)
     intercept = (sy - slope * sx) / n
     return agg.select(
         *group_cols,
@@ -274,7 +279,9 @@ def zscore_normalize(
     sx = F.col("__sx").cast("double")
     sxx = F.col("__sxx").cast("double")
     mean = sx / n
-    std = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
+    # try_divide: a single-row group has n-1 == 0 and would abort the
+    # whole job under ANSI mode; NULL std falls into the z = 0.0 branch.
+    std = F.sqrt(F.try_divide(sxx - sx * sx / n, n - F.lit(1.0)))
     stats = stats.select(
         *group_cols, mean.alias("__mean"), std.alias("__std")
     )

@@ -87,7 +87,7 @@ def punct_ratio(text: Column | str) -> Column:
 
 
 def mean_word_length(text: Column | str) -> Column:
-    """Mean token length = non-whitespace chars / token count — no
+    r"""Mean token length = non-whitespace chars / token count — no
     per-token aggregate lambda (token chars are exactly the chars that
     survive stripping ``\s+``)."""
     t = F.col(text) if isinstance(text, str) else text

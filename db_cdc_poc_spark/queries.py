@@ -3420,9 +3420,9 @@ WITH s AS (
 )
 SELECT o_orderpriority, n,
        (CAST(n AS DOUBLE) * sxy - sx * sy)
-         / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+         / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0) AS slope,
        (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
-               / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+               / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0) * sx)
          / CAST(n AS DOUBLE) AS intercept
 FROM s
 """,

@@ -132,3 +132,31 @@ def test_audio_chunk_plan_excludes_null_and_nonpositive_durations(spark):
     assert {r.media_id for r in out} == {13}
     [r] = out
     assert (r.start_ms, r.end_ms, r.n_samples) == (0, 1000, 16000)
+
+
+def test_audio_chunk_plan_null_sample_rate_yields_null_n_samples(spark):
+    # unknown/corrupt sample rate: time boundaries are still planned
+    # (they are decodable downstream) but n_samples must be NULL, never
+    # fabricated from a NULL or non-positive rate
+    rows = [
+        (20, b"a", ("audio", "wav", None, None, 3000, None)),   # NULL sr
+        (21, b"b", ("audio", "wav", None, None, 3000, 0)),      # zero sr
+        (22, b"c", ("audio", "wav", None, None, 3000, -8000)),  # negative sr
+        (23, b"d", ("audio", "wav", None, None, 3000, 8000)),   # good
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.audio_chunk_plan(df, chunk_ms=2000).collect()
+    assert {r.media_id for r in out} == {20, 21, 22, 23}
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid in (20, 21, 22):
+        assert all(r.n_samples is None for r in by_id[mid])
+        assert sorted((r.start_ms, r.end_ms) for r in by_id[mid]) == [
+            (0, 2000),
+            (2000, 3000),
+        ]
+    assert sorted((r.start_ms, r.end_ms, r.n_samples) for r in by_id[23]) == [
+        (0, 2000, 16000),
+        (2000, 3000, 8000),
+    ]

@@ -41,6 +41,43 @@ def test_group_regression_matches_numpy(spark):
         assert got[g].intercept == pytest.approx(intercept, rel=1e-6)
 
 
+def test_group_regression_degenerate_groups_null_not_abort(spark):
+    # ANSI mode is on for the session: a constant-x group (incl. every
+    # single-row group) has denom == 0 and must yield NULL slope /
+    # intercept, not a DIVIDE_BY_ZERO job abort
+    df = _pts(
+        spark,
+        [
+            ("single", 5, 7),                      # single row
+            ("const", 2, 1), ("const", 2, 9),      # constant x
+            ("ok", 0, 0), ("ok", 10, 20),          # well-posed
+        ],
+    )
+    got = {
+        r.g: r
+        for r in group_regression(df, ["g"], F.col("x"), F.col("y")).collect()
+    }
+    assert got["single"].slope is None and got["single"].intercept is None
+    assert got["const"].slope is None and got["const"].intercept is None
+    assert got["ok"].slope == pytest.approx(2.0)
+    assert got["ok"].intercept == pytest.approx(0.0)
+
+
+def test_zscore_single_row_group_is_zero(spark):
+    # n-1 == 0 under ANSI mode: must fall into the z = 0.0 branch,
+    # not abort the job
+    from db_cdc_poc_spark.operators.stats import zscore_normalize
+
+    df = spark.createDataFrame(
+        [("lone", 1, 42), ("pair", 2, 10), ("pair", 3, 20)],
+        "g string, id long, v long",
+    )
+    out = {r.id: r.z for r in zscore_normalize(df, ["g"], F.col("v")).collect()}
+    assert out[1] == 0.0
+    assert out[2] == pytest.approx(-0.707107, abs=1e-6)
+    assert out[3] == pytest.approx(0.707107, abs=1e-6)
+
+
 def test_group_regression_single_shuffle_no_window(spark):
     df = _pts(spark, [("a", 1, 2), ("a", 2, 4), ("b", 1, 1), ("b", 3, 2)])
     plan = (
