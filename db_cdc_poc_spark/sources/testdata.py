@@ -43,8 +43,13 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
 
 
 #: Tables whose downstream operators are expression-heavy per row
-#: (shingling, norms) and benefit from splitting a one-row-group file.
-_EXPRESSION_HEAVY = frozenset({"documents", "embeddings"})
+#: (shingling, norms) and benefit from splitting a one-row-group file,
+#: mapped to their id column: the spread hash-partitions on the id so
+#: any downstream join/agg keyed on it reuses the partitioning
+#: (HashPartitioning satisfies ClusteredDistribution — no second
+#: Exchange), while paths that shuffle on other keys (shingle, band)
+#: pay the same one shuffle they would under a round-robin spread.
+_EXPRESSION_HEAVY = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -60,7 +65,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # headline queries at sf0.1. Gated on the 1-partition case
         # only: at real scale inputs arrive pre-split and an
         # unconditional repartition would be a full-corpus shuffle.
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        df = df.repartition(
+            spark.sparkContext.defaultParallelism, F.col(_EXPRESSION_HEAVY[name])
+        )
     return df
 
 
