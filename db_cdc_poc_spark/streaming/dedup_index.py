@@ -170,15 +170,20 @@ class StreamingDedupIndex:
                     F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
                 )
             )
-            out = decisions.collect()  # decide BEFORE the index mutates
+            # Decide BEFORE the index mutates: an eager localCheckpoint
+            # materializes the decision rows on the executors and cuts
+            # lineage, so the append below can't leak into the returned
+            # plan — and decision data stays distributed instead of
+            # round-tripping through the driver (driver traffic is the
+            # touched-bucket id list only, bounded by num_buckets).
+            decisions = decisions.localCheckpoint(eager=True)
             self.state.merge_batch(
                 banded.select("band_id", "band_hash", "id", "sig"),
                 lambda state, b: b if state is None else state.unionByName(b),
             )
-            out_schema = decisions.schema
         finally:
             banded.unpersist()
-        return spark.createDataFrame(out, out_schema)
+        return decisions
 
     def foreach_batch(self, sink: list | None = None):
         """Adapter for ``writeStream.foreachBatch``: processes each

@@ -109,6 +109,40 @@ def test_string_ids_work(spark):
     assert second == {"docC": False}
 
 
+def test_decisions_never_materialize_on_driver(spark, monkeypatch):
+    """The per-batch decision path must stay distributed: the only
+    driver collect inside process_batch is the touched-bucket id list
+    (bounded by num_buckets), never decision- or doc-shaped rows."""
+    # patch the concrete class (pyspark.sql.DataFrame is an ABC in 4.x)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    collected: list[list] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(rows)
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    idx = _index("m")
+    b = spark.createDataFrame(
+        [(i, f"document number {i} with enough distinct words to shingle nicely") for i in range(20)],
+        "doc_id long, text string",
+    )
+    result = idx.process_batch(b)
+    # every driver collect is a bucket-id list (process_batch's probe
+    # routing + merge_batch's touched-bucket routing), single int
+    # column, bounded by num_buckets — never doc/decision rows
+    assert 1 <= len(collected) <= 2
+    for rows in collected:
+        assert len(rows) <= idx.state.num_buckets
+        assert all(len(r) == 1 for r in rows)
+    # decisions come back as a distributed (checkpointed) DataFrame
+    monkeypatch.undo()
+    assert result.count() == 20
+
+
 def test_index_survives_restart(spark, tmp_path):
     """A new StreamingDedupIndex on the same path sees the persisted
     band state: duplicates of pre-restart docs are still rejected."""
