@@ -4445,5 +4445,68 @@ def q121_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q122_ivm_minmax",
+    oracle="""
+SELECT user_id, count(*) AS n,
+       CAST(min(round(value * 100, 0)) AS BIGINT) AS lo_cents,
+       CAST(max(round(value * 100, 0)) AS BIGINT) AS hi_cents
+FROM events
+WHERE NOT (ts < TIMESTAMP '2024-01-16' AND event_id % 7 = 0)
+GROUP BY user_id
+""",
+)
+def q122_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX view maintenance with delete rescan (ivm.delta_minmax):
+    the per-user (n, min, max) spend aggregate is built over the first
+    half of the month, then refreshed with a Debezium batch carrying
+    the second half as inserts AND deletes of every first-half event
+    with event_id % 7 == 0 — which retracts many stored extremes, the
+    case sum/count delta rules cannot handle (the reference analogue is
+    the gold MAX(date_time), notebooks/04_Current_Inventory.sql:17).
+    Inserts merge via least/greatest; only extreme-retracting groups
+    rescan the post-batch facts through a broadcast semi-join. The
+    oracle is the full recompute over the surviving events."""
+    from db_cdc_poc_spark.operators.ivm import delta_minmax
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("lo_cents"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("hi_cents"),
+        "ts",
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    first_half = ev.filter(F.col("ts") < cut)
+    deleted = F.col("event_id") % 7 == 0
+    base = first_half.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.min("lo_cents").cast("long").alias("lo_cents"),
+        F.max("hi_cents").cast("long").alias("hi_cents"),
+    )
+    img = F.struct("user_id", "lo_cents", "hi_cents")
+    inserts = ev.filter(F.col("ts") >= cut).select(
+        F.lit("c").alias("op"),
+        img.alias("before"),  # never read for op='c'
+        img.alias("after"),
+    )
+    deletes = first_half.filter(deleted).select(
+        F.lit("d").alias("op"),
+        img.alias("before"),
+        img.alias("after"),  # never read for op='d'
+    )
+    facts = ev.filter(~(F.col("ts") < cut) | ~deleted).select(
+        "user_id", "lo_cents", "hi_cents"
+    )
+    return delta_minmax(
+        base,
+        inserts.unionByName(deletes),
+        facts,
+        keys=["user_id"],
+        min_cols=["lo_cents"],
+        max_cols=["hi_cents"],
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
