@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from db_cdc_poc_spark.operators.cdc import latest_by_key
-from db_cdc_poc_spark.streaming.state import BucketedStateTable
+from db_cdc_poc_spark.streaming.state import BucketedStateTable, wider_type
 
 
 class CdcTarget:
@@ -78,12 +78,34 @@ class CdcTarget:
         """
 
         def merge(state: DataFrame | None, b: DataFrame) -> DataFrame:
-            # allowMissingColumns = additive schema evolution: a batch
-            # carrying a NEW column (upstream producer deployed a field)
-            # widens the state, old rows take NULL; a batch missing a
-            # state column (lagging producer) keeps the column, its rows
-            # take NULL. Drops/renames/type changes stay hard errors —
+            # Schema evolution, two safe forms only:
+            # - additive (allowMissingColumns): a batch carrying a NEW
+            #   column widens the state, old rows take NULL; a batch
+            #   missing a state column keeps it, its rows take NULL.
+            # - in-family numeric widening (int->long, float->double):
+            #   both sides are cast to the wider type before the union,
+            #   so the touched bucket is rewritten widened; untouched
+            #   buckets up-cast on read (state._read_chains).
+            # Drops/renames/cross-family changes stay hard errors —
             # silent coercion corrupts CDC state.
+            if state is not None:
+                s_types = {f.name: f.dataType for f in state.schema.fields}
+                for f in b.schema.fields:
+                    st = s_types.get(f.name)
+                    if st is None or st == f.dataType:
+                        continue
+                    w = wider_type(st, f.dataType)
+                    if w is None:
+                        raise TypeError(
+                            f"CDC batch column {f.name!r} has type "
+                            f"{f.dataType.simpleString()} but state has "
+                            f"{st.simpleString()}; only in-family numeric "
+                            "widening is supported"
+                        )
+                    if st != w:
+                        state = state.withColumn(f.name, F.col(f.name).cast(w))
+                    if f.dataType != w:
+                        b = b.withColumn(f.name, F.col(f.name).cast(w))
             merged = (
                 state.unionByName(b, allowMissingColumns=True)
                 if state is not None

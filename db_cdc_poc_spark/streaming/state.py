@@ -32,8 +32,51 @@ from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 BUCKET_COL = "__state_bucket"
+
+#: Safe widening chains (left widens into right, values preserved).
+_WIDENING_CHAINS: tuple[tuple[T.DataType, ...], ...] = (
+    (T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()),
+    (T.FloatType(), T.DoubleType()),
+)
+
+
+def wider_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The wider of two types when one safely widens into the other
+    (int family, float->double); ``None`` for any other mismatch."""
+    if a == b:
+        return a
+    for chain in _WIDENING_CHAINS:
+        if a in chain and b in chain:
+            return chain[max(chain.index(a), chain.index(b))]
+    return None
+
+
+def unify_schemas(schemas: Sequence[T.StructType]) -> T.StructType:
+    """Union of column sets with widening on type conflicts — what
+    ``mergeSchema`` would do if it understood numeric widening (it
+    hard-fails on int-vs-long). Raises on non-widenable conflicts:
+    silent coercion corrupts CDC state."""
+    types: dict[str, T.DataType] = {}
+    order: list[str] = []
+    for sch in schemas:
+        for f in sch.fields:
+            if f.name not in types:
+                types[f.name] = f.dataType
+                order.append(f.name)
+            else:
+                w = wider_type(types[f.name], f.dataType)
+                if w is None:
+                    raise TypeError(
+                        f"state column {f.name!r} has incompatible types "
+                        f"{types[f.name].simpleString()} vs "
+                        f"{f.dataType.simpleString()}; only in-family numeric "
+                        "widening (int->long, float->double) is supported"
+                    )
+                types[f.name] = w
+    return T.StructType([T.StructField(n, types[n], True) for n in order])
 
 MergeFn = Callable[[DataFrame | None, DataFrame], DataFrame]
 
@@ -142,9 +185,7 @@ class BucketedStateTable:
             paths.append(p)
         if not paths:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[str(p) for p in paths]
-        )
+        return self._read_chains(spark, paths)
 
     def state_for(
         self, spark: SparkSession, buckets: Sequence[int] | None = None
@@ -154,13 +195,26 @@ class BucketedStateTable:
         paths = self._latest_paths(buckets)
         if not paths:
             return None
-        # mergeSchema: bucket chains evolve independently (a batch with
-        # a new column only rewrites the buckets it touches), so a
-        # multi-bucket read must union the per-chain schemas instead of
-        # adopting whichever file is sampled first
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[str(p) for p in paths]
-        )
+        return self._read_chains(spark, paths)
+
+    def _read_chains(self, spark: SparkSession, paths: Sequence[Path]) -> DataFrame:
+        """Read bucket chains under one reconciled schema.
+
+        Chains evolve independently (a batch only rewrites the buckets
+        it touches), so a multi-bucket read must union the per-chain
+        schemas: columns added later are NULL in older chains, and a
+        chain still holding the narrow type of a since-widened column
+        (int vs long, float vs double) is up-cast on read — the
+        parquet readers support widening promotions, which plain
+        ``mergeSchema`` rejects. Per-chain footers only; no data read
+        at planning time.
+        """
+        schemas = [spark.read.parquet(str(p)).schema for p in paths]
+        if any(s != schemas[0] for s in schemas[1:]):
+            return spark.read.schema(unify_schemas(schemas)).parquet(
+                *[str(p) for p in paths]
+            )
+        return spark.read.schema(schemas[0]).parquet(*[str(p) for p in paths])
 
     # -- merge ------------------------------------------------------------
 

@@ -299,6 +299,58 @@ def test_cdc_schema_evolution_additive_column(spark, tmp_path):
     assert cur2[2] == ("b2", None) and cur2[1] == ("a2", "X")
 
 
+def test_cdc_schema_evolution_type_widening(spark, tmp_path):
+    """A micro-batch whose column widened upstream (int->long,
+    float->double) merges: the touched bucket is rewritten with the
+    wider type, buckets still holding the narrow type up-cast on read,
+    and the full state reads under one widened schema."""
+    from db_cdc_poc_spark.streaming.cdc import CdcTarget
+
+    t = CdcTarget(str(tmp_path / "st"), keys="k", sequence_by="seq", num_buckets=4)
+    t.upsert_batch(
+        spark.createDataFrame(
+            [(1, 1, 10, 1.5), (2, 1, 20, 2.5), (3, 1, 30, 3.5)],
+            "k long, seq long, qty int, score float",
+        )
+    )
+    # widened batch: qty arrives as long (a value beyond int range),
+    # score as double; touches only k=1's bucket
+    t.upsert_batch(
+        spark.createDataFrame(
+            [(1, 2, 2**40, 0.125)], "k long, seq long, qty long, score double"
+        )
+    )
+    cur = t.current(spark)
+    dtypes = dict(cur.dtypes)
+    assert dtypes["qty"] == "bigint" and dtypes["score"] == "double"
+    rows = {r.k: (r.qty, r.score) for r in cur.collect()}
+    assert rows[1] == (2**40, 0.125)
+    assert rows[2] == (20, 2.5) and rows[3] == (30, 3.5)
+    # a later narrow batch still merges into the widened state
+    t.upsert_batch(
+        spark.createDataFrame([(2, 2, 21, 2.75)], "k long, seq long, qty int, score float")
+    )
+    rows2 = {r.k: (r.qty, r.score) for r in t.current(spark).collect()}
+    assert rows2[2] == (21, 2.75) and rows2[1] == (2**40, 0.125)
+
+
+def test_cdc_schema_evolution_cross_family_change_raises(spark, tmp_path):
+    """Non-widenable type changes (int -> string) must stay hard
+    errors — silent coercion corrupts CDC state."""
+    import pytest
+
+    from db_cdc_poc_spark.streaming.cdc import CdcTarget
+
+    t = CdcTarget(str(tmp_path / "st"), keys="k", sequence_by="seq", num_buckets=4)
+    t.upsert_batch(
+        spark.createDataFrame([(1, 1, 10)], "k long, seq long, qty int")
+    )
+    with pytest.raises(TypeError, match="widening"):
+        t.upsert_batch(
+            spark.createDataFrame([(1, 2, "ten")], "k long, seq long, qty string")
+        )
+
+
 def test_streaming_state_on_rocksdb_matches_default_store(spark, events_dir):
     # the production state backend for large keyspaces: RocksDB spills
     # state to local disk instead of keeping it JVM-heap-resident.
