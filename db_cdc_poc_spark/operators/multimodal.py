@@ -66,9 +66,32 @@ FEATURE_SCHEMA = StructType(
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by the real-decoder path: media codecs are not installed
-    in this environment. Use ``fake_decode=True`` for deterministic
-    plumbing tests."""
+    """Raised by the real-decoder path when no media codec is
+    importable in the environment. Use ``fake_decode=True`` for
+    deterministic plumbing tests."""
+
+
+def _image_codec():
+    """``PIL.Image`` when Pillow is importable, else ``None`` — the
+    real-decode gate. This container has no codec libs, so the fake
+    kernels carry the tests here; anywhere Pillow exists the same call
+    sites run real decode (importorskip'd tests cover that path)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except Exception:
+        return None
+
+
+def _audio_codec():
+    """``soundfile`` when importable, else ``None``."""
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except Exception:
+        return None
 
 
 def _fake_features(content: bytes, dim: int) -> list[float]:
@@ -89,23 +112,53 @@ def extract_features(
     n_bytes, features array<double>).
 
     Arrow-batched ``mapInPandas``: one Python invocation per Arrow
-    batch; the binary column is materialized only inside the stage. With
-    ``fake_decode=False`` this is where a real image/audio model would
-    run — it raises ``DecodeUnavailable`` here because codecs are not in
-    the container.
+    batch; the binary column is materialized only inside the stage.
+    With ``fake_decode=False`` the kernel decodes for real — images via
+    Pillow (grayscale thumbnail pixels as the feature vector), audio
+    via soundfile (per-chunk RMS envelope); rows of other types or
+    failing decode get NULL features. When NO codec is importable it
+    raises ``DecodeUnavailable`` eagerly.
     """
-    if not fake_decode:
+    if not fake_decode and _image_codec() is None and _audio_codec() is None:
         # raised EAGERLY, at plan-build time: a lazy in-worker raise
         # would silently succeed whenever no batch reaches the stage
         # (empty input) and otherwise surface as an opaque executor
         # PythonException at first action
         raise DecodeUnavailable(
-            "media codecs not installed; pass fake_decode=True"
+            "no media codec importable (Pillow/soundfile); "
+            "pass fake_decode=True"
         )
     if batch_size is not None:
         media.sparkSession.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
         )
+
+    def _fake_kernel(b: bytes, _mt: str | None) -> list[float] | None:
+        return _fake_features(b, dim)
+
+    def _real_kernel(b: bytes, media_type: str | None) -> list[float] | None:
+        import io  # noqa: PLC0415
+
+        try:
+            if media_type == "image" and (Image := _image_codec()) is not None:
+                with Image.open(io.BytesIO(b)) as im:
+                    g = max(2, int(dim**0.5) + 1)
+                    px = list(im.convert("L").resize((g, g)).getdata())
+                return [px[i] / 255.0 for i in range(dim)]
+            if media_type == "audio" and (sf := _audio_codec()) is not None:
+                data, _sr = sf.read(io.BytesIO(b))
+                mono = data.mean(axis=1) if getattr(data, "ndim", 1) > 1 else data
+                n = max(len(mono), 1)
+                out = []
+                for i in range(dim):
+                    chunk = mono[i * n // dim : max((i + 1) * n // dim, i * n // dim + 1)]
+                    out.append(float((chunk**2).mean() ** 0.5) if len(chunk) else 0.0)
+                return out
+        except Exception:
+            return None
+        return None
+
+    kernel = _fake_kernel if fake_decode else _real_kernel
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,13 +170,16 @@ def extract_features(
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()
                     ),
                     "n_bytes": content.map(len).astype("int64"),
-                    "features": content.map(lambda b: _fake_features(bytes(b), dim)),
+                    "features": [
+                        kernel(bytes(b), mt)
+                        for b, mt in zip(content, pdf["media_type"])
+                    ],
                 }
             )
 
-    return media.select("media_id", "content").mapInPandas(
-        _extract, schema=FEATURE_SCHEMA
-    )
+    return media.select(
+        "media_id", "content", F.col("meta.media_type").alias("media_type")
+    ).mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(
@@ -200,25 +256,36 @@ def resize_images(
     pipeline, as an Arrow-batched ``mapInPandas``: binary in, binary
     out, bytes cross the boundary once per batch. Only image rows are
     processed (filter BEFORE the Python stage, so video/audio blobs
-    never reach the worker). With ``fake_decode=False`` this is where
-    PIL/libvips would run — it raises ``DecodeUnavailable`` in this
-    container.
+    never reach the worker). With ``fake_decode=False`` the kernel is
+    real Pillow decode→resize→PNG re-encode when Pillow is importable;
+    otherwise it raises ``DecodeUnavailable``.
 
     Output: ``(media_id, content, width, height, n_bytes)``.
     """
 
-    if not fake_decode:
+    if not fake_decode and _image_codec() is None:
         # eager, same rationale as extract_features: no silent success
         # on image-free input, no opaque executor-wrapped error
         raise DecodeUnavailable(
-            "media codecs not installed; pass fake_decode=True"
+            "Pillow not importable; pass fake_decode=True"
         )
+
+    def _real_resize(b: bytes) -> bytes:
+        import io  # noqa: PLC0415
+
+        Image = _image_codec()
+        with Image.open(io.BytesIO(b)) as im:
+            buf = io.BytesIO()
+            im.convert("RGB").resize((width, height)).save(buf, format="PNG")
+            return buf.getvalue()
+
+    kernel = (
+        (lambda b: _fake_resize(b, width, height)) if fake_decode else _real_resize
+    )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf["content"].map(
-                lambda b: _fake_resize(bytes(b), width, height)
-            )
+            out = pdf["content"].map(lambda b: kernel(bytes(b)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -40,7 +40,10 @@ def test_extract_features_deterministic(spark, media):
 def test_real_decode_raises_decode_unavailable(spark, media):
     # eager: raised at plan-build time, not wrapped in an executor
     # exception at first action (and never silently skipped on empty
-    # input)
+    # input). Only meaningful in codec-less containers — with a codec
+    # importable the real path activates instead (tested below).
+    if mm._image_codec() is not None or mm._audio_codec() is not None:
+        pytest.skip("a media codec is importable: real decode active")
     with pytest.raises(mm.DecodeUnavailable):
         mm.extract_features(media, fake_decode=False)
 
@@ -84,12 +87,60 @@ def test_resize_images_only_images_and_sized_output(spark, media):
 
 
 def test_resize_real_decode_raises(spark, media):
+    if mm._image_codec() is not None:
+        pytest.skip("Pillow is importable: real decode active")
     with pytest.raises(mm.DecodeUnavailable):
         mm.resize_images(media, 8, 8, fake_decode=False)
     # eager even when the input has no image rows at all
     no_images = media.filter(F.col("meta.media_type") == "audio")
     with pytest.raises(mm.DecodeUnavailable):
         mm.resize_images(no_images, 8, 8, fake_decode=False)
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    """A tiny real PNG via Pillow (caller importorskips)."""
+    import io
+
+    from PIL import Image
+
+    im = Image.new("RGB", (w, h), (200, 30, 90))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_resize_images_real_pil_roundtrip(spark):
+    # runs wherever Pillow exists (skipped in codec-less containers);
+    # the fake-kernel tests above pin the plumbing either way
+    pytest.importorskip("PIL")
+    png = _png_bytes(32, 20)
+    df = spark.createDataFrame(
+        [(1, png, ("image", "png", 32, 20, None, None))], mm.MEDIA_SCHEMA
+    )
+    [r] = mm.resize_images(df, 8, 8, fake_decode=False).collect()
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(bytes(r.content))) as im:
+        assert im.size == (8, 8)
+    assert (r.width, r.height) == (8, 8)
+
+
+def test_extract_features_real_pil(spark):
+    pytest.importorskip("PIL")
+    png = _png_bytes(16, 16)
+    df = spark.createDataFrame(
+        [(1, png, ("image", "png", 16, 16, None, None)),
+         (2, b"not-an-image", ("image", "png", 1, 1, None, None)),
+         (3, b"some-video", ("video", "mp4", 8, 8, 1000, None))],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r.features for r in mm.extract_features(
+        df, dim=8, fake_decode=False).collect()}
+    assert len(out[1]) == 8 and all(0.0 <= x <= 1.0 for x in out[1])
+    assert out[2] is None  # failed decode -> NULL, not a job abort
+    assert out[3] is None  # undecodable type -> NULL
 
 
 def test_audio_chunk_plan(spark, media):
