@@ -60,7 +60,11 @@ def main() -> None:
     # Warm the session/codegen paths once on the smallest table so the
     # first measured query doesn't pay one-time init costs.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
-    plans_dir = Path(__file__).resolve().parent / "bench_plans"
+    plans_dir = Path(
+        os.environ.get(
+            "SPARK_GRAFT_PLANS_DIR", Path(__file__).resolve().parent / "bench_plans"
+        )
+    )
     plans_dir.mkdir(exist_ok=True)
     timings: dict[str, float] = {}
     for name, q in sorted(headline.items()):
