@@ -345,3 +345,78 @@ def transition_pmi(
         .crossJoin(F.broadcast(total))
         .select("from_state", "to_state", "n", pmi.alias("pmi"))
     )
+
+
+def scalable_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_total",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Running (prefix) sum of ``value_col`` in ``order_col`` order
+    WITHOUT a single-partition window over the full table.
+
+    ``Window.orderBy(x)`` with no partition spec moves every row to ONE
+    partition — fine for sketch-sized tables (histogram bins, day
+    spines), a serial bottleneck when the windowed table scales with
+    the corpus (e.g. the per-document vocabulary growth curve). This is
+    the classic two-level parallel prefix sum, in DataFrame ops:
+
+    1. range-bucket rows on ``order_col`` (equal-width over [min, max],
+       bounds cross-broadcast from a 1-row aggregate — no driver
+       round-trip, same spine pattern as the gap-fill operator);
+    2. running sum WITHIN each bucket — a partitioned window, fully
+       parallel;
+    3. per-bucket totals (``num_buckets`` rows) get an EXCLUSIVE
+       running sum over a single-partition window — serial, but over a
+       fixed-size tiny table by construction;
+    4. broadcast the bucket offsets back and add.
+
+    Exactness: equal ``order_col`` values land in the same bucket, so
+    the result is identical to the global window's for unique
+    ``order_col``; with ties, both forms share the same
+    within-tie-order caveat. ``value_col`` must be numeric;
+    ``order_col`` must be numeric/date-castable for the bucketing.
+
+    Output: input columns + ``out_col``. A constant-``order_col`` or
+    empty input degrades to one bucket (still correct).
+    """
+    bounds = df.agg(
+        F.min(F.col(order_col).cast("double")).alias("__mn"),
+        F.max(F.col(order_col).cast("double")).alias("__mx"),
+    )
+    b = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bkt",
+        F.when(
+            F.col("__mx") == F.col("__mn"), F.lit(1)
+        ).otherwise(
+            F.width_bucket(
+                F.col(order_col).cast("double"),
+                F.col("__mn"),
+                # nudge the upper bound so max lands in the last bucket,
+                # not the overflow bucket
+                F.col("__mx") + F.lit(1e-9) + (F.col("__mx") - F.col("__mn")) * F.lit(1e-9),
+                num_buckets,
+            )
+        ),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = b.withColumn("__run_in", F.sum(value_col).over(w_in))
+    totals = b.groupBy("__bkt").agg(F.sum(value_col).alias("__tot"))
+    w_off = (
+        Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__bkt", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "__bkt")
+        .withColumn(out_col, F.col("__run_in") + F.col("__off"))
+        .drop("__bkt", "__mn", "__mx", "__run_in")
+    )

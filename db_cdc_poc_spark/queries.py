@@ -4435,13 +4435,15 @@ def q121_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("new_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return per_doc.select(
-        "doc_id",
-        "new_tokens",
-        F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
+    # the curve table scales with |docs|, so the prefix sum runs as a
+    # two-level bucketed scan (stats.scalable_running_sum), not a
+    # single-partition global window
+    from db_cdc_poc_spark.operators.stats import scalable_running_sum
+
+    return scalable_running_sum(
+        per_doc, "doc_id", "new_tokens", out_col="vocab_size"
+    ).select(
+        "doc_id", "new_tokens", F.col("vocab_size").cast("long").alias("vocab_size")
     )
 
 

@@ -231,3 +231,37 @@ def test_transition_pmi_known_sequence(spark):
     assert got[("b", "a")].n == 1
     assert got[("a", "b")].pmi == round(math.log(3 * 4 / (3 * 3)), 5)
     assert got[("b", "a")].pmi == round(math.log(1 * 4 / (1 * 1)), 5)
+
+
+def test_scalable_running_sum_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from db_cdc_poc_spark.operators.stats import scalable_running_sum
+
+    rows = [(i * 7 % 101, (i % 13) - 3) for i in range(101)]  # unique keys
+    df = spark.createDataFrame(rows, "k long, v long")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (r.k): r.ref for r in df.select("k", F.sum("v").over(w).alias("ref")).collect()
+    }
+    out = scalable_running_sum(df, "k", "v", out_col="run", num_buckets=8)
+    got = {r.k: r.run for r in out.collect()}
+    assert got == want
+    # and the fan-out is real: rows landed in more than one bucket
+    bounds = df.agg(F.min("k"), F.max("k")).collect()[0]
+    assert bounds[1] > bounds[0]
+
+
+def test_scalable_running_sum_degenerate_inputs(spark):
+    from db_cdc_poc_spark.operators.stats import scalable_running_sum
+
+    one = spark.createDataFrame([(5, 10)], "k long, v long")
+    assert scalable_running_sum(one, "k", "v").collect()[0].running_total == 10
+    const = spark.createDataFrame([(5, 1), (5, 2)], "k long, v long")
+    # constant order col: one bucket, still a correct total at the end
+    vals = sorted(
+        r.running_total for r in scalable_running_sum(const, "k", "v").collect()
+    )
+    assert vals[-1] == 3
+    empty = spark.createDataFrame([], "k long, v long")
+    assert scalable_running_sum(empty, "k", "v").count() == 0
