@@ -72,13 +72,14 @@ def main() -> None:
         # (the streaming entries re-stage and re-drain either way —
         # their measured pass repeats ALL work, not a cached result)
         _force_full_eval(q.fn(spark, SF_DIR))
-        # best of two measured passes: long-lived local JVMs take
+        # best of three measured passes: long-lived local JVMs take
         # occasional multi-second stalls (context-cleaner / full-GC
-        # pauses) that would randomly inflate exactly one query per
-        # run; min-of-N is the standard warm-timing answer
+        # pauses), and a shared host adds scheduling noise on top —
+        # either would randomly inflate exactly one query per run;
+        # min-of-N is the standard warm-timing answer
         best = float("inf")
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = q.fn(spark, SF_DIR)
             n = _force_full_eval(df)
@@ -94,6 +95,17 @@ def main() -> None:
             (plans_dir / f"{name}.txt").write_text(plan)
         except Exception as e:  # pragma: no cover - plan capture best-effort
             print(f"# plan capture failed for {name}: {e}", file=sys.stderr)
+        # Release the query's persisted blocks (localCheckpoint RDDs,
+        # caches) before the next one: 23 queries' worth of retained
+        # blocks otherwise accumulate in the one long-lived JVM and
+        # show up as multi-second GC stalls randomly attributed to
+        # later queries — a bench-harness artifact, not query cost.
+        try:
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:  # pragma: no cover - cleanup best-effort
+            pass
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

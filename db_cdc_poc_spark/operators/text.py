@@ -54,7 +54,7 @@ def regex_token_count(text: Column | str, pattern: str = TOKEN_REGEX) -> Column:
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
-    """Fraction of lowercase whitespace tokens that are stopwords.
+    r"""Fraction of lowercase whitespace tokens that are stopwords.
 
     Counted with ONE compiled-regex pass over the raw text:
     ``(?<=^|\s)(w1|w2|...)(?=\s|$)`` on ``lower(text)`` is exactly

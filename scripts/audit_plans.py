@@ -25,6 +25,22 @@ import re
 import sys
 from pathlib import Path
 
+# Queries whose operator picks its physical strategy by CORPUS SIZE
+# (dedup._exact_pair_stats, mode='auto'): below _PREFIX_AUTO_MIN_DOCS
+# documents the naive inverted-index join runs (fewer exchanges);
+# above it, the prefix-filtered set-similarity join (3 more exchanges,
+# near-linear scaling). Exchange growth between a small-SF and a
+# large-SF plan is therefore the INTENDED cost-based dispatch — the
+# same kind of size-driven flip as broadcast->shuffle — not a
+# degradation. Both strategies are property-tested output-identical
+# (tests/test_prefix_filter_property.py).
+SIZE_DISPATCHED = {
+    "q20_ngram_jaccard",
+    "q40_dedup_fuzzy",
+    "q58_containment",
+    "q66_winnowed_containment",
+}
+
 OPS = {
     "cartesian": r"CartesianProduct",
     "bnlj": r"BroadcastNestedLoopJoin",
@@ -59,10 +75,17 @@ def main() -> int:
                 msgs.append(f"DEGRADED new {op} x{np_[op] - bp[op]}")
                 bad += 1
         if np_["exchange"] > bp["exchange"]:
-            msgs.append(
-                f"DEGRADED exchanges {bp['exchange']} -> {np_['exchange']}"
-            )
-            bad += 1
+            if new_plan.stem in SIZE_DISPATCHED:
+                msgs.append(
+                    f"INFO size-dispatched algorithm switch "
+                    f"(naive->prefix join; exchanges "
+                    f"{bp['exchange']} -> {np_['exchange']})"
+                )
+            else:
+                msgs.append(
+                    f"DEGRADED exchanges {bp['exchange']} -> {np_['exchange']}"
+                )
+                bad += 1
         if np_["smj"] + np_["shj"] > bp["smj"] + bp["shj"]:
             msgs.append(
                 f"INFO broadcast->shuffle join flip "

@@ -63,7 +63,9 @@ def test_prefix_filtered_jaccard_matches_bruteforce(spark, texts, threshold):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         (r.id_a, r.id_b)
-        for r in ngram_jaccard_pairs(df, n=2, threshold=threshold).collect()
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=threshold, mode="prefix"
+        ).collect()
     }
     assert got == _naive_pairs(spark, rows, 2, threshold, "jaccard")
 
@@ -75,6 +77,44 @@ def test_prefix_filtered_containment_matches_bruteforce(spark, texts, threshold)
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         (r.id_a, r.id_b)
-        for r in containment_pairs(df, n=2, threshold=threshold).collect()
+        for r in containment_pairs(
+            df, n=2, threshold=threshold, mode="prefix"
+        ).collect()
     }
     assert got == _naive_pairs(spark, rows, 2, threshold, "containment")
+
+
+def test_auto_mode_dispatches_by_corpus_size(spark):
+    """mode='auto' picks naive below _PREFIX_AUTO_MIN_DOCS (no Window
+    operator in the plan) and every mode returns the same pair set.
+    The prefix plan is recognizable by its row_number Window; the naive
+    plan has none."""
+    from db_cdc_poc_spark.operators import dedup as dd
+
+    texts = [
+        "alpha beta gamma delta eps",
+        "alpha beta gamma delta zeta",
+        "zeta eps delta gamma beta",
+        "unrelated words entirely here now",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    results = {}
+    for mode in ("auto", "naive", "prefix"):
+        out = dd.ngram_jaccard_pairs(df, n=2, threshold=0.3, mode=mode)
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        results[mode] = {
+            "pairs": {(r.id_a, r.id_b) for r in out.collect()},
+            "windowed": "row_number" in plan,
+        }
+    assert results["auto"]["pairs"] == results["naive"]["pairs"]
+    assert results["naive"]["pairs"] == results["prefix"]["pairs"]
+    # 4 docs < _PREFIX_AUTO_MIN_DOCS -> auto resolves to the naive plan
+    assert not results["auto"]["windowed"]
+    assert not results["naive"]["windowed"]
+    assert results["prefix"]["windowed"]
