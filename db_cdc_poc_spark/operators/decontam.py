@@ -77,35 +77,36 @@ def contaminated_docs(
     re-aggregated, so the only shuffle in the plan is the final
     per-doc hit count (sized by hits, not by corpus).
     """
-    from db_cdc_poc_spark.operators.dedup import word_shingles_col
+    from db_cdc_poc_spark.operators.dedup import word_ngram_hashes_col
 
-    # Two-step projection: alias the shingle array first so size() and
-    # explode() share ONE evaluation of the zip_with chain per row
-    # (CollapseProject keeps a twice-referenced non-cheap alias
-    # materialized instead of inlining it into both consumers).
+    # Grams never materialize as strings on either side: an 8-word gram
+    # is ~90 bytes, and at sf1.0 the string join shuffled/sorted ~5M of
+    # them per side. word_ngram_hashes_col hashes each token once and
+    # each gram as one hash over the n-long token-hash slice, so the
+    # train rows are 16 bytes and the distinct eval set shrinks to a
+    # few MB — small enough that AQE broadcasts it no matter how the
+    # eval slice scales. Same exact-up-to-hash-collision contract as
+    # the span-hash family (operators/dedup.py:span_hash_rows): a false
+    # hit needs a 64-bit collision between a train gram and an eval
+    # gram — ~1e-7 at 10M grams, and deterministic either way.
+    # Two-step projection: alias the hash array first so size() and
+    # explode() share ONE evaluation per row (CollapseProject keeps a
+    # twice-referenced non-cheap alias materialized instead of inlining
+    # it into both consumers).
     train_sh = train_df.select(
         F.col(id_col).alias("id"),
-        word_shingles_col(text_col, n).alias("sh"),
+        F.array_distinct(word_ngram_hashes_col(text_col, n)).alias("sh"),
     ).select(
         "id",
         F.size("sh").alias("n_shingles"),
-        F.explode("sh").alias("shingle"),
-    )
-    # Join on a 64-bit hash of the n-gram, not the string: an 8-word
-    # gram is ~90 bytes, and at sf1.0 the string join shuffled/sorted
-    # ~5M of them per side; hashed, the train rows are 16 bytes and the
-    # distinct eval set shrinks to a few MB — small enough that AQE
-    # broadcasts it no matter how the eval slice scales. Same
-    # exact-up-to-hash-collision contract as the span-hash family
-    # (operators/dedup.py:span_hash_rows): a false hit needs an
-    # xxhash64 collision between a train gram and an eval gram —
-    # ~1e-7 at 10M grams, and deterministic either way.
-    train_sh = train_sh.select(
-        "id", "n_shingles", F.xxhash64("shingle").alias("__h")
+        F.explode("sh").alias("__h"),
     )
     ev = (
-        shingle_rows(eval_df, id_col=id_col, text_col=text_col, n=n)
-        .select(F.xxhash64("shingle").alias("__h"))
+        eval_df.select(
+            F.explode(
+                F.array_distinct(word_ngram_hashes_col(text_col, n))
+            ).alias("__h")
+        )
         .distinct()
     )
     # ``broadcast_eval``: True forces the broadcast (the right call

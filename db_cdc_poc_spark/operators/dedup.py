@@ -89,6 +89,63 @@ def word_shingles_col(text: str = "text", n: int = 3) -> F.Column:
     return F.array_distinct(word_ngrams_col(text, n))
 
 
+def word_ngram_hashes_col(text: str = "text", n: int = 3) -> F.Column:
+    """ALL word n-grams as 64-bit hashes (array<bigint>, positional,
+    duplicates kept) — WITHOUT materializing gram strings.
+
+    Each token is hashed ONCE (``xxhash64``), then each gram hash is
+    ``xxhash64`` over the n-long slice of token hashes: per gram that
+    is one hash of 8n fixed-width bytes instead of building an ~O(10n)
+    byte string (slice + array_join allocation) and hashing it. For
+    n=8 at sf1.0 this measured ~20% faster over the whole
+    tokenize->gram->hash pipeline, and every downstream exchange/join
+    carries 8-byte keys instead of ~90-byte strings.
+
+    Same value contract as the span-hash family: counts and joins on
+    these hashes are exact up to a 64-bit collision (~1e-7 at 10M
+    grams); the hash VALUES are engine-internal and never surface in
+    results, so oracle comparisons (which replay on gram strings) are
+    unaffected. Let-binding mirrors ``word_ngrams_col``: the token
+    array and the token-hash array are each evaluated once per row via
+    nested one-element-array ``transform`` wrappers.
+    """
+
+    def grams_of(hs: F.Column) -> F.Column:
+        idx = F.sequence(F.lit(1), F.size(hs) - F.lit(n - 1))
+        return F.transform(idx, lambda i: F.xxhash64(F.slice(hs, i, n)))
+
+    wrapped = F.transform(
+        F.array(tokens_col(text)),
+        lambda t: F.element_at(
+            F.transform(
+                F.array(F.transform(t, lambda tok: F.xxhash64(tok))),
+                # size < n would make the sequence bound < 1 and
+                # sequence() counts DOWN — guard to empty instead
+                lambda hs: F.when(F.size(hs) >= n, grams_of(hs)).otherwise(
+                    F.array().cast("array<bigint>")
+                ),
+            ),
+            1,
+        ),
+    )
+    return F.element_at(wrapped, 1)
+
+
+def hashed_shingle_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows with 64-bit HASHED shingles — the drop-in
+    fast form of ``shingle_rows`` for every consumer that joins,
+    aggregates, or orders on shingles without exposing their values
+    (the pair-join family, MinHash, decontamination)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngram_hashes_col(text_col, n))).alias(
+            "shingle"
+        ),
+    )
+
+
 def shingle_rows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -140,7 +197,9 @@ def _pair_shingle_stats(
     For containment at corpus scale, ``winnowed_containment_pairs``
     shrinks the index ~(w+1)/2 x before this same join.
     """
-    return _pair_stats_from_rows(shingle_rows(df, id_col, text_col, n), max_doc_freq)
+    return _pair_stats_from_rows(
+        hashed_shingle_rows(df, id_col, text_col, n), max_doc_freq
+    )
 
 
 def _pair_stats_from_rows(
@@ -381,7 +440,7 @@ def ngram_jaccard_pairs(
     """
     stats = (
         _exact_pair_stats(
-            shingle_rows(df, id_col, text_col, n), threshold, "jaccard", df, mode
+            hashed_shingle_rows(df, id_col, text_col, n), threshold, "jaccard", df, mode
         )
         if max_doc_freq is None
         else _pair_shingle_stats(df, id_col, text_col, n, max_doc_freq)
@@ -424,7 +483,11 @@ def containment_pairs(
     """
     stats = (
         _exact_pair_stats(
-            shingle_rows(df, id_col, text_col, n), threshold, "containment", df, mode
+            hashed_shingle_rows(df, id_col, text_col, n),
+            threshold,
+            "containment",
+            df,
+            mode,
         )
         if max_doc_freq is None
         else _pair_shingle_stats(df, id_col, text_col, n, max_doc_freq)
@@ -547,9 +610,12 @@ def minhash_signatures(
     row, and runs interpreted. Measured 60x slower.)
 
     Docs with no shingles have no rows and so no signature — they can
-    never match, same as before.
+    never match, same as before. Shingles arrive pre-hashed
+    (``hashed_shingle_rows``): h_i then hashes a fixed 12 bytes
+    (long + int) per function instead of re-hashing the gram string
+    ``num_hashes`` times.
     """
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    sh = hashed_shingle_rows(df, id_col, text_col, shingle_n)
     mins = [
         F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}")
         for i in range(num_hashes)
@@ -663,10 +729,13 @@ def minhash_lsh_pairs(
     # Exact verification on CANDIDATE pairs only: re-join the candidate ids
     # to the per-doc shingle arrays and compute Jaccard from
     # array_intersect/array sizes. Cost scales with |candidates|, never with
-    # the corpus pair space — the whole point of LSH at 100 TB.
+    # the corpus pair space — the whole point of LSH at 100 TB. Shingles
+    # are the 64-bit hashed form (word_ngram_hashes_col): the intersect
+    # compares 8-byte longs, and the signature stage above already
+    # shares its collision contract.
     sh = df.select(
         F.col(id_col).alias("id"),
-        word_shingles_col(text_col, shingle_n).alias("shingles"),
+        F.array_distinct(word_ngram_hashes_col(text_col, shingle_n)).alias("shingles"),
     )
     return (
         est.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
@@ -1090,7 +1159,17 @@ def span_hash_rows(
     corpus-wide span index carries 8 bytes per span instead of the
     text. Map-only; documents shorter than ``window`` tokens emit no
     rows.
+
+    ``hash_fn='fast'`` skips gram-string materialization entirely
+    (``word_ngram_hashes_col``: per-token xxhash64 + one hash of the
+    n-long slice) — the default scale path. 'md5'/'xxhash64' hash the
+    gram string; md5 stays available for cross-engine value replay.
     """
+    if hash_fn == "fast":
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngram_hashes_col(text_col, window)).alias("h"),
+        )
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams_col(text_col, window)).alias("gram"),
@@ -1104,7 +1183,7 @@ def duplicate_span_stats(
     text_col: str = "text",
     window: int = 8,
     min_docs: int = 2,
-    hash_fn: str = "md5",
+    hash_fn: str = "fast",
 ) -> DataFrame:
     """Per-document duplicated-span accounting: how much of each doc is
     a verbatim span shared with >= ``min_docs`` documents (itself
@@ -1211,13 +1290,17 @@ def cross_lsh_pairs(
         )
         ba = ba.join(small, ["band_id", "band_hash"])
     cand = ba.join(bb, ["band_id", "band_hash"]).select("id_a", "id_b").distinct()
+    # exact verify on hashed shingle sets: array_intersect over 8-byte
+    # longs, gram strings never built (same collision contract as
+    # word_ngram_hashes_col — a miscounted intersect needs a 64-bit
+    # collision WITHIN one document pair's shingles)
     sh_a = df_a.select(
         F.col(id_col).alias("id_a"),
-        word_shingles_col(text_col, shingle_n).alias("sh_a"),
+        F.array_distinct(word_ngram_hashes_col(text_col, shingle_n)).alias("sh_a"),
     )
     sh_b = df_b.select(
         F.col(id_col).alias("id_b"),
-        word_shingles_col(text_col, shingle_n).alias("sh_b"),
+        F.array_distinct(word_ngram_hashes_col(text_col, shingle_n)).alias("sh_b"),
     )
     return (
         cand.join(sh_a, "id_a")

@@ -3081,10 +3081,12 @@ def q85_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     literature): fraction of each document's 8-token windows that occur
     verbatim in >=2 documents. Aggregation-only — span hashes are
     counted, never pair-joined, so boilerplate in d docs costs d rows,
-    not d^2 (see operators/dedup.py:duplicate_span_stats). md5 span
-    hashes make the oracle a full value-level replay."""
+    not d^2 (see operators/dedup.py:duplicate_span_stats). Span hashes
+    are engine-internal (counted, never exposed), so the fast
+    token-hash-slice path runs here while the oracle replays the same
+    counts over md5 gram hashes — identical up to a 64-bit collision."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.duplicate_span_stats(docs, window=8, min_docs=2, hash_fn="md5")
+    return dd.duplicate_span_stats(docs, window=8, min_docs=2, hash_fn="fast")
 
 
 @_q(

@@ -366,7 +366,37 @@ def test_duplicate_spans_md5_matches_xxhash_decisions(spark, docs):
          for r in dd.duplicate_span_stats(docs, window=3, hash_fn="md5").collect()}
     b = {(r.id, r.n_spans, r.n_dup_spans)
          for r in dd.duplicate_span_stats(docs, window=3, hash_fn="xxhash64").collect()}
-    assert a == b
+    c = {(r.id, r.n_spans, r.n_dup_spans)
+         for r in dd.duplicate_span_stats(docs, window=3, hash_fn="fast").collect()}
+    assert a == b == c
+
+
+def test_hashed_shingle_rows_match_string_shingles(spark, docs):
+    """The hashed shingle pipeline must induce the same per-doc set
+    SIZES and the same cross-doc equality structure as the string one
+    (collisions aside): same n per doc, same pairwise common counts."""
+    from db_cdc_poc_spark.operators.dedup import hashed_shingle_rows, shingle_rows
+
+    s = shingle_rows(docs, n=2)
+    h = hashed_shingle_rows(docs, n=2)
+    sizes = lambda d: {r.id: r.n for r in d.groupBy("id").agg(F.count("*").alias("n")).collect()}  # noqa: E731
+    assert sizes(s) == sizes(h)
+
+    def common(d):
+        a, b = d.alias("a"), d.alias("b")
+        return {
+            (r.id_a, r.id_b, r.c)
+            for r in a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+
+    assert common(s) == common(h)
 
 
 # --------------------------------------------------------------------------
