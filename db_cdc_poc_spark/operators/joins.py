@@ -210,3 +210,53 @@ def blocked_fuzzy_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("key_a", "key_b", "distance")
     )
+
+
+def join_fanout_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight output-size estimate for an equi-join — the check you
+    run BEFORE committing a 100 TB shuffle. Exact, and far cheaper
+    than the join: the per-key output cardinality is
+    ``count_left(key) * count_right(key)``, so two per-key aggregates
+    (each a map-side-partial combine over its own input, never the
+    cross product) joined on the key give the full answer; the join
+    runs over key-cardinality-sized tables, not row-sized ones.
+
+    One summary row: matched-key count, exact output rows the join
+    would produce, the hottest key's output share (ppm) and the
+    ``top_k``-hottest share — the numbers that decide between a plain
+    join, `salted_join`, or rethinking the query. The hot-key share is
+    computed with a TakeOrdered (per-partition heaps, k rows to the
+    driver), never a global sort; ties break on the keys.
+    """
+    keys = list(keys)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__ln"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__rn"))
+    per_key = lc.join(rc, keys).select(
+        *keys, (F.col("__ln") * F.col("__rn")).alias("out_rows")
+    )
+    top = per_key.orderBy(F.col("out_rows").desc(), *keys).limit(top_k)
+    topsum = top.agg(F.sum("out_rows").alias("__top_out"))
+    return (
+        per_key.agg(
+            F.count(F.lit(1)).alias("n_matched_keys"),
+            F.sum("out_rows").alias("total_out_rows"),
+            F.max("out_rows").alias("max_key_out_rows"),
+        )
+        .crossJoin(F.broadcast(topsum))
+        .select(
+            "n_matched_keys",
+            "total_out_rows",
+            "max_key_out_rows",
+            F.expr("1000000 * max_key_out_rows div total_out_rows").alias(
+                "max_key_share_ppm"
+            ),
+            F.expr("1000000 * __top_out div total_out_rows").alias(
+                f"top{top_k}_share_ppm"
+            ),
+        )
+    )

@@ -347,3 +347,51 @@ def epoch_upsample(
         F.array().cast("array<int>")
     )
     return df.withColumn("epoch", F.explode(seq))
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    salt: str = "",
+    buckets: int = DEFAULT_BUCKETS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents
+    NEVER straddle splits.
+
+    A plain per-document hash split leaks evaluation data — a document
+    and its near-duplicate land in different splits with probability
+    ~2·p·(1−p), so the model is scored on paraphrases of its own
+    training set (the failure mode eval-set decontamination papers
+    exist to fix, created at split time). The fix: split by the
+    near-dup CLUSTER, not the document. Each connected component of
+    the ``pairs`` graph (id_a, id_b — any near-dup detector's output:
+    `ngram_jaccard_pairs`, `minhash_lsh_pairs`, embedding pairs)
+    hashes as ONE unit keyed by its min-id representative; unpaired
+    documents hash by their own id, which equals their singleton-
+    cluster representative, so the assignment law is uniform across
+    paired and unpaired rows alike.
+
+    Scale shape: the cluster map is pair-graph-sized (duplicate ids
+    only — orders of magnitude smaller than the corpus), so the join
+    back to ``df`` broadcasts; the split itself stays the same
+    map-only md5 bucket as `split_assign`, engine-replayable by the
+    oracle. Output: input columns + ``split_col``.
+    """
+    from db_cdc_poc_spark.operators.dedup import neardup_clusters
+
+    clusters = neardup_clusters(pairs).withColumnRenamed("id", "__cid")
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (
+        df.join(clusters, df[id_col] == F.col("__cid"), "left")
+        .withColumn("__split_key", rep)
+        .drop("__cid", "cluster_id")
+        .transform(
+            lambda d: split_assign(
+                d, "__split_key", weights, salt, buckets, split_col
+            )
+        )
+        .drop("__split_key")
+    )

@@ -55,3 +55,60 @@ def session_summary(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def next_event_examples(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    token_col: str = "event_type",
+    context: int = 3,
+    tie_breakers: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Supervised (context -> next) training examples from per-user
+    event sequences — the behavioral analogue of next-token-prediction
+    data generation (session-based recommendation, churn sequence
+    models).
+
+    For each event with at least ``context`` predecessors in its
+    user's stream, emit the ``context`` previous tokens (oldest first,
+    space-joined) and the current token as the target. Events earlier
+    than position ``context`` produce no example (full-context
+    examples only — no padding tokens to keep the contract, and the
+    oracle, trivial).
+
+    One shuffle + sort per user key serves ALL ``context`` lag columns
+    (a single window spec), then a null filter — the same single-
+    window discipline as `sessionize`. Determinism requires (ts,
+    tie_breakers) unique per user. Output: (user_col, tie_breakers...,
+    ts_col, context_text, target).
+    """
+    if context < 1:
+        raise ValueError(f"context must be >= 1: {context}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tie_breakers)
+    tok = F.col(token_col)
+    lags = [F.lag(tok, i).over(w) for i in range(context, 0, -1)]
+    out = df.select(
+        F.col(user_col),
+        *[F.col(c) for c in tie_breakers],
+        F.col(ts_col),
+        tok.alias("target"),
+        *[c.alias(f"__l{i}") for i, c in enumerate(lags)],
+    )
+    # all `context` lags present <=> no null in the lag array (handles
+    # both the stream head and null tokens uniformly)
+    full = out.filter(
+        F.size(
+            F.array_compact(F.array(*[f"__l{i}" for i in range(context)]))
+        )
+        == context
+    )
+    return full.select(
+        user_col,
+        *tie_breakers,
+        ts_col,
+        F.concat_ws(" ", *[f"__l{i}" for i in range(context)]).alias(
+            "context_text"
+        ),
+        "target",
+    )

@@ -420,3 +420,45 @@ def scalable_running_sum(
         .withColumn(out_col, F.col("__run_in") + F.col("__off"))
         .drop("__bkt", "__mn", "__mx", "__run_in")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str = "v_wins",
+) -> DataFrame:
+    """Per-group winsorization: clamp an integer-valued expression to
+    its group's exact [p_lo, p_hi] percentiles — the standard
+    heavy-tail tamer for features and label values before training
+    (cap, don't drop: the row count and group composition stay
+    intact).
+
+    ``value`` must be integer-valued (cents) so the exact
+    ``percentile`` interpolation (a midpoint of two longs) is the same
+    IEEE double on every engine — the `mad_outliers` discipline. The
+    two thresholds come from ONE tiny per-group aggregate broadcast
+    back to the rows; the clamp itself is map-only. The clamped value
+    is exact on both engines: it is either the original long or a
+    threshold double with an exact binary fraction.
+
+    Output: input columns + ``out_col`` (double) + ``capped``
+    (boolean, true when the clamp changed the value).
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1: ({p_lo}, {p_hi})")
+    vl = value.cast("long")
+    with_v = df.withColumn("__v", vl)
+    ths = with_v.groupBy(*group_cols).agg(
+        F.expr(f"percentile(__v, {p_lo!r})").alias("__lo"),
+        F.expr(f"percentile(__v, {p_hi!r})").alias("__hi"),
+    )
+    clamped = F.greatest(F.col("__lo"), F.least(F.col("__v").cast("double"), F.col("__hi")))
+    return (
+        with_v.join(F.broadcast(ths), group_cols)
+        .withColumn(out_col, clamped)
+        .withColumn("capped", F.col(out_col) != F.col("__v").cast("double"))
+        .drop("__v", "__lo", "__hi")
+    )

@@ -744,3 +744,65 @@ def compression_ratios(
             )
 
     return df.select(id_col, text_col).mapInPandas(_compress, out_schema)
+
+
+# --------------------------------------------------------------------------
+# unicode text normalization (cleanup before dedup / tokenization)
+# --------------------------------------------------------------------------
+
+#: 1:1 character folds: curly quotes -> ASCII quotes, en/em/minus
+#: dashes -> hyphen, NBSP and ideographic space -> plain space.
+#: translate() maps 1 char -> 1 char on both engines, so the fold is
+#: engine-replayable without any regex dialect concerns.
+_FOLD_FROM = "“”‘’–—− 　"
+_FOLD_TO = '""\'\'---  '
+
+#: Zero-width / BOM / control characters to DELETE (literal characters
+#: in a character class — identical meaning in Java regex and RE2).
+_STRIP_CLASS = "[​‌‍﻿\x00-\x08\x0e-\x1f\x7f]"
+
+#: Whitespace runs to collapse. Explicit characters, not \s: Java's \s
+#: and RE2's \s agree on ASCII but the surrounding dialects differ on
+#: unicode classes, and NBSP was already folded to ' ' above.
+_WS_RUN = "[ \t\r\n\f\x0b]+"
+
+
+def normalize_text(
+    text: Column | str, lowercase: bool = False
+) -> Column:
+    """Canonical text cleanup — the first stage of every corpus
+    pipeline, and a prerequisite for exact dedup (unnormalized corpora
+    make byte-identical duplicates look distinct through quote style,
+    NBSP, zero-width junk, or whitespace shape).
+
+    Steps, in order: fold typographic quotes/dashes/spaces to ASCII
+    (``translate``), delete zero-width + control characters, collapse
+    whitespace runs to one space, trim, optionally lowercase. Pure
+    Column expressions — map-only, no shuffle, scan-pipelined; every
+    step uses only regex constructs whose meaning is identical in Java
+    regex and RE2, so DuckDB replays it character-for-character.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    folded = F.translate(c, _FOLD_FROM, _FOLD_TO)
+    stripped = F.regexp_replace(folded, _STRIP_CLASS, "")
+    collapsed = F.trim(F.regexp_replace(stripped, _WS_RUN, " "))
+    return F.lower(collapsed) if lowercase else collapsed
+
+
+def normalize_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Per-document normalization report: the normalized text, its
+    md5 fingerprint (the exact-dedup key), its length, and whether
+    normalization changed anything. Map-only."""
+    norm = normalize_text(text_col, lowercase)
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_fingerprint"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != F.col(text_col)).alias("changed"),
+    )

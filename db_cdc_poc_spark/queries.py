@@ -4512,5 +4512,410 @@ def q122_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q123+: round-5 extensions — leakage-safe splits, linear classifier,
+# normalization, link analysis, sequence examples, join pre-flight,
+# temporal lookup, winsorization
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q123_cluster_split",
+    oracle="""
+WITH RECURSIVE tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 1, 1))]) AS shingles
+    FROM tk WHERE len(toks) >= 3
+), ex AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sz AS (
+    SELECT doc_id, len(shingles) AS n FROM sh
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b FROM common
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+), labels AS (
+    SELECT s AS id, least(min(d), s) AS cluster_id FROM reach GROUP BY s
+), keyed AS (
+    SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS split_key
+    FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+), bucketed AS (
+    SELECT doc_id,
+           (('0x' || substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 16))::UBIGINT
+            & 9223372036854775807) % 1000000 AS bucket
+    FROM keyed
+)
+SELECT doc_id,
+       CASE WHEN bucket < 800000 THEN 'train'
+            WHEN bucket < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+""",
+)
+def q123_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split
+    (operators/sampling.py:cluster_aware_split): near-dup clusters
+    (trigram Jaccard >= 0.5, q40's pair graph) are assigned to splits
+    as units keyed by their min-id representative, so a document and
+    its paraphrase can never straddle train/test. The oracle replays
+    the cluster CTE chain and the md5 bucket law."""
+    from db_cdc_poc_spark.operators.sampling import cluster_aware_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    out = cluster_aware_split(
+        docs,
+        pairs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split",
+    )
+    return out.select("doc_id", "split")
+
+
+@_q(
+    "q124_linear_classifier",
+    oracle="""
+WITH lab AS (
+    SELECT doc_id, text, (lang = 'en') AS pos FROM documents
+), tok AS (
+    SELECT doc_id, pos,
+           unnest(list_distinct(list_transform(
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+               t -> lower(t)))) AS token
+    FROM lab
+), sizes AS (
+    SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+           sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg
+    FROM lab
+), w AS (
+    SELECT token,
+           CAST(round((1000000 * df_pos) / n_pos, 0)
+                - round((1000000 * df_neg) / n_neg, 0) AS BIGINT) AS weight_ppm
+    FROM (SELECT token,
+                 sum(CASE WHEN pos THEN 1 ELSE 0 END) AS df_pos,
+                 sum(CASE WHEN pos THEN 0 ELSE 1 END) AS df_neg
+          FROM tok GROUP BY token) c
+    CROSS JOIN sizes
+    WHERE df_pos + df_neg >= 2
+), sc AS (
+    SELECT t.doc_id,
+           count(w.weight_ppm) AS n_hits,
+           coalesce(sum(w.weight_ppm), 0) AS margin
+    FROM tok t LEFT JOIN w ON w.token = t.token
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(sc.n_hits, 0) AS n_hits,
+       CAST(coalesce(sc.margin, 0) AS BIGINT) AS margin_ppm,
+       coalesce(sc.margin, 0) > 0 AS pred
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+""",
+)
+def q124_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality/domain classifier
+    (operators/classify.py): difference-of-class-rates weights trained
+    in one aggregation pass (label: lang == 'en'), then every document
+    scored by an exact integer-ppm margin over its distinct tokens —
+    broadcast vocabulary join + map-side-partial sum, the only
+    100 TB-viable classifier plan. Bit-reproducible end to end."""
+    from db_cdc_poc_spark.operators.classify import (
+        score_documents,
+        train_token_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = train_token_weights(docs, F.col("lang") == "en", min_doc_freq=2)
+    return score_documents(docs, weights)
+
+
+@_q(
+    "q125_normalize_text",
+    oracle="""
+WITH messy AS (
+    SELECT doc_id,
+           ' \t' || text || ' “q” – x ' AS mtext
+    FROM documents
+), norm AS (
+    SELECT doc_id, mtext,
+           trim(regexp_replace(regexp_replace(
+               translate(mtext, '“”‘’–—− 　', '""''''---  '),
+               '[​‌‍﻿\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+               '[ \\t\\r\\n\\f\\x0b]+', ' ', 'g')) AS ntext
+    FROM messy
+)
+SELECT doc_id, md5(ntext) AS norm_fingerprint,
+       CAST(length(ntext) AS BIGINT) AS n_chars_norm,
+       ntext <> mtext AS changed
+FROM norm
+""",
+)
+def q125_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization (operators/text.py:normalize_text):
+    typographic quotes/dashes/NBSP folded to ASCII, zero-width and
+    control characters deleted, whitespace runs collapsed, trimmed —
+    map-only, scan-pipelined, and character-for-character replayable
+    (every regex construct means the same thing in Java regex and
+    RE2). The query plants typographic junk around each document and
+    checks the normalized fingerprint on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" \t"), F.col("text"), F.lit(" “q” – x ")
+        ).alias("mtext"),
+    )
+    return tx.normalize_docs(messy, id_col="doc_id", text_col="mtext").select(
+        "doc_id", "norm_fingerprint", "n_chars_norm", "changed"
+    )
+
+
+def _q126_oracle(iters: int = 3, damping_ppm: int = 850_000) -> str:
+    """Unrolled fixed-iteration integer PageRank: each power step is a
+    plain join + aggregate CTE, chained ``iters`` times — no recursion
+    needed because the iteration count is part of the contract."""
+    body = ""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        body += f""", c{i} AS (
+    SELECT e.dst AS node,
+           sum(((r.rank * {damping_ppm}) // 1000000) // dg.outdeg) AS in_mass
+    FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+), d{i} AS (
+    SELECT coalesce(sum(r.rank), 0) AS d_tot
+    FROM {prev} r LEFT JOIN deg dg ON dg.src = r.node WHERE dg.src IS NULL
+), r{i} AS (
+    SELECT n.node,
+           p.base + ((d{i}.d_tot * {damping_ppm} // 1000000) // p.n)
+                  + coalesce(c.in_mass, 0) AS rank
+    FROM nodes n CROSS JOIN params p CROSS JOIN d{i}
+    LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), nodes AS (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), deg AS (
+    SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), params AS (
+    SELECT count(*) AS n,
+           4611686018427387904 // (count(*) * 1000000) AS scale,
+           (4611686018427387904 // (count(*) * 1000000))
+               * {1_000_000 - damping_ppm} // 1000000 AS base
+    FROM nodes
+), r0 AS (
+    SELECT node, (SELECT scale FROM params) AS rank FROM nodes
+){body}
+SELECT node AS part_id, rank FROM {prev}
+"""
+
+
+@_q("q126_pagerank", oracle=_q126_oracle())
+def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis corpus weighting (operators/graph.py:pagerank):
+    3 integer power iterations over the co-purchase part graph (parts
+    sharing an order, both directions). Ranks are BIGINT mass units
+    with every division integral, so the fixed-iteration run is
+    bit-reproducible and the oracle replays it by unrolling the same
+    iterations as chained CTEs. Per iteration: one edges-to-ranks
+    join + one sum-by-dst — the minimal distributed PageRank shape."""
+    from db_cdc_poc_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return pagerank(edges, iterations=3).select(
+        F.col("node").alias("part_id"), "rank"
+    )
+
+
+@_q(
+    "q127_sequence_examples",
+    oracle="""
+WITH w AS (
+    SELECT user_id, event_id, ts, event_type,
+           lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l0,
+           lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
+           lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2
+    FROM events
+)
+SELECT user_id, event_id, ts,
+       l0 || ' ' || l1 || ' ' || l2 AS context_text,
+       event_type AS target
+FROM w
+WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+""",
+)
+def q127_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction example generation
+    (operators/sessionize.py:next_event_examples): each event with >=3
+    predecessors in its user's stream becomes a (context -> target)
+    training pair — the behavioral next-token-prediction shape. One
+    window shuffle serves all three lags."""
+    from db_cdc_poc_spark.operators.sessionize import next_event_examples
+
+    ev = _t(spark, sf_dir, "events")
+    return next_event_examples(ev, context=3)
+
+
+@_q(
+    "q128_join_fanout",
+    oracle="""
+WITH pk AS (
+    SELECT user_id, ln * ln AS out_rows
+    FROM (SELECT user_id, count(*) AS ln FROM events GROUP BY user_id)
+), top AS (
+    SELECT out_rows FROM pk ORDER BY out_rows DESC, user_id LIMIT 10
+)
+SELECT count(*) AS n_matched_keys,
+       sum(out_rows) AS total_out_rows,
+       max(out_rows) AS max_key_out_rows,
+       1000000 * max(out_rows) // sum(out_rows) AS max_key_share_ppm,
+       1000000 * (SELECT sum(out_rows) FROM top) // sum(out_rows) AS top10_share_ppm
+FROM pk
+""",
+)
+def q128_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pre-flight (operators/joins.py:join_fanout_estimate): the
+    exact output size and hot-key concentration a user-level self-join
+    of events would produce — computed from two per-key aggregates
+    joined on the key, never the join itself. The number that decides
+    between a plain join, a salted join, or rethinking the query
+    before committing a 100 TB shuffle."""
+    from db_cdc_poc_spark.operators.joins import join_fanout_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    return join_fanout_estimate(ev, ev, ["user_id"], top_k=10)
+
+
+@_q(
+    "q129_temporal_lookup",
+    oracle="""
+WITH dim AS (
+    SELECT user_id, event_type, epoch_us(ts) AS seq_us, event_id,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS end_us
+    FROM events WHERE event_id % 2 = 0
+), facts AS (
+    SELECT event_id, user_id, epoch_us(ts) AS fact_us
+    FROM events WHERE event_id % 2 = 1
+)
+SELECT f.event_id, f.user_id, f.fact_us,
+       d.event_type AS status, d.seq_us AS status_since_us
+FROM facts f LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND f.fact_us >= d.seq_us
+ AND (d.end_us IS NULL OR f.fact_us < d.end_us)
+""",
+)
+def q129_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension enrichment: facts joined to the SCD2 version
+    (operators/cdc.py:apply_changes_scd2) valid at their event time —
+    the lakehouse point-in-time-correctness pattern (no training
+    leakage from future attribute values). Even events build the
+    versioned dimension, odd events are the facts; the interval probe
+    is an equi-join on the key with an interval predicate — never a
+    nested loop."""
+    from db_cdc_poc_spark.operators.cdc import apply_changes_scd2
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    dim = apply_changes_scd2(
+        ev.filter(F.col("event_id") % 2 == 0),
+        keys="user_id",
+        sequence_by="us",
+        except_columns=["event_id"],
+        tie_breakers="event_id",
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("status"),
+        F.col("__START_AT").alias("status_since_us"),
+        F.col("__END_AT").alias("end_us"),
+    )
+    facts = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", F.col("us").alias("fact_us")
+    )
+    return facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("fact_us") >= F.col("status_since_us"))
+        & (F.col("end_us").isNull() | (F.col("fact_us") < F.col("end_us"))),
+        "left",
+    ).select("event_id", "user_id", "fact_us", "status", "status_since_us")
+
+
+@_q(
+    "q130_winsorize",
+    oracle="""
+WITH v AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+), th AS (
+    SELECT event_type,
+           quantile_cont(cents, 0.05) AS lo,
+           quantile_cont(cents, 0.95) AS hi
+    FROM v GROUP BY event_type
+), capped AS (
+    SELECT v.event_type,
+           greatest(th.lo, least(CAST(v.cents AS DOUBLE), th.hi)) AS w,
+           CAST(v.cents AS DOUBLE) AS orig
+    FROM v JOIN th USING (event_type)
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN w <> orig THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+       CAST(sum(round(w, 0)) AS BIGINT) AS sum_wins_cents
+FROM capped GROUP BY event_type
+""",
+)
+def q130_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (operators/stats.py:winsorize): event
+    values clamped to their type's exact [p5, p95] percentiles — the
+    heavy-tail tamer for features/labels. Thresholds are one tiny
+    per-group aggregate broadcast back; the clamp is map-only. Sums
+    round each winsorized value to an integer first, so the aggregate
+    is order-independent on both engines."""
+    from db_cdc_poc_spark.operators.stats import winsorize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    w = winsorize(ev, ["event_type"], F.col("cents"), p_lo=0.05, p_hi=0.95)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("capped").cast("long")).alias("n_capped"),
+        F.sum(F.round(F.col("v_wins"), 0)).cast("long").alias("sum_wins_cents"),
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
