@@ -1313,3 +1313,96 @@ def cross_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# LSH quality measurement: candidate recall vs the exact pair set
+# --------------------------------------------------------------------------
+
+
+def minhash_recall_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """One-row LSH quality report: MinHash/LSH band-candidate RECALL
+    and PRECISION against the EXACT n-gram-Jaccard pair set at
+    ``threshold`` — "measure, don't guess" for the probabilistic dedup
+    path. Run this on a sample before trusting (num_hashes, bands) on
+    the full corpus: the S-curve says r-row bands catch a J=s pair
+    with p = 1-(1-s^r)^b, and this report checks that claim against
+    ground truth on real data.
+
+    The hash family here is the md5-derived ``token_hash64`` (not the
+    xxhash64 scale default) so the whole pipeline — signatures, band
+    buckets, candidate set — replays bit-for-bit in the DuckDB oracle;
+    same estimator, engine-independent bits. Candidate generation is
+    the same band equi-join as ``minhash_lsh_pairs``; the exact pair
+    set comes from the prefix-filtered exact join. Both sides are pair
+    sets keyed (id_a < id_b); the report is three COUNT aggregates and
+    two exact integer-ppm divisions — one output row:
+    (n_exact, n_candidates, n_hits, recall_ppm, precision_ppm).
+    """
+    mask = (1 << 63) - 1
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    mins = [
+        F.min(
+            token_hash64(
+                F.concat(F.lit(f"mh{i}:"), F.col("shingle")), "md5"
+            ).bitwiseAND(F.lit(mask))
+        ).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for bnd in range(bands):
+        piece = F.concat_ws(
+            ",",
+            *[
+                F.col(f"_h{bnd * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        band_cols.append(
+            F.struct(F.lit(bnd).alias("band_id"), piece.alias("band_key"))
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_n, threshold
+    ).select("id_a", "id_b")
+    hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    counts = (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+    )
+    return counts.select(
+        "n_exact",
+        "n_candidates",
+        "n_hits",
+        F.when(
+            F.col("n_exact") > 0, F.expr("n_hits * 1000000 div n_exact")
+        ).alias("recall_ppm"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.expr("n_hits * 1000000 div n_candidates"),
+        ).alias("precision_ppm"),
+    )

@@ -260,3 +260,50 @@ def join_fanout_estimate(
             ),
         )
     )
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    rules: dict[str, tuple[str, str]],
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Survivorship consolidation: collapse each entity cluster (the
+    output of the linkage family — ``blocked_fuzzy_pairs`` →
+    ``dedup.neardup_clusters``) to ONE golden record, choosing each
+    attribute independently by an explicit rule — the master-data-
+    management step after record linkage.
+
+    ``rules`` maps output column -> (rule, source_col) with rules:
+
+    * ``'max_by'`` / ``'min_by'``: value from the record with the
+      extreme ``priority_col`` among records where the source column
+      is NOT NULL (most-recent-wins / first-wins survivorship). Ties
+      on priority break by the value itself, so the result is
+      deterministic whatever the shuffle order.
+    * ``'max'`` / ``'min'``: extreme of the values themselves.
+    * ``'sum'`` / ``'count'``: additive consolidation.
+
+    One aggregation keyed on the cluster — a single shuffle,
+    map-side-partial, no window, no self-join.
+    """
+    aggs = []
+    for out, (rule, src) in rules.items():
+        if rule in ("max_by", "min_by"):
+            if priority_col is None:
+                raise ValueError(f"{rule} for {out!r} needs priority_col")
+            pick = F.max if rule == "max_by" else F.min
+            # NULL source values must never win: mask the ordering
+            # struct to NULL so the aggregate skips the record.
+            ordered = F.when(
+                F.col(src).isNotNull(),
+                F.struct(F.col(priority_col).alias("p"), F.col(src).alias("v")),
+            )
+            aggs.append(pick(ordered)["v"].alias(out))
+        elif rule in ("max", "min", "sum"):
+            aggs.append(getattr(F, rule)(F.col(src)).alias(out))
+        elif rule == "count":
+            aggs.append(F.count(F.col(src)).alias(out))
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r}")
+    return df.groupBy(F.col(cluster_col)).agg(*aggs)

@@ -112,3 +112,64 @@ def next_event_examples(
         ),
         "target",
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str,
+    touch_types: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    window_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Last-touch attribution: each conversion event credited to the
+    LATEST preceding touch event (of any ``touch_types``) by the same
+    user within ``window_seconds`` — the standard marketing/growth
+    attribution rule, and the per-user carry-forward join shape every
+    "what caused this event" analysis needs.
+
+    Plan: one window per user ordered by (ts, id):
+    ``last(touch_struct, ignorenulls=True)`` carries the most recent
+    touch forward (a touch AT the conversion timestamp orders after it
+    only if its id is higher — the (ts, id) tie-break is deterministic
+    and documented, and applies identically in the oracle). Conversions
+    whose carried touch is older than the window (or absent) attribute
+    to NULL. One shuffle on the user key; no self-join, no range join —
+    at 100 TB this is the same cost as a sessionize pass.
+
+    Output: (event_id, user_id, conv_us, touch_event_id, touch_type,
+    age_us) — ``age_us`` NULL when unattributed.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    tagged = df.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(type_col),
+        us.alias("us"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("us", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col(type_col).isin(list(touch_types)),
+        F.struct(F.col("us").alias("t_us"), F.col(id_col).alias("t_id"),
+                 F.col(type_col).alias("t_type")),
+    )
+    carried = tagged.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+    conv = carried.filter(F.col(type_col) == conversion_type)
+    in_window = (
+        F.col("last_touch").isNotNull()
+        & (F.col("us") - F.col("last_touch.t_us") <= window_seconds * 1_000_000)
+    )
+    return conv.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col("us").alias("conv_us"),
+        F.when(in_window, F.col("last_touch.t_id")).alias("touch_event_id"),
+        F.when(in_window, F.col("last_touch.t_type")).alias("touch_type"),
+        F.when(in_window, F.col("us") - F.col("last_touch.t_us")).alias("age_us"),
+    )

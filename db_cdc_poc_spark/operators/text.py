@@ -806,3 +806,148 @@ def normalize_docs(
         F.length(norm).cast("long").alias("n_chars_norm"),
         (norm != F.col(text_col)).alias("changed"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval: top ``top_k`` documents for a bag
+    of query terms (Robertson/Sparck Jones; the scoring function behind
+    Lucene/Elasticsearch defaults) — the retrieval sibling of
+    ``tfidf_terms`` for corpus search and RAG-style pre-filtering.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the Lucene-shaped idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    which stays positive for df > N/2.
+
+    Scale plan: tokenize once, keep ONLY query-term rows before any
+    shuffle (the per-(doc,term) aggregate is over ≤ |query| terms per
+    doc, so the shuffle carries a vanishing fraction of the token
+    stream); df(t) and the (N, avgdl) corpus stats are tiny aggregates
+    broadcast back; final top-k is TakeOrderedAndProject — no global
+    sort, no window over the corpus.
+
+    Float discipline: dl/avgdl and the ln are the same expressions on
+    integer-exact inputs on both engines; each per-term score is
+    rounded to 5 dp and summed in integer hundred-thousandths, so the
+    doc score is addition-order-independent and the oracle replays it
+    bit-for-bit. Ties at the top-k boundary break by id.
+
+    Output: (id, n_terms_matched, score).
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(whitespace_tokens(text_col), lambda t: F.lower(t)).alias(
+            "toks"
+        ),
+    ).select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    # corpus stats over ALL docs (dl per doc is one row pre-explode;
+    # recompute cheaply from df to keep this a 1-row broadcast)
+    stats = df.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(whitespace_tokens(text_col))).alias("avgdl"),
+    )
+    qtf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = qtf.groupBy("term").agg(F.count("*").alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    per_term_e5 = F.round(idf * tf_part * 100000, 0).cast("long")
+    return (
+        qtf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms_matched"),
+            F.sum(per_term_e5).alias("score_e5"),
+        )
+        .orderBy(F.col("score_e5").desc(), F.col("id"))
+        .limit(top_k)
+        .select(
+            "id",
+            "n_terms_matched",
+            (F.col("score_e5").cast("double") / 100000).alias("score"),
+        )
+    )
+
+
+#: Unicode script ranges as regex character classes. Literal BMP
+#: ranges only — identical meaning in Java regex and RE2, so the
+#: oracle replays counts character-for-character.
+SCRIPT_CLASSES = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "cjk": "[぀-ヿ㐀-䶿一-鿿가-힯]",
+    "digit": "[0-9]",
+}
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unicode-script histogram: character counts per
+    script class, ppm shares, and the dominant script — the
+    writing-system sibling of the stopword language-ID (``lang_id``),
+    and the standard pre-filter for script-targeted corpora (e.g.
+    keep-CJK, drop-mixed-script spam).
+
+    Counting is delete-and-measure (length of the text minus length
+    after deleting the class) — the one counting idiom Java regex and
+    RE2 agree on for every class above. Map-only projection; shares as
+    exact integer ppm (``div`` floor division, the module's idiom).
+    Dominant script = argmax by count with ties broken by LIST ORDER
+    (later entry wins), computed as max(count·64 + index) — pure
+    integer arithmetic, so the oracle replays the tie-break exactly
+    instead of depending on engine struct-comparison semantics.
+    """
+    c = F.col(text_col)
+    n = F.length(c).cast("long")
+    counts = {
+        s: (n - F.length(F.regexp_replace(c, cls, ""))).cast("long")
+        for s, cls in SCRIPT_CLASSES.items()
+    }
+    other = n - sum(counts.values(), F.lit(0).cast("long"))
+    all_counts = {**counts, "other": other}
+    names = list(all_counts)
+    dom_code = F.greatest(
+        *[v * 64 + i for i, v in enumerate(all_counts.values())]
+    )
+    dominant = F.element_at(
+        F.array(*[F.lit(s) for s in names]), (dom_code % 64 + 1).cast("int")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_chars"),
+        *[v.alias(f"n_{k}") for k, v in all_counts.items()],
+        F.when(n > 0, dominant).alias("dominant_script"),
+    )
+    return base.select(
+        "id",
+        "n_chars",
+        *[f"n_{k}" for k in all_counts],
+        *[
+            F.when(
+                F.col("n_chars") > 0,
+                F.expr(f"n_{k} * 1000000 div n_chars"),
+            ).alias(f"ppm_{k}")
+            for k in all_counts
+        ],
+        "dominant_script",
+    )

@@ -4917,5 +4917,315 @@ def q130_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Retrieval, LSH quality measurement, script profiling, attribution,
+# survivorship, compaction (round-5 extension batch)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q131_bm25_search",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id AS id,
+           list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> ''), t -> lower(t)) AS toks
+    FROM documents
+), stats AS (
+    SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tok
+), tf AS (
+    SELECT id, t AS term, count(*) AS tf, max(dl) AS dl FROM (
+        SELECT id, unnest(toks) AS t, len(toks) AS dl FROM tok
+    ) WHERE t IN ('hash', 'spark', 'window') GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, count(*) AS df_t FROM tf GROUP BY 1
+), scored AS (
+    SELECT id, CAST(count(*) AS INTEGER) AS n_terms_matched,
+           CAST(sum(CAST(round(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                               * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+                               * 100000, 0) AS BIGINT)) AS BIGINT) AS score_e5
+    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY id
+)
+SELECT id, n_terms_matched, CAST(score_e5 AS DOUBLE) / 100000 AS score
+FROM scored ORDER BY score_e5 DESC, id LIMIT 20
+""",
+)
+def q131_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (text.bm25_topk): top-20 documents
+    for a 3-term query — corpus search / RAG pre-filter. Query-term
+    rows are filtered BEFORE the per-doc shuffle, per-term scores are
+    rounded to 5 dp and summed in integer hundred-thousandths (order-
+    independent), and the top-k is TakeOrderedAndProject — no global
+    sort, no corpus-wide window."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bm25_topk(docs, ["spark", "hash", "window"], top_k=20)
+
+
+@_q(
+    "q132_lsh_recall",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 1, 1))]) AS shingles
+    FROM tk WHERE len(toks) >= 3
+), ex AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sz AS (
+    SELECT doc_id, len(shingles) AS n FROM sh
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), exact AS (
+    SELECT id_a, id_b FROM common
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+), sigs AS (
+    SELECT e.doc_id, h.i,
+           min(('0x' || substr(md5('mh' || h.i || ':' || e.shingle), 1, 16))::UBIGINT
+               & 9223372036854775807) AS mh
+    FROM ex e CROSS JOIN (SELECT unnest(range(16)) AS i) h
+    GROUP BY 1, 2
+), bandkeys AS (
+    SELECT doc_id, i // 4 AS band_id,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+    FROM sigs GROUP BY 1, 2
+), cand AS (
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM bandkeys x JOIN bandkeys y
+      ON x.band_id = y.band_id AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+), hits AS (
+    SELECT exact.id_a, exact.id_b FROM exact JOIN cand USING (id_a, id_b)
+)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+       CASE WHEN (SELECT count(*) FROM exact) > 0
+            THEN CAST((SELECT count(*) FROM hits) * 1000000
+                      // (SELECT count(*) FROM exact) AS BIGINT) END AS recall_ppm,
+       CASE WHEN (SELECT count(*) FROM cand) > 0
+            THEN CAST((SELECT count(*) FROM hits) * 1000000
+                      // (SELECT count(*) FROM cand) AS BIGINT) END AS precision_ppm
+""",
+)
+def q132_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality measurement (dedup.minhash_recall_report):
+    MinHash/LSH band-candidate recall + precision against the EXACT
+    trigram-Jaccard pair set at 0.5 — "measure, don't guess" for the
+    probabilistic dedup path, on md5-derived hashes so the oracle
+    replays signatures, buckets, and candidates bit-for-bit. 16
+    hashes / 4 bands of 4: the S-curve midpoint sits near J=0.5, so
+    this config MUST show imperfect recall here — the report is the
+    operator that quantifies exactly that."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_recall_report(
+        docs, shingle_n=3, threshold=0.5, num_hashes=16, bands=4
+    )
+
+
+@_q(
+    "q133_script_profile",
+    oracle="""
+WITH counts AS (
+    SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[A-Za-zÀ-ɏ]', '', 'g')) AS BIGINT) AS n_latin,
+           CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+           CAST(length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS n_greek,
+           CAST(length(text) - length(regexp_replace(text, '[぀-ヿ㐀-䶿一-鿿가-힯]', '', 'g')) AS BIGINT) AS n_cjk,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+    FROM documents
+), full_counts AS (
+    SELECT *, n_chars - n_latin - n_cyrillic - n_greek - n_cjk - n_digit AS n_other
+    FROM counts
+), dom AS (
+    SELECT *, greatest(n_latin * 64 + 0, n_cyrillic * 64 + 1, n_greek * 64 + 2,
+                       n_cjk * 64 + 3, n_digit * 64 + 4, n_other * 64 + 5) AS code
+    FROM full_counts
+)
+SELECT id, n_chars, n_latin, n_cyrillic, n_greek, n_cjk, n_digit, n_other,
+       CASE WHEN n_chars > 0 THEN n_latin * 1000000 // n_chars END AS ppm_latin,
+       CASE WHEN n_chars > 0 THEN n_cyrillic * 1000000 // n_chars END AS ppm_cyrillic,
+       CASE WHEN n_chars > 0 THEN n_greek * 1000000 // n_chars END AS ppm_greek,
+       CASE WHEN n_chars > 0 THEN n_cjk * 1000000 // n_chars END AS ppm_cjk,
+       CASE WHEN n_chars > 0 THEN n_digit * 1000000 // n_chars END AS ppm_digit,
+       CASE WHEN n_chars > 0 THEN n_other * 1000000 // n_chars END AS ppm_other,
+       CASE WHEN n_chars > 0 THEN
+           ['latin', 'cyrillic', 'greek', 'cjk', 'digit', 'other'][CAST(code % 64 AS INTEGER) + 1]
+       END AS dominant_script
+FROM dom
+""",
+)
+def q133_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script histogram per document (text.script_profile):
+    per-script character counts, exact-ppm shares, dominant script —
+    the writing-system pre-filter beside q27's stopword language-ID.
+    Map-only delete-and-measure counting with classes valid in both
+    Java regex and RE2; integer-encoded argmax so the tie-break
+    replays exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.script_profile(docs)
+
+
+@_q(
+    "q134_attribution",
+    oracle="""
+WITH tagged AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+), carried AS (
+    SELECT *,
+           last_value(CASE WHEN event_type IN ('click', 'view')
+                           THEN {'t_us': us, 't_id': event_id, 't_type': event_type}
+                      END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+    FROM tagged
+), conv AS (
+    SELECT *, lt IS NOT NULL AND us - lt.t_us <= 604800000000 AS ok
+    FROM carried WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, us AS conv_us,
+       CASE WHEN ok THEN lt.t_id END AS touch_event_id,
+       CASE WHEN ok THEN lt.t_type END AS touch_type,
+       CASE WHEN ok THEN us - lt.t_us END AS age_us
+FROM conv
+""",
+)
+def q134_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (sessionize.last_touch_attribution):
+    every purchase credited to the user's latest preceding click/view
+    within 7 days — the per-user carry-forward join shape for "what
+    caused this event" analyses. One window per user (shuffle on the
+    user key), no self-join, no range join."""
+    from db_cdc_poc_spark.operators.sessionize import last_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, conversion_type="purchase", touch_types=("click", "view")
+    )
+
+
+@_q(
+    "q135_golden_record",
+    oracle="""
+WITH dirty AS (
+    SELECT c_custkey AS cluster_id, 0 AS rec_priority, c_name,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 1, upper(c_name), NULL, c_mktsegment FROM customer
+    WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, 2, c_name,
+           CAST(round(c_acctbal * 100) AS BIGINT) + 100, NULL
+    FROM customer WHERE c_custkey % 3 = 0
+), ranked AS (
+    SELECT cluster_id,
+           max(CASE WHEN c_name IS NOT NULL
+                    THEN {'p': rec_priority, 'v': c_name} END) AS nm,
+           max(CASE WHEN bal_cents IS NOT NULL
+                    THEN {'p': rec_priority, 'v': bal_cents} END) AS bal,
+           max(CASE WHEN c_mktsegment IS NOT NULL
+                    THEN {'p': rec_priority, 'v': c_mktsegment} END) AS seg,
+           CAST(count(*) AS BIGINT) AS n_records
+    FROM dirty GROUP BY cluster_id
+)
+SELECT cluster_id, nm.v AS name, bal.v AS bal_cents, seg.v AS mktsegment,
+       n_records
+FROM ranked
+""",
+)
+def q135_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship consolidation (joins.golden_records): a
+    deterministically-dirtied customer table (three record variants
+    per entity with differing completeness — the post-linkage shape)
+    collapsed to one golden record per cluster, each attribute by
+    latest-non-null-wins (max_by on record priority, NULLs never
+    win). One keyed aggregation — single shuffle, no window."""
+    from db_cdc_poc_spark.operators.joins import golden_records
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("cluster_id"),
+        F.lit(0).alias("rec_priority"),
+        F.col("c_name"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+        F.col("c_mktsegment"),
+    )
+    v1 = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("cluster_id"),
+        F.lit(1).alias("rec_priority"),
+        F.upper("c_name").alias("c_name"),
+        F.lit(None).cast("long").alias("bal_cents"),
+        F.col("c_mktsegment"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("cluster_id"),
+        F.lit(2).alias("rec_priority"),
+        F.col("c_name"),
+        (F.round(F.col("c_acctbal") * 100, 0).cast("long") + 100).alias(
+            "bal_cents"
+        ),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    dirty = base.unionByName(v1).unionByName(v2)
+    return golden_records(
+        dirty,
+        "cluster_id",
+        {
+            "name": ("max_by", "c_name"),
+            "bal_cents": ("max_by", "bal_cents"),
+            "mktsegment": ("max_by", "c_mktsegment"),
+            "n_records": ("count", "cluster_id"),
+        },
+        priority_col="rec_priority",
+    )
+
+
+@_q(
+    "q136_compact_files",
+    oracle="""
+SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+       CAST(round(value * 100) AS BIGINT) AS cents
+FROM events
+""",
+)
+def q136_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/layout.py:compact_parquet —
+    the op previously proven only by tests gets its oracle gate here):
+    the events table scattered across 64 tiny parquet files (the shape
+    a per-trigger streaming sink leaves behind), compacted in place
+    with user-key clustering — data identical row-for-row (the oracle
+    checks every row against the ORIGINAL table), only the layout
+    changes; file-count and clustering assertions live in
+    test_layout.py."""
+    import tempfile
+
+    from db_cdc_poc_spark.operators.layout import compact_parquet
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    scratch = tempfile.mkdtemp(prefix="q136_")
+    ev.repartition(64).write.mode("overwrite").parquet(f"{scratch}/small")
+    compact_parquet(
+        spark,
+        f"{scratch}/small",
+        target_bytes_per_file=4 * 1024 * 1024,
+        sort_within_by="user_id",
+    )
+    return spark.read.parquet(f"{scratch}/small")
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

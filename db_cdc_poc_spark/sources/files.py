@@ -95,3 +95,4 @@ def split_corrupt(
         F.col(corrupt_col).alias("raw")
     )
     return clean, bad
+

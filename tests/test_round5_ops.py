@@ -374,3 +374,260 @@ def test_winsorize_rejects_bad_bounds(spark):
     df = spark.createDataFrame([("g", 1)], "g string, v long")
     with pytest.raises(ValueError, match="p_lo"):
         winsorize(df, ["g"], F.col("v"), p_lo=0.9, p_hi=0.1)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def _bm25_py(docs, terms, k1=1.2, b=0.75):
+    import math
+
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    out = {}
+    for i, v in toks.items():
+        e5 = 0
+        matched = 0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            matched += 1
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            part = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            e5 += round(idf * part * 100000)
+        if matched:
+            out[i] = (matched, e5 / 100000)
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    from db_cdc_poc_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark shuffles data fast"),
+        (2, "spark spark spark everywhere spark"),
+        (3, "nothing relevant here at all whatsoever in this one"),
+        (4, "data moves through the engine"),
+        (5, "fast data fast spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_terms_matched"], r["score"])
+        for r in bm25_topk(df, ["spark", "data"], top_k=10).collect()
+    }
+    want = _bm25_py(rows, ["spark", "data"])
+    assert got == want
+
+
+def test_bm25_rare_term_outscores_common(spark):
+    from db_cdc_poc_spark.operators.text import bm25_topk
+
+    # 'rare' in 1 of 10 docs, 'common' in all 10: the rare-term doc
+    # must rank first for the query [rare, common]
+    rows = [(i, "common filler words " + ("rare" if i == 7 else "x"))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = bm25_topk(df, ["rare", "common"], top_k=3).collect()
+    assert top[0]["id"] == 7
+
+
+def test_bm25_topk_plan_has_no_global_sort(spark):
+    from db_cdc_poc_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "a b c spark") for i in range(50)], "doc_id long, text string"
+    )
+    plan = bm25_topk(df, ["spark"], top_k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# LSH recall report
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_recall_bounds_and_hits(spark):
+    from db_cdc_poc_spark.operators.dedup import minhash_recall_report
+
+    # 30 unique docs + 3 planted exact-duplicate pairs: identical docs
+    # share every band, so recall over exact pairs that ARE identical
+    # must be 100%; unique filler docs add candidate noise at most.
+    base = [
+        (i, f"unique doc number {i} with filler words w{i} x{i} y{i} z{i}")
+        for i in range(30)
+    ]
+    dups = [(100 + j, "this exact duplicate text repeats verbatim every time")
+            for j in range(3)]
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    row = minhash_recall_report(df, threshold=0.9).collect()[0]
+    # the 3 identical docs form C(3,2)=3 exact pairs, all candidates
+    assert row["n_exact"] == 3
+    assert row["n_hits"] == 3
+    assert row["recall_ppm"] == 1_000_000
+    assert row["n_candidates"] >= 3
+    assert 0 <= row["precision_ppm"] <= 1_000_000
+
+
+def test_lsh_recall_empty_exact_set_is_null_not_error(spark):
+    from db_cdc_poc_spark.operators.dedup import minhash_recall_report
+
+    df = spark.createDataFrame(
+        [(i, f"all different {i} tokens here p{i} q{i} r{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    row = minhash_recall_report(df, threshold=0.99).collect()[0]
+    assert row["n_exact"] == 0
+    assert row["recall_ppm"] is None
+
+
+# ---------------------------------------------------------------------------
+# script profile
+# ---------------------------------------------------------------------------
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from db_cdc_poc_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello мир 123"),       # 5 latin, 3 cyrillic, 3 digit, 2 space
+            (2, "日本語テキスト"),        # 7 cjk (3 kanji + 4 katakana)
+            (3, ""),                    # empty -> NULL dominant, NULL ppm
+            (4, "αβγ abc"),             # tie 3 greek / 3 latin -> later wins
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in script_profile(df).collect()}
+    assert rows[1]["n_latin"] == 5 and rows[1]["n_cyrillic"] == 3
+    assert rows[1]["n_digit"] == 3 and rows[1]["n_other"] == 2
+    assert rows[1]["dominant_script"] == "latin"
+    assert rows[2]["n_cjk"] == 7 and rows[2]["dominant_script"] == "cjk"
+    assert rows[3]["n_chars"] == 0
+    assert rows[3]["dominant_script"] is None
+    assert rows[3]["ppm_latin"] is None
+    # documented tie rule: later list entry wins (greek index 2 > latin 0)
+    assert rows[4]["dominant_script"] == "greek"
+    assert rows[1]["ppm_latin"] == 5 * 1000000 // 13
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_attribution_latest_touch_wins_and_window_expires(spark):
+    import datetime as dt
+
+    from db_cdc_poc_spark.operators.sessionize import last_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: click, view, purchase -> attributed to the view (latest)
+        (1, 1, "click", t0),
+        (2, 1, "view", t0 + dt.timedelta(hours=1)),
+        (3, 1, "purchase", t0 + dt.timedelta(hours=2)),
+        # user 2: click 8 days before purchase -> outside 7d window
+        (4, 2, "click", t0),
+        (5, 2, "purchase", t0 + dt.timedelta(days=8)),
+        # user 3: purchase with no touches at all
+        (6, 3, "purchase", t0),
+        # user 1 second purchase still attributes to the same view
+        (7, 1, "purchase", t0 + dt.timedelta(hours=3)),
+    ]
+    out = {
+        r["event_id"]: r
+        for r in last_touch_attribution(
+            _ev(spark, rows), "purchase", ("click", "view")
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[3]["touch_event_id"] == 2 and out[3]["touch_type"] == "view"
+    assert out[3]["age_us"] == 3600 * 1_000_000
+    assert out[5]["touch_event_id"] is None and out[5]["age_us"] is None
+    assert out[6]["touch_event_id"] is None
+    assert out[7]["touch_event_id"] == 2
+
+
+def test_attribution_same_timestamp_tiebreak_by_id(spark):
+    import datetime as dt
+
+    from db_cdc_poc_spark.operators.sessionize import last_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "click", t0),
+        (2, 1, "purchase", t0),  # same ts, higher id -> click counts
+        (9, 2, "purchase", t0),  # same ts, touch id higher -> not seen
+        (10, 2, "click", t0),
+    ]
+    out = {
+        r["event_id"]: r
+        for r in last_touch_attribution(
+            _ev(spark, rows), "purchase", ("click",)
+        ).collect()
+    }
+    assert out[2]["touch_event_id"] == 1
+    assert out[9]["touch_event_id"] is None
+
+
+# ---------------------------------------------------------------------------
+# golden records
+# ---------------------------------------------------------------------------
+
+
+def test_golden_records_survivorship_rules(spark):
+    from db_cdc_poc_spark.operators.joins import golden_records
+
+    df = spark.createDataFrame(
+        [
+            # cluster 1: latest non-null name is at priority 2; balance
+            # only present at priority 0; segment null everywhere
+            (1, 0, "Ann", 100, None),
+            (1, 1, "Anne", None, None),
+            (1, 2, "ANNE", None, None),
+            # cluster 2: single record
+            (2, 0, "Bob", 55, "RETAIL"),
+        ],
+        "cluster_id long, rec_priority int, name string, bal long, seg string",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in golden_records(
+            df,
+            "cluster_id",
+            {
+                "name": ("max_by", "name"),
+                "bal": ("max_by", "bal"),
+                "seg": ("max_by", "seg"),
+                "n": ("count", "cluster_id"),
+                "bal_sum": ("sum", "bal"),
+            },
+            priority_col="rec_priority",
+        ).collect()
+    }
+    assert out[1]["name"] == "ANNE"      # highest priority with non-null
+    assert out[1]["bal"] == 100          # nulls never win
+    assert out[1]["seg"] is None         # all null -> null
+    assert out[1]["n"] == 3 and out[1]["bal_sum"] == 100
+    assert out[2]["name"] == "Bob" and out[2]["bal"] == 55
+
+
+def test_golden_records_requires_priority_for_max_by(spark):
+    from db_cdc_poc_spark.operators.joins import golden_records
+
+    df = spark.createDataFrame([(1, "x")], "cluster_id long, name string")
+    with pytest.raises(ValueError, match="priority_col"):
+        golden_records(df, "cluster_id", {"name": ("max_by", "name")})
