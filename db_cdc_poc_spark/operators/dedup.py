@@ -1347,6 +1347,11 @@ def minhash_recall_report(
     two exact integer-ppm divisions — one output row:
     (n_exact, n_candidates, n_hits, recall_ppm, precision_ppm).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — partial bands would silently change the S-curve"
+        )
     mask = (1 << 63) - 1
     sh = shingle_rows(df, id_col, text_col, shingle_n)
     mins = [

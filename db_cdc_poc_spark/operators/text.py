@@ -839,9 +839,11 @@ def bm25_topk(
     doc score is addition-order-independent and the oracle replays it
     bit-for-bit. Ties at the top-k boundary break by id.
 
-    Output: (id, n_terms_matched, score).
+    Output: (id, n_terms_matched, score). Query terms are a SET:
+    repeating a term in ``query_terms`` does not double its weight
+    (qtf weighting is a BM25 variant this operator does not implement).
     """
-    terms = [t.lower() for t in query_terms]
+    terms = sorted({t.lower() for t in query_terms})
     toks = df.select(
         F.col(id_col).alias("id"),
         F.transform(whitespace_tokens(text_col), lambda t: F.lower(t)).alias(

@@ -4950,6 +4950,7 @@ WITH tok AS (
 SELECT id, n_terms_matched, CAST(score_e5 AS DOUBLE) / 100000 AS score
 FROM scored ORDER BY score_e5 DESC, id LIMIT 20
 """,
+    headline=True,
 )
 def q131_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranked retrieval (text.bm25_topk): top-20 documents
@@ -5096,6 +5097,7 @@ SELECT event_id, user_id, us AS conv_us,
        CASE WHEN ok THEN us - lt.t_us END AS age_us
 FROM conv
 """,
+    headline=True,
 )
 def q134_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution (sessionize.last_touch_attribution):

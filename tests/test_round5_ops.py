@@ -631,3 +631,21 @@ def test_golden_records_requires_priority_for_max_by(spark):
     df = spark.createDataFrame([(1, "x")], "cluster_id long, name string")
     with pytest.raises(ValueError, match="priority_col"):
         golden_records(df, "cluster_id", {"name": ("max_by", "name")})
+
+
+def test_lsh_recall_rejects_partial_bands(spark):
+    from db_cdc_poc_spark.operators.dedup import minhash_recall_report
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide evenly"):
+        minhash_recall_report(df, num_hashes=10, bands=4)
+
+
+def test_bm25_duplicate_query_terms_count_once(spark):
+    from db_cdc_poc_spark.operators.text import bm25_topk
+
+    rows = [(1, "spark engine"), (2, "other words entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = bm25_topk(df, ["spark"], top_k=5).collect()
+    twice = bm25_topk(df, ["spark", "spark", "SPARK"], top_k=5).collect()
+    assert [r.asDict() for r in once] == [r.asDict() for r in twice]
