@@ -822,3 +822,105 @@ def kmeans_refine(
         vec_col,
         ndigits,
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 60,
+    top_k: int = 20,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists — the
+    standard hybrid-search combiner (Cormack & Clarke SIGIR'09): fuse a
+    lexical (BM25) list with a dense (embedding) list without score
+    calibration, since only RANKS cross the boundary.
+
+    score(d) = sum over lists of 1/(k + rank_list(d)), missing list
+    membership contributing 0. Weights are materialized as
+    ``floor(1e6 / (k + rank))`` integer micro-units so the two-term sum
+    is exact integer arithmetic — engine-independent (an IEEE division
+    is bit-identical everywhere and ``floor`` of it is unambiguous),
+    so a DuckDB oracle replays the fusion bit-for-bit.
+
+    Plan shape: both inputs are top-N lists (tiny — they came out of a
+    retriever), so the full outer join on ``id`` broadcasts; the final
+    top-k orders by the integer score then id (deterministic
+    tie-break) via TakeOrderedAndProject. Fusion cost is O(N_a + N_b)
+    regardless of corpus size — the corpus never enters this operator.
+
+    Output: ``(id, rank_a, rank_b, rrf_e6, fused_rank)`` where ranks
+    from a list the doc missed are NULL and ``rrf_e6`` is the score in
+    integer micro-units.
+    """
+    w_a = ranked_a.select(
+        F.col(id_col).alias("id"),
+        F.col(rank_col).alias("rank_a"),
+        F.floor(F.lit(1000000.0) / (F.lit(k) + F.col(rank_col)))
+        .cast("long")
+        .alias("w_a"),
+    )
+    w_b = ranked_b.select(
+        F.col(id_col).alias("id"),
+        F.col(rank_col).alias("rank_b"),
+        F.floor(F.lit(1000000.0) / (F.lit(k) + F.col(rank_col)))
+        .cast("long")
+        .alias("w_b"),
+    )
+    fused = (
+        w_a.join(w_b, "id", "full_outer")
+        .withColumn(
+            "rrf_e6",
+            F.coalesce(F.col("w_a"), F.lit(0)) + F.coalesce(F.col("w_b"), F.lit(0)),
+        )
+    )
+    win = Window.orderBy(F.col("rrf_e6").desc(), F.col("id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("fused_rank") <= top_k)
+        .select("id", "rank_a", "rank_b", "rrf_e6", "fused_rank")
+    )
+
+
+def diversity_sample(
+    df: DataFrame,
+    per_bucket: int = 3,
+    bits: int = 8,
+    weights: dict[tuple[int, int], list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-aware subsampling over an embedding corpus: stratify
+    the angular space with ONE hyperplane-LSH table (2^bits strata)
+    and keep at most ``per_bucket`` vectors per stratum — the
+    budget-allocation complement of near-dup removal (dedup deletes
+    redundant pairs; this CAPS every dense region so no mode dominates
+    the sample, the greedy-coverage idea behind coreset/DataComp-style
+    curation at corpus scale).
+
+    Within a stratum the draw is the md5(id) order — deterministic,
+    engine-independent, and independent of the embedding geometry (so
+    the cap does not systematically prefer any sub-region).
+
+    Plan: bucket assignment is map-only inline codegen (no hyperplane
+    matrix broadcast when ``weights`` is None); the per-stratum cap is
+    ONE shuffle on bucket + a ranking window. For 100 TB size ``bits``
+    so strata stay partition-sized (buckets ≈ corpus/10⁴); the output
+    is at most ``per_bucket · 2^bits`` rows regardless of input size.
+
+    Output: ``(bucket, id, pick)`` — kept rows only, pick 1..per_bucket.
+    """
+    sel = df.select(
+        F.col(id_col).alias("id"),
+        hyperplane_buckets(vec_col, 1, bits, weights)[0]["bucket"].alias(
+            "bucket"
+        ),
+        F.md5(F.col(id_col).cast("string")).alias("__key"),
+    )
+    w = Window.partitionBy("bucket").orderBy("__key", "id")
+    return (
+        sel.withColumn("pick", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick") <= per_bucket)
+        .select("bucket", "id", "pick")
+    )

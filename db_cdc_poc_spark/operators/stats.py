@@ -41,6 +41,7 @@ __all__ = [
     "quantile_bins",
     "zscore_normalize",
     "transition_pmi",
+    "survival_curve",
 ]
 
 
@@ -461,4 +462,53 @@ def winsorize(
         .withColumn(out_col, clamped)
         .withColumn("capped", F.col(out_col) != F.col("__v").cast("double"))
         .drop("__v", "__lo", "__hi")
+    )
+
+
+def survival_curve(
+    df: DataFrame,
+    metric: Column,
+    thresholds: list[float],
+    weight: Column | None = None,
+) -> DataFrame:
+    """Filter-threshold survival curve — the quality-vs-quantity
+    trade-off table behind every curation decision ("minimum length
+    40 keeps 62% of docs and 89% of tokens"): for each candidate
+    threshold, how many rows and how much weight survive
+    ``metric >= threshold``.
+
+    Plan shape matters here: the naive form cross-joins the corpus
+    with the threshold list (k× the data through one aggregate).
+    Instead each row is binned ONCE to the highest threshold it passes
+    (map-only), one aggregation reduces the corpus to <= k+1 bucket
+    rows, and the suffix totals are taken on that k-row table — the
+    only non-equi join in the plan touches the k-row threshold spine,
+    never the corpus. Cost is one corpus scan + one aggregation
+    regardless of k.
+
+    Output: ``(threshold, n_rows, weight_sum)`` — one row per
+    threshold, zeros (not missing rows) where nothing survives.
+    """
+    thr = sorted(thresholds)
+    arr = F.array(*[F.lit(t) for t in thr])
+    per = df.select(
+        metric.alias("__m"),
+        (weight if weight is not None else F.lit(1)).cast("long").alias("__w"),
+    )
+    bucket = F.try_element_at(
+        F.filter(arr, lambda t: t <= F.col("__m")), F.lit(-1)
+    )
+    grouped = per.groupBy(bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__w").alias("__ws")
+    )
+    spine = df.sparkSession.range(1).select(
+        F.explode(arr).alias("threshold")
+    )
+    return (
+        spine.join(grouped, F.col("__b") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("__ws"), F.lit(0)).cast("long").alias("weight_sum"),
+        )
     )

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_series", "gapfill_locf"]
+__all__ = ["bucketed_series", "decayed_sum", "gapfill_locf"]
 
 
 def bucketed_series(
@@ -107,3 +107,107 @@ def gapfill_locf(
         .alias("locf_value"),
         F.col("bucket_value").isNull().alias("filled"),
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    series_col: str,
+    ts: Column,
+    value: Column,
+    bucket_seconds: int = 3600,
+    seg_len: int = 42,
+) -> DataFrame:
+    """Exponentially time-decayed running sum per series — the EWMA /
+    trending-score primitive (Redis-style decayed counters, recency-
+    weighted activity ranking): at each active bucket ``i``,
+
+        decayed_i = sum over j <= i of bucket_value_j * 2^(j - i)
+
+    i.e. half-life = exactly one bucket; callers pick the half-life by
+    picking ``bucket_seconds``. Contributions older than one segment
+    boundary (>= ``seg_len`` buckets, weight <= 2^-42 ~ 2e-13) are
+    truncated — part of the operator contract, below double ulp of any
+    practically nonzero score.
+
+    Determinism at the bit level (what makes a value-hash oracle
+    possible — float window sums are NOT portable across engines
+    because association order differs): every intermediate is either
+    exact BIGINT arithmetic or an exact power-of-two scaling of it.
+    Buckets are integer epoch indexes; within a segment (``idx div
+    seg_len``) the weighted term is ``bucket_value << pos`` (pos = idx
+    mod seg_len <= 41, |bucket_value| < 2^20 enforced, so terms and
+    their running sum stay inside BIGINT); the running sum is integer
+    (association-free); the final rescale divides by ``1 << pos`` —
+    doubles change exponent only, never mantissa. The one-segment-back
+    carry is the previous segment's plain integer SUM, rescaled twice
+    the same way. One IEEE addition joins them, in a fixed order.
+
+    Plan shape: one map-side-partial aggregation into buckets, ONE
+    shuffle keyed (series, segment) shared by the running-sum window
+    and the segment totals, a lag over the segment-level table
+    (|series| x |segments| — dimension-sized), and a broadcast join
+    back. No per-event window, no float accumulation anywhere.
+
+    Output: ``(series, bucket, bucket_value, decayed)`` for ACTIVE
+    buckets only (a dense spine is :func:`gapfill_locf`'s job).
+    """
+    limit = 1 << 20
+    b = bucketed_series(df, series_col, ts, value, bucket_seconds)
+    b = b.withColumn(
+        "bucket_value",
+        F.when(
+            F.abs(F.col("bucket_value")) >= limit,
+            F.raise_error(
+                F.concat(
+                    F.lit("decayed_sum: |bucket_value| >= 2^20 at bucket "),
+                    F.col("bucket").cast("string"),
+                    F.lit(" — use a smaller bucket_seconds or pre-scale"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("bucket_value")),
+    )
+    b = b.select(
+        "series",
+        "bucket",
+        "bucket_value",
+        (F.col("bucket") - _floordiv(F.col("bucket"), seg_len) * seg_len).alias(
+            "pos"
+        ),
+        _floordiv(F.col("bucket"), seg_len).alias("seg"),
+    ).withColumn(
+        "term",
+        F.expr("shiftleft(bucket_value, cast(pos as int))"),
+    )
+    run = Window.partitionBy("series", "seg").orderBy("pos")
+    n = b.withColumn("n_run", F.sum("term").over(run))
+    segs = b.groupBy("series", "seg").agg(F.sum("term").alias("seg_sum"))
+    lagw = Window.partitionBy("series").orderBy("seg")
+    carry = segs.select(
+        "series",
+        "seg",
+        F.lag("seg_sum").over(lagw).alias("prev_sum"),
+        F.lag("seg").over(lagw).alias("prev_seg"),
+    )
+    pow2 = "cast(shiftleft(cast(1 as bigint), cast(pos as int)) as double)"
+    pow2_seg = f"cast(shiftleft(cast(1 as bigint), {seg_len}) as double)"
+    return (
+        n.join(carry, ["series", "seg"], "left")
+        .withColumn(
+            "decayed",
+            F.expr(f"cast(n_run as double) / {pow2}")
+            + F.when(
+                F.col("prev_seg") == F.col("seg") - 1,
+                F.expr(
+                    f"cast(prev_sum as double) / {pow2_seg} / {pow2}"
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("series", "bucket", "bucket_value", "decayed")
+    )
+
+
+def _floordiv(c: Column, k: int) -> Column:
+    """Floor division by a positive constant (matches DuckDB ``//``
+    for negative numerators too, unlike BIGINT ``div`` which truncates
+    toward zero)."""
+    return F.floor(c / F.lit(float(k))).cast("long")

@@ -5229,5 +5229,273 @@ def q136_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{scratch}/small")
 
 
+@_q(
+    "q137_hybrid_rrf",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id AS id,
+           list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> ''), t -> lower(t)) AS toks
+    FROM documents
+), stats AS (
+    SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tok
+), tf AS (
+    SELECT id, t AS term, count(*) AS tf, max(dl) AS dl FROM (
+        SELECT id, unnest(toks) AS t, len(toks) AS dl FROM tok
+    ) WHERE t IN ('hash', 'spark', 'window') GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, count(*) AS df_t FROM tf GROUP BY 1
+), bm AS (
+    SELECT id,
+           CAST(sum(CAST(round(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                               * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+                               * 100000, 0) AS BIGINT)) AS BIGINT) AS score_e5
+    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY id
+), lex AS (
+    SELECT id, CAST(row_number() OVER (ORDER BY score_e5 DESC, id)
+                    AS INTEGER) AS rank_a
+    FROM bm ORDER BY score_e5 DESC, id LIMIT 50
+), v AS (
+    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+), dense AS (
+    SELECT c.vec_id AS id,
+           CAST(row_number() OVER (
+                ORDER BY CASE WHEN q.nrm * c.nrm > 0
+                              THEN list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                              ELSE 0.0 END DESC, c.vec_id)
+                AS INTEGER) AS rank_b
+    FROM v q JOIN v c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id = 7
+    QUALIFY rank_b <= 50
+), fused AS (
+    SELECT COALESCE(l.id, d.id) AS id, l.rank_a, d.rank_b,
+           COALESCE(CAST(floor(1000000.0 / (60 + l.rank_a)) AS BIGINT), 0)
+         + COALESCE(CAST(floor(1000000.0 / (60 + d.rank_b)) AS BIGINT), 0)
+           AS rrf_e6
+    FROM lex l FULL OUTER JOIN dense d ON l.id = d.id
+)
+SELECT id, rank_a, rank_b, rrf_e6,
+       CAST(row_number() OVER (ORDER BY rrf_e6 DESC, id) AS INTEGER)
+           AS fused_rank
+FROM fused QUALIFY fused_rank <= 20
+""",
+)
+def q137_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (similarity.rrf_fuse): the BM25 lexical top-50
+    (q131's retriever) and the dense cosine top-50 for query vector 7
+    (q24's retriever — embeddings align 1:1 with documents) fused by
+    reciprocal-rank into one top-20. Only RANKS cross the
+    lexical/dense boundary (no score calibration), weights are exact
+    floor(1e6/(60+rank)) integers, and the fusion itself is O(list
+    length) however large the corpus — each retriever already did the
+    corpus-scale work in its own scale-audited plan."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = tx.bm25_topk(docs, ["spark", "hash", "window"], top_k=50)
+    lex_ranked = lex.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "id"))
+        .cast("int")
+        .alias("rank"),
+    )
+    dense = sim.cosine_topk(
+        emb.filter(F.col("vec_id") == 7), emb, k=50
+    ).select(F.col("neighbor_id").alias("id"), "rank")
+    return sim.rrf_fuse(lex_ranked, dense, k=60, top_k=20)
+
+
+_Q138_BITS = 6
+
+
+def _q138_oracle(per_bucket: int = 3) -> str:
+    """DuckDB replica of the angular-stratified diversity sample: the
+    md5-derived ±1 hyperplane literals (engine-independent, same
+    constants in the Spark plan), sign-packed bucket, and the
+    md5(id)-ordered per-bucket cap are each recomputed independently."""
+    w = sim.rademacher_weights(1, _Q138_BITS, 64)
+    values = ",\n".join(
+        f"({p}, [{', '.join(str(x) for x in w[(0, p)])}]::DOUBLE[])"
+        for p in range(_Q138_BITS)
+    )
+    return f"""
+WITH w(p, wv) AS (VALUES
+{values}
+), v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), proj AS (
+    SELECT v.vec_id, w.p, list_dot_product(v.e, w.wv) AS s
+    FROM v CROSS JOIN w
+), buckets AS (
+    SELECT vec_id AS id,
+           sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+    FROM proj GROUP BY vec_id
+), ranked AS (
+    SELECT bucket, id,
+           CAST(row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY md5(CAST(id AS VARCHAR)), id) AS INTEGER) AS pick
+    FROM buckets
+)
+SELECT bucket, id, pick FROM ranked WHERE pick <= {per_bucket}
+"""
+
+
+@_q("q138_diversity_sample", oracle=_q138_oracle())
+def q138_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware subsampling (similarity.diversity_sample):
+    angular strata from one 6-bit hyperplane-LSH table, at most 3
+    vectors kept per stratum by the deterministic md5(id) draw — caps
+    dense embedding-space modes so no cluster dominates the curated
+    sample. Map-only bucketing + one shuffle; output bounded by
+    3·2^bits rows whatever the corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.diversity_sample(
+        emb,
+        per_bucket=3,
+        bits=_Q138_BITS,
+        weights=sim.rademacher_weights(1, _Q138_BITS, 64),
+    )
+
+
+@_q(
+    "q139_decayed_sum",
+    oracle="""
+WITH b AS (
+    SELECT user_id AS series,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS bucket_value
+    FROM events GROUP BY 1, 2
+), p AS (
+    SELECT series, bucket, bucket_value,
+           bucket % 42 AS pos, bucket // 42 AS seg,
+           bucket_value << CAST(bucket % 42 AS INTEGER) AS term
+    FROM b
+), n AS (
+    SELECT series, bucket, bucket_value, pos, seg,
+           sum(term) OVER (PARTITION BY series, seg ORDER BY pos) AS n_run
+    FROM p
+), segs AS (
+    SELECT series, seg, sum(term) AS seg_sum FROM p GROUP BY 1, 2
+), c AS (
+    SELECT series, seg,
+           lag(seg_sum) OVER (PARTITION BY series ORDER BY seg) AS prev_sum,
+           lag(seg)     OVER (PARTITION BY series ORDER BY seg) AS prev_seg
+    FROM segs
+)
+SELECT n.series, n.bucket, n.bucket_value,
+       CAST(n.n_run AS DOUBLE)
+           / CAST(1::BIGINT << CAST(n.pos AS INTEGER) AS DOUBLE)
+     + CASE WHEN c.prev_seg = n.seg - 1
+            THEN CAST(c.prev_sum AS DOUBLE)
+                 / CAST(1::BIGINT << 42 AS DOUBLE)
+                 / CAST(1::BIGINT << CAST(n.pos AS INTEGER) AS DOUBLE)
+            ELSE 0.0 END AS decayed
+FROM n JOIN c ON n.series = c.series AND n.seg = c.seg
+""",
+)
+def q139_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity score
+    (timeseries.decayed_sum): per-user hourly spend in integer cents,
+    half-life one hour — the trending/recency-ranking primitive. The
+    oracle replays it VALUE-for-value because every intermediate is
+    exact integer arithmetic or an exact power-of-two rescale: float
+    window sums are never portable across engines (association order
+    differs), so the operator is built to avoid them entirely."""
+    from db_cdc_poc_spark.operators.timeseries import decayed_sum
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_sum(
+        ev,
+        "user_id",
+        F.col("ts"),
+        F.round(F.col("value") * 100, 0).cast("long"),
+        bucket_seconds=3600,
+    )
+
+
+@_q(
+    "q140_filter_sweep",
+    oracle="""
+WITH m AS (
+    SELECT len(list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS tok
+    FROM documents
+), t(threshold) AS (VALUES (10), (20), (30), (40), (60))
+SELECT t.threshold,
+       count(m.tok) AS n_rows,
+       CAST(coalesce(sum(m.tok), 0) AS BIGINT) AS weight_sum
+FROM t LEFT JOIN m ON m.tok >= t.threshold
+GROUP BY 1
+""",
+)
+def q140_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-length filter sweep (stats.survival_curve): docs and
+    tokens surviving each candidate token-count threshold — the
+    quality-vs-quantity trade-off table that decides the curation
+    knob. One corpus scan bins each doc to the highest threshold it
+    passes; the curve itself is computed on the k-row bucket table
+    (the oracle replays the naive cross-join definition)."""
+    from db_cdc_poc_spark.operators.stats import survival_curve
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = tx.whitespace_token_count("text").cast("long")
+    return survival_curve(
+        docs, tok, thresholds=[10, 20, 30, 40, 60], weight=tok
+    )
+
+
+@_q(
+    "q141_jsonl_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+       CAST(round(value * 100, 0) AS BIGINT) AS cents
+FROM events
+""",
+)
+def q141_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source gate (sources/files.py:read_json_permissive —
+    previously proven only by quarantine tests): the events table
+    written out as .jsonl and scanned back PERMISSIVE with a declared
+    schema; the oracle checks every row against the ORIGINAL table, so
+    the writer/scanner pair round-trips value-exactly. The corrupt-line
+    quarantine path stays covered in test_envelopes.py."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from db_cdc_poc_spark.sources.files import read_json_permissive, split_corrupt
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    scratch = tempfile.mkdtemp(prefix="q141_")
+    ev.write.mode("overwrite").json(f"{scratch}/events_jsonl")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("us", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    clean, _bad = split_corrupt(
+        read_json_permissive(spark, f"{scratch}/events_jsonl", schema)
+    )
+    return clean
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -49,6 +49,11 @@ NLJ_ALLOWED = {
     "q24_cosine_topk",
     "q39_neardup_np",
     "q94_hard_negatives",
+    # hybrid fusion composes q24's allowed exact dense retriever (ONE
+    # broadcast query vector, self-match-exclusion !=) with BM25 (whose
+    # only BNLJ is the 1-row corpus-stats spine, scalar-agg-classified
+    # when it stands alone); the fusion join itself is an equi-join.
+    "q137_hybrid_rrf",
 }
 
 # BNLJs whose broadcast build side is bounded by an ALGORITHM PARAMETER
@@ -61,6 +66,10 @@ BOUNDED_BUILD_NLJ = {
     "q107_centroid_confusion",
     "q112_kmeans_refine",
     "q43_ivf_topk",
+    # survival_curve's suffix-total join: both sides are bounded by the
+    # THRESHOLD LIST length (corpus already reduced to <= k+1 bucket
+    # rows by one aggregation) — the non-equi join never sees the corpus.
+    "q140_filter_sweep",
 }
 
 
