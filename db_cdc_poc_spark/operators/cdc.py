@@ -136,3 +136,67 @@ def apply_changes_scd2(
     drop = [c for c in except_columns if c in out.columns]
     cols = [c for c in source.columns if c not in drop] + [start_col, end_col]
     return out.select(*cols)
+
+
+def derive_changes(
+    old: DataFrame,
+    new: DataFrame,
+    keys: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """The INVERSE of :func:`apply_changes`: given two keyed snapshots
+    of the same table, derive the changelog that turns ``old`` into
+    ``new`` — snapshot-diff / CDC generation (what a connector emits
+    when the source system offers no log, and the audit that proves
+    two replicas converged).
+
+    op per key: ``I`` (in new only), ``D`` (in old only), ``U`` (in
+    both, any compare column differs under null-safe equality); keys
+    equal in both snapshots produce NO row — the changelog is minimal.
+
+    Plan: ONE full outer join on the keys (both sides shuffle-keyed
+    the same way; at scale pre-bucket both snapshots on the keys and
+    the join is zero-shuffle), column compares are expression-level.
+    Output: key columns, ``op``, and ``<col>_old`` / ``<col>_new`` for
+    each compare column (NULL on the absent side).
+    """
+    keys = _as_list(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(c).alias(f"__ko_{c}") for c in keys],
+        *[F.col(c).alias(f"{c}_old") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__kn_{c}") for c in keys],
+        *[F.col(c).alias(f"{c}_new") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for c in keys:
+        eq = F.col(f"__ko_{c}") == F.col(f"__kn_{c}")
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    changed = None
+    for c in compare_cols:
+        ne = ~(F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new")))
+        changed = ne if changed is None else (changed | ne)
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__ko_{c}"), F.col(f"__kn_{c}")).alias(c)
+                for c in keys
+            ],
+            "op",
+            *[f"{c}_old" for c in compare_cols],
+            *[f"{c}_new" for c in compare_cols],
+        )
+    )

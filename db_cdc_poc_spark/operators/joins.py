@@ -307,3 +307,49 @@ def golden_records(
         else:
             raise ValueError(f"unknown survivorship rule {rule!r}")
     return df.groupBy(F.col(cluster_col)).agg(*aggs)
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    k: int = 3,
+    m_bits: int = 1 << 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with an explicit Bloom runtime filter: the fact side
+    is pruned MAP-ONLY against a filter built from the dim side's keys
+    before any fact shuffle happens — the classic 100 TB star-join
+    pattern for a SELECTIVE dim that is still too big to broadcast
+    (whose bit-position table, capped at ``m_bits`` distinct rows ≈
+    KBs, always broadcasts even when the dim itself cannot).
+
+    Semantics are EXACTLY the plain join's: a Bloom filter has no
+    false negatives, so the prune keeps a superset of the matching
+    fact rows and the real join then decides membership — which is
+    why a plain-SQL oracle replays this operator.
+
+    Plan shape: the dim's md5 bit positions (``sketches.
+    bloom_positions`` — portable hashing, so a persisted filter is
+    checkable by other engines) deduplicate to <= m_bits rows; the
+    fact survives ``k`` broadcast LEFT SEMI joins, one per hash — all
+    map-side, zero fact shuffles — then joins the dim for real.
+    Spark's own AQE bloom (``spark.sql.optimizer.runtime.bloomFilter.
+    enabled``) does this adaptively inside one query; the explicit
+    operator is for filters known up front (decontamination key lists,
+    entity blocklists) or reused across queries.
+    """
+    from db_cdc_poc_spark.operators.sketches import bloom_positions
+
+    key = F.col(key_col)
+    bits = (
+        dim.select(F.explode(bloom_positions(key, k, m_bits)).alias("__pos"))
+        .distinct()
+    )
+    pruned = fact
+    for i in range(k):
+        pos_i = bloom_positions(key, k, m_bits)[i]
+        pruned = pruned.join(
+            F.broadcast(bits), pos_i == F.col("__pos"), "left_semi"
+        )
+    return pruned.join(dim, key_col, how)

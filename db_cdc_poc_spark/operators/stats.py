@@ -42,6 +42,7 @@ __all__ = [
     "zscore_normalize",
     "transition_pmi",
     "survival_curve",
+    "rank_normalize",
 ]
 
 
@@ -511,4 +512,64 @@ def survival_curve(
             F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_rows"),
             F.coalesce(F.sum("__ws"), F.lit(0)).cast("long").alias("weight_sum"),
         )
+    )
+
+
+def rank_normalize(
+    df: DataFrame,
+    id_col: str,
+    signal_cols: Sequence[str],
+    out_col: str = "quality_ppm",
+) -> DataFrame:
+    """Rank-normalized signal ensemble — how incomparable quality
+    signals (a length, a ratio, a classifier margin) combine into ONE
+    curation score without calibration: each signal becomes its
+    corpus percentile rank in integer ppm (``(rank-1)·1e6 div (n-1)``,
+    rank = SQL ``percent_rank`` tie semantics), and the ensemble is
+    their integer mean.
+
+    Scale shape — the naive form is k single-partition windows over
+    the corpus (``percent_rank() OVER (ORDER BY s)`` moves every row
+    to one partition). Instead, per signal: aggregate to the DISTINCT
+    value table, prefix-sum the counts with the bucketed two-level
+    scan (:func:`scalable_running_sum` — no global window), and join
+    the per-value ppm back on the value. Per signal: one aggregation
+    + one value-keyed join, both AQE-sized; nothing serial grows with
+    the corpus.
+
+    Signals should be INTEGER expressions (scale ratios to ppm first):
+    integer values join and tie identically everywhere, floats only
+    mostly. Requires n >= 2 rows. Output: (id_col, <signal>_ppm...,
+    out_col).
+    """
+    base = df.select(id_col, *signal_cols)
+    n1 = base.agg((F.count(F.lit(1)) - F.lit(1)).alias("__n1"))
+    # every ppm table derives from the PRISTINE base — deriving signal
+    # i's counts from base-after-(i-1)-joins re-evaluates the earlier
+    # joins inside each later aggregation and the plan grows
+    # exponentially in the signal count (measured: 712 exchanges for 3
+    # signals before this ordering)
+    ppms = []
+    for s in signal_cols:
+        counts = base.groupBy(s).agg(F.count(F.lit(1)).alias("__c"))
+        run = scalable_running_sum(counts, s, "__c", out_col="__run")
+        ppms.append(
+            run.crossJoin(F.broadcast(n1)).select(
+                F.col(s).alias(f"__v_{s}"),
+                F.expr(f"(__run - __c) * 1000000 div __n1").alias(f"{s}_ppm"),
+            )
+        )
+    for s, ppm in zip(signal_cols, ppms):
+        base = base.join(ppm, base[s] == ppm[f"__v_{s}"]).drop(f"__v_{s}")
+    k = len(signal_cols)
+    total = None
+    for s in signal_cols:
+        c = F.col(f"{s}_ppm")
+        total = c if total is None else (total + c)
+    return base.select(
+        id_col,
+        *[f"{s}_ppm" for s in signal_cols],
+        F.expr(f"({' + '.join(f'{s}_ppm' for s in signal_cols)}) div {k}").alias(
+            out_col
+        ),
     )

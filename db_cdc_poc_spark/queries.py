@@ -5497,5 +5497,271 @@ def q141_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean
 
 
+@_q(
+    "q142_bloom_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_totalprice > 450000) o
+  ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def q142_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned star join (joins.bloom_pruned_join): lineitem
+    against the selective high-value-orders dim, the fact pruned
+    MAP-ONLY by the dim's md5 Bloom positions before any fact shuffle.
+    A Bloom filter has no false negatives, so the result is EXACTLY
+    the plain join's — which is what the oracle replays. The explicit
+    form of Spark's AQE runtime bloom, for filters known up front or
+    reused across queries."""
+    from db_cdc_poc_spark.operators.joins import bloom_pruned_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("orderkey"), "o_orderpriority")
+    )
+    return (
+        bloom_pruned_join(li, orders, "orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_cents").alias("revenue_cents"),
+        )
+    )
+
+
+@_q(
+    "q143_snapshot_diff",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents, ts, event_id
+    FROM events
+), old AS (
+    SELECT user_id, event_type, cents FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+    WHERE rn = 1
+), new AS (
+    SELECT user_id, event_type, cents FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev)
+    WHERE rn = 1
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'I'
+            WHEN n.user_id IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       o.event_type AS event_type_old, o.cents AS cents_old,
+       n.event_type AS event_type_new, n.cents AS cents_new
+FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR (o.event_type IS DISTINCT FROM n.event_type)
+   OR (o.cents IS DISTINCT FROM n.cents)
+""",
+)
+def q143_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC derivation (cdc.derive_changes — the
+    INVERSE of apply_changes): the per-user latest-state table as of
+    Jan 15 vs the final one; the emitted changelog (I/U/D, minimal —
+    unchanged keys produce no row) is exactly what replays the old
+    snapshot into the new. One full outer join on the key; at scale
+    both snapshots pre-bucket on it."""
+    from db_cdc_poc_spark.operators.cdc import derive_changes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    old = latest_by_key(
+        ev.filter(F.col("ts") < cutoff), "user_id", "ts", "event_id"
+    ).select("user_id", "event_type", "cents")
+    new = latest_by_key(ev, "user_id", "ts", "event_id").select(
+        "user_id", "event_type", "cents"
+    )
+    return derive_changes(old, new, "user_id", ["event_type", "cents"])
+
+
+@_q(
+    "q144_quality_ensemble",
+    oracle="""
+WITH sig AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(toks)) * 1000000 AS BIGINT)
+               // CAST(len(toks) AS BIGINT) AS ttr_e6,
+           CAST(list_sum(list_transform(toks, t -> CAST(len(t) AS BIGINT)))
+                * 1000 AS BIGINT) // CAST(len(toks) AS BIGINT) AS mwl_e3
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents)
+), n AS (SELECT count(*) - 1 AS n1 FROM sig),
+r AS (
+    SELECT doc_id, n_tok, ttr_e6, mwl_e3,
+           (rank() OVER (ORDER BY n_tok)  - 1) * 1000000 AS rk_tok,
+           (rank() OVER (ORDER BY ttr_e6) - 1) * 1000000 AS rk_ttr,
+           (rank() OVER (ORDER BY mwl_e3) - 1) * 1000000 AS rk_mwl
+    FROM sig
+)
+SELECT doc_id,
+       rk_tok // n1 AS n_tok_ppm,
+       rk_ttr // n1 AS ttr_e6_ppm,
+       rk_mwl // n1 AS mwl_e3_ppm,
+       (rk_tok // n1 + rk_ttr // n1 + rk_mwl // n1) // 3 AS quality_ppm
+FROM r CROSS JOIN n
+""",
+)
+def q144_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalized quality ensemble (stats.rank_normalize): token
+    count, type-token ratio, and mean word length — three incomparable
+    signals — each mapped to its corpus percentile rank in integer ppm
+    and averaged into one curation score. NO single-partition window:
+    per signal the distinct-value table is prefix-summed with the
+    bucketed two-level scan and joined back on the value. Signals are
+    integers by construction (ppm/milli scaling) so ties and joins
+    replay identically in the oracle."""
+    from db_cdc_poc_spark.operators.stats import rank_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.whitespace_tokens("text")
+    n_tok = F.size(toks).cast("long")
+    sig = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("long") * 1000000).alias(
+            "__ttr_num"
+        ),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("__chars"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.expr("__ttr_num div n_tok").alias("ttr_e6"),
+        F.expr("(__chars * 1000) div n_tok").alias("mwl_e3"),
+    )
+    return rank_normalize(sig, "doc_id", ["n_tok", "ttr_e6", "mwl_e3"])
+
+
+@_q(
+    "q145_corpus_pipeline",
+    oracle="""
+WITH RECURSIVE base AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), feat AS (
+    SELECT doc_id, toks,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CASE WHEN len(toks) > 0 THEN
+                CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                     t -> list_contains(['the','a','and','of','to','in','is','it','that','for'], t)))
+                     AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS sw_raw,
+           CASE WHEN length(text) > 0 THEN
+                CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                     AS DOUBLE) / length(text)
+                ELSE 0.0 END AS pr_raw
+    FROM base
+), kept AS (
+    SELECT doc_id, toks,
+           (least(n_tokens / 20.0, 1.0)
+            + least(sw_raw / 0.2, 1.0)
+            + greatest(1.0 - pr_raw * 4, 0.0)) / 3 AS q
+    FROM feat
+    WHERE (least(n_tokens / 20.0, 1.0)
+           + least(sw_raw / 0.2, 1.0)
+           + greatest(1.0 - pr_raw * 4, 0.0)) / 3 >= 0.4
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, greatest(len(toks) - 1, 1))]) AS shingles
+    FROM kept WHERE len(toks) >= 3
+), ex AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sz AS (
+    SELECT doc_id, len(shingles) AS n FROM sh
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b FROM common
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+), labels AS (
+    SELECT s AS id, least(min(d), s) AS cluster_id FROM reach GROUP BY s
+), best AS (
+    SELECT l.cluster_id, max(k.q) AS bq
+    FROM labels l JOIN kept k ON k.doc_id = l.id GROUP BY 1
+), surv AS (
+    SELECT l.cluster_id, min(k.doc_id) AS keep_id
+    FROM labels l
+    JOIN kept k ON k.doc_id = l.id
+    JOIN best b ON b.cluster_id = l.cluster_id AND k.q = b.bq
+    GROUP BY 1
+)
+SELECT k.doc_id, round(k.q, 6) AS quality_score
+FROM kept k
+WHERE k.doc_id NOT IN (SELECT id FROM labels)
+   OR k.doc_id IN (SELECT keep_id FROM surv)
+""",
+)
+def q145_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation (pipelines/corpus.py:clean_corpus),
+    value-checked as ONE query: quality scoring -> min-quality filter
+    -> MinHash-LSH near-dup pairs (64 hashes / 16 bands, exact verify)
+    -> graph clustering -> best-quality survivor per cluster. The
+    oracle replays every stage (recursive-CTE connected components for
+    the clustering) — so the COMPOSITION is oracle-gated, not just the
+    stages. Threshold 0.9 is where the 16x4 banding's recall is
+    indistinguishable from 1 (miss probability ~(1-0.9^4)^16 ~ 1e-8;
+    q21 proves the same equivalence on this corpus); the skew cap
+    stays off here for exactness, as in the other oracle entries."""
+    from db_cdc_poc_spark.pipelines.corpus import clean_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    clean, _report = clean_corpus(
+        docs,
+        min_quality=0.4,
+        languages=None,
+        jaccard_threshold=0.9,
+        num_hashes=64,
+        bands=16,
+        max_band_bucket=None,
+    )
+    return clean.select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score")
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -193,3 +193,104 @@ def test_survival_curve_default_weight_counts_rows(spark):
         for r in survival_curve(df, F.col("m"), [0, 5]).collect()
     }
     assert out == {0: 2, 5: 1}
+
+
+# ---------------------------------------------------------------------------
+# bloom_pruned_join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_join_equals_plain_join(spark):
+    from db_cdc_poc_spark.operators.joins import bloom_pruned_join
+
+    fact = spark.createDataFrame(
+        [(i, i % 7) for i in range(200)], "k long, v long"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 200, 13)], "k long, name string"
+    )
+    got = sorted(map(tuple, bloom_pruned_join(fact, dim, "k").collect()))
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want and len(got) > 0
+
+
+def test_bloom_join_plan_has_no_fact_shuffle_before_semi(spark):
+    from db_cdc_poc_spark.operators.joins import bloom_pruned_join
+
+    fact = spark.range(0, 1000).selectExpr("id as k", "id as v")
+    dim = spark.range(0, 10).selectExpr("id as k", "id as name")
+    plan = bloom_pruned_join(fact, dim, "k")._jdf.queryExecution().executedPlan().toString()
+    # every semi-join against the bit table must be broadcast, never shuffled
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin LeftSemi" not in plan and "ShuffledHashJoin LeftSemi" not in plan
+
+
+# ---------------------------------------------------------------------------
+# derive_changes
+# ---------------------------------------------------------------------------
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, a string, b long")
+
+
+def test_derive_changes_full_matrix(spark):
+    from db_cdc_poc_spark.operators.cdc import derive_changes
+
+    old = _snap(spark, [(1, "x", 10), (2, "y", 20), (3, "z", 30), (5, None, 50)])
+    new = _snap(spark, [(1, "x", 10), (2, "y", 99), (4, "w", 40), (5, None, 50)])
+    out = {r.k: r for r in derive_changes(old, new, "k").collect()}
+    # 1 unchanged -> absent; 5 unchanged (NULL == NULL null-safely) -> absent
+    assert set(out) == {2, 3, 4}
+    assert out[2].op == "U" and out[2].b_old == 20 and out[2].b_new == 99
+    assert out[3].op == "D" and out[3].a_new is None
+    assert out[4].op == "I" and out[4].a_old is None
+
+
+def test_derive_changes_null_transition_is_update(spark):
+    from db_cdc_poc_spark.operators.cdc import derive_changes
+
+    old = _snap(spark, [(1, "x", 10)])
+    new = _snap(spark, [(1, None, 10)])
+    rows = derive_changes(old, new, "k").collect()
+    assert len(rows) == 1 and rows[0].op == "U"
+
+
+def test_derive_changes_roundtrips_through_apply(spark):
+    """old + derived changelog, applied, reproduces new — the inverse
+    contract that names the operator."""
+    from db_cdc_poc_spark.operators.cdc import derive_changes
+
+    old = _snap(spark, [(1, "x", 10), (2, "y", 20), (3, "z", 30)])
+    new = _snap(spark, [(1, "x", 11), (3, "z", 30), (4, "w", 40)])
+    ch = derive_changes(old, new, "k")
+    upserts = ch.filter(F.col("op") != "D").select(
+        "k", F.col("a_new").alias("a"), F.col("b_new").alias("b")
+    )
+    deletes = {r.k for r in ch.filter(F.col("op") == "D").collect()}
+    untouched = old.join(ch.select("k"), "k", "left_anti")
+    rebuilt = untouched.unionByName(upserts).filter(
+        ~F.col("k").isin(list(deletes)) if deletes else F.lit(True)
+    )
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# rank_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_rank_normalize_matches_percent_rank_definition(spark):
+    from db_cdc_poc_spark.operators.stats import rank_normalize
+
+    vals = [(1, 10, 5), (2, 20, 5), (3, 20, 1), (4, 40, 9)]
+    df = spark.createDataFrame(vals, "id long, s1 long, s2 long")
+    out = {r.id: r for r in rank_normalize(df, "id", ["s1", "s2"]).collect()}
+    # s1: ranks 1,2,2,4 over n-1=3 -> ppm 0, 333333, 333333, 1000000
+    assert [out[i].s1_ppm for i in (1, 2, 3, 4)] == [0, 333333, 333333, 1000000]
+    # s2: values 5,5,1,9 -> ranks 2,2,1,4 -> ppm 333333,333333,0,1000000
+    assert [out[i].s2_ppm for i in (1, 2, 3, 4)] == [333333, 333333, 0, 1000000]
+    assert out[4].quality_ppm == 1000000
+    assert out[1].quality_ppm == (0 + 333333) // 2
