@@ -353,3 +353,50 @@ def bloom_pruned_join(
             F.broadcast(bits), pos_i == F.col("__pos"), "left_semi"
         )
     return pruned.join(dim, key_col, how)
+
+
+def auto_salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt: int = 8,
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Adaptive hot-key salting: measure the skewed side's key
+    frequencies FIRST (one aggregation), then salt ONLY the keys above
+    ``hot_threshold`` — the rest of the corpus joins un-replicated.
+
+    :func:`salted_join` replicates the small side ``salt``× for every
+    key, paying the replication tax on the 99.9% of keys that were
+    never skewed. Here the hot-key list (tiny by definition — keys
+    holding >threshold rows) broadcasts to split BOTH inputs: cold
+    keys take the plain equi-join; hot keys take the salted join with
+    the small side replicated only for rows whose key is hot. Same
+    result set as the plain join for any threshold — the split is
+    exhaustive and disjoint — so a plain-SQL oracle replays it, and
+    the threshold is pure physical tuning, exactly like AQE's
+    ``skewedPartitionThresholdInBytes`` but usable when one LOGICAL
+    key (not one partition) is the problem.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    hot = (
+        skewed.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_threshold)
+        .select(*on)
+        .withColumn("__hot", F.lit(True))
+    )
+    skew_flag = skewed.join(F.broadcast(hot), on, "left")
+    small_flag = small.join(F.broadcast(hot), on, "left")
+    cold = skew_flag.filter(F.col("__hot").isNull()).drop("__hot").join(
+        small_flag.filter(F.col("__hot").isNull()).drop("__hot"), on, how
+    )
+    hot_join = salted_join(
+        skew_flag.filter(F.col("__hot").isNotNull()).drop("__hot"),
+        small_flag.filter(F.col("__hot").isNotNull()).drop("__hot"),
+        on,
+        how,
+        salt,
+    )
+    return cold.unionByName(hot_join)

@@ -5763,5 +5763,43 @@ def q145_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q146_auto_salted",
+    oracle="""
+WITH dim AS (
+    SELECT user_id, event_type AS latest_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.event_type, d.latest_type
+FROM events e JOIN dim d ON e.user_id = d.user_id
+""",
+)
+def q146_auto_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive hot-key salted join (joins.auto_salted_join): events
+    enriched with each user's latest event type; keys above the hot
+    threshold are salted across reducers, everything else joins plain
+    — and the union is EXACTLY the plain join (the split is exhaustive
+    and disjoint), which is what the oracle replays. The threshold is
+    physical tuning only: the same query at any threshold hashes
+    identically."""
+    from db_cdc_poc_spark.operators.joins import auto_salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = latest_by_key(ev, "user_id", "ts", "event_id").select(
+        "user_id", F.col("event_type").alias("latest_type")
+    )
+    return auto_salted_join(
+        ev.select("event_id", "user_id", "event_type"),
+        dim,
+        "user_id",
+        salt=4,
+        hot_threshold=25,
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
