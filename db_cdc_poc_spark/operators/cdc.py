@@ -178,10 +178,13 @@ def derive_changes(
         eq = F.col(f"__ko_{c}") == F.col(f"__kn_{c}")
         cond = eq if cond is None else (cond & eq)
     joined = o.join(n, cond, "full_outer")
-    changed = None
+    # compare_cols may legitimately be empty (every column is a key, or
+    # an explicit []): no column can differ, so matched keys are never
+    # 'U' — only presence changes (I/D) emit rows.
+    changed = F.lit(False)
     for c in compare_cols:
         ne = ~(F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new")))
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ne
     op = (
         F.when(F.col("__in_old").isNull(), F.lit("I"))
         .when(F.col("__in_new").isNull(), F.lit("D"))

@@ -84,7 +84,17 @@ def salted_join(
     split can't fix (single giant key). The salt is a hash of the whole
     row — deterministic, so results are reproducible. Replication
     multiplies the small side by ``salt``: keep it broadcast-sized.
+
+    Only ``inner`` and ``left`` are supported: salting replicates the
+    small side ``salt``×, and under right/full-outer semantics the
+    replicas whose ``__salt`` matches no skewed-side row would survive
+    as spurious null-padded output rows.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "small-side replicas break right/full outer semantics"
+        )
     on = [on] if isinstance(on, str) else list(on)
     lsalt = skewed.withColumn(
         "__salt",
@@ -378,7 +388,18 @@ def auto_salted_join(
     the threshold is pure physical tuning, exactly like AQE's
     ``skewedPartitionThresholdInBytes`` but usable when one LOGICAL
     key (not one partition) is the problem.
+
+    Like :func:`salted_join`, only ``inner``/``left`` are supported
+    (the hot branch salts; see the restriction there). The cold/hot
+    split itself is also only union-exhaustive for those modes: a
+    right/full join would need small-side-only keys routed to exactly
+    one branch.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"auto_salted_join supports how='inner'|'left', got {how!r}: "
+            "salting breaks right/full outer semantics"
+        )
     on = [on] if isinstance(on, str) else list(on)
     hot = (
         skewed.groupBy(*on)

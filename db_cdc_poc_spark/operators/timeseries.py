@@ -151,7 +151,14 @@ def decayed_sum(
     Output: ``(series, bucket, bucket_value, decayed)`` for ACTIVE
     buckets only (a dense spine is :func:`gapfill_locf`'s job).
     """
-    limit = 1 << 20
+    # the segment sum is bounded by limit * (2^seg_len - 1) and the
+    # shifted term by limit << (seg_len - 1); both must stay < 2^62, so
+    # the admissible magnitude is 2^(62 - seg_len) — NOT a fixed 2^20,
+    # which is only the seg_len=42 instance of the bound. A seg_len
+    # >= 43 silently shrinks headroom; >= 62 leaves none at all.
+    if not 1 <= seg_len <= 61:
+        raise ValueError(f"decayed_sum: seg_len must be in [1, 61], got {seg_len}")
+    limit = 1 << (62 - seg_len)
     b = bucketed_series(df, series_col, ts, value, bucket_seconds)
     b = b.withColumn(
         "bucket_value",
@@ -159,7 +166,8 @@ def decayed_sum(
             F.abs(F.col("bucket_value")) >= limit,
             F.raise_error(
                 F.concat(
-                    F.lit("decayed_sum: |bucket_value| >= 2^20 at bucket "),
+                    F.lit(f"decayed_sum: |bucket_value| >= 2^{62 - seg_len}"
+                          " at bucket "),
                     F.col("bucket").cast("string"),
                     F.lit(" — use a smaller bucket_seconds or pre-scale"),
                 )

@@ -59,6 +59,64 @@ def profile(path: Path) -> dict[str, int]:
     }
 
 
+def compare(stem: str, bp: dict[str, int], np_: dict[str, int]) -> tuple[list[str], int]:
+    """Diff two plan profiles -> (messages, degradation count).
+
+    Pure function so tests can drive the budget logic directly — in
+    particular: new exchanges are excused ONLY when BHJs actually
+    FLIPPED to shuffle joins, not merely disappeared.
+    """
+    bad = 0
+    msgs: list[str] = []
+    for op in ("cartesian", "bnlj"):
+        if np_[op] > bp[op]:
+            msgs.append(f"DEGRADED new {op} x{np_[op] - bp[op]}")
+            bad += 1
+    # A size-driven broadcast->shuffle flip legitimately converts
+    # each lost BroadcastHashJoin into up to THREE new Exchanges
+    # (hash-partition both sides, plus a downstream re-partition a
+    # broadcast output previously satisfied for free). Budget that
+    # before calling exchange growth a degradation — the flip
+    # itself is the *correct* planner response to a grown build
+    # side, and is reported as INFO below either way.
+    # ...but ONLY when the lost BHJs actually became shuffle joins
+    # (smj+shj rose by at least as much). A BHJ that disappeared
+    # because a rewrite removed the join entirely earns no budget —
+    # otherwise up to 3x that many unrelated new exchanges would be
+    # silently downgraded and a real regression masked.
+    lost_bhj = max(0, bp["bhj"] - np_["bhj"])
+    gained_shuffle_joins = max(
+        0, (np_["smj"] + np_["shj"]) - (bp["smj"] + bp["shj"])
+    )
+    flipped_bhj = min(lost_bhj, gained_shuffle_joins)
+    exchange_budget = 3 * flipped_bhj
+    if np_["exchange"] > bp["exchange"] + exchange_budget:
+        if stem in SIZE_DISPATCHED:
+            msgs.append(
+                f"INFO size-dispatched algorithm switch "
+                f"(naive->prefix join; exchanges "
+                f"{bp['exchange']} -> {np_['exchange']})"
+            )
+        else:
+            msgs.append(
+                f"DEGRADED exchanges {bp['exchange']} -> {np_['exchange']}"
+            )
+            bad += 1
+    elif np_["exchange"] > bp["exchange"]:
+        msgs.append(
+            f"INFO exchanges {bp['exchange']} -> {np_['exchange']} "
+            f"(within the {exchange_budget}-exchange budget of "
+            f"{flipped_bhj} broadcast->shuffle flip(s))"
+        )
+    if np_["smj"] + np_["shj"] > bp["smj"] + bp["shj"]:
+        msgs.append(
+            f"INFO broadcast->shuffle join flip "
+            f"(bhj {bp['bhj']}->{np_['bhj']}, "
+            f"smj+shj {bp['smj'] + bp['shj']}->{np_['smj'] + np_['shj']})"
+        )
+    return msgs, bad
+
+
 def main() -> int:
     base_dir, new_dir = Path(sys.argv[1]), Path(sys.argv[2])
     bad = 0
@@ -69,44 +127,8 @@ def main() -> int:
             print(f"{new_plan.stem}: NEW (no baseline plan) {np_}")
             continue
         bp = profile(base_plan)
-        msgs = []
-        for op in ("cartesian", "bnlj"):
-            if np_[op] > bp[op]:
-                msgs.append(f"DEGRADED new {op} x{np_[op] - bp[op]}")
-                bad += 1
-        # A size-driven broadcast->shuffle flip legitimately converts
-        # each lost BroadcastHashJoin into up to THREE new Exchanges
-        # (hash-partition both sides, plus a downstream re-partition a
-        # broadcast output previously satisfied for free). Budget that
-        # before calling exchange growth a degradation — the flip
-        # itself is the *correct* planner response to a grown build
-        # side, and is reported as INFO below either way.
-        flipped_bhj = max(0, bp["bhj"] - np_["bhj"])
-        exchange_budget = 3 * flipped_bhj
-        if np_["exchange"] > bp["exchange"] + exchange_budget:
-            if new_plan.stem in SIZE_DISPATCHED:
-                msgs.append(
-                    f"INFO size-dispatched algorithm switch "
-                    f"(naive->prefix join; exchanges "
-                    f"{bp['exchange']} -> {np_['exchange']})"
-                )
-            else:
-                msgs.append(
-                    f"DEGRADED exchanges {bp['exchange']} -> {np_['exchange']}"
-                )
-                bad += 1
-        elif np_["exchange"] > bp["exchange"]:
-            msgs.append(
-                f"INFO exchanges {bp['exchange']} -> {np_['exchange']} "
-                f"(within the {exchange_budget}-exchange budget of "
-                f"{flipped_bhj} broadcast->shuffle flip(s))"
-            )
-        if np_["smj"] + np_["shj"] > bp["smj"] + bp["shj"]:
-            msgs.append(
-                f"INFO broadcast->shuffle join flip "
-                f"(bhj {bp['bhj']}->{np_['bhj']}, "
-                f"smj+shj {bp['smj'] + bp['shj']}->{np_['smj'] + np_['shj']})"
-            )
+        msgs, n_bad = compare(new_plan.stem, bp, np_)
+        bad += n_bad
         print(f"{new_plan.stem}: {'; '.join(msgs) if msgs else 'OK'}")
     print(f"\n{'FAIL' if bad else 'PASS'}: {bad} degradations")
     return 1 if bad else 0
