@@ -1,0 +1,65 @@
+"""Lineage truncation with a choice of durability.
+
+The iterative operators (union-find pointer jumping, PageRank, the
+streaming dedup index, pair-stats cores referenced from several join
+sides) must cut lineage every round — otherwise Catalyst re-analyzes
+an ever-deeper plan and an unmaterialized upstream (a whole LSH
+pipeline) re-runs once per reference. ``localCheckpoint`` does that
+with EXECUTOR-LOCAL block storage: correct and cheap on one node, but
+on a real cluster the truncation removes the recompute path, so one
+lost executor kills a long-running job (the reference's own pipeline
+is continuous — notebooks/pipeline.json:11 — so long jobs are the
+design point, not the exception).
+
+:func:`materialize` is the one chokepoint: by default it stays
+``localCheckpoint`` (single-node friendly, zero extra I/O); when the
+caller passes ``checkpoint_dir`` it switches to write-then-read
+parquet under that directory — durable storage (HDFS/S3/ABFS in
+production), so a lost executor re-READS instead of failing the job.
+Write-then-read is chosen over RDD ``.checkpoint()`` deliberately:
+
+* it stays at the DataFrame level — no RDD round-trip through Java
+  serialization, data stays columnar-compressed on disk;
+* the re-read is a plain parquet scan: column pruning and predicate
+  pushdown still apply to downstream consumers;
+* the per-step files double as an audit trail of each iteration and
+  are resumable by ANY engine (the same portability argument as the
+  md5-derived hashing used throughout this repo).
+
+Every reliable step writes to a fresh subdirectory
+``<checkpoint_dir>/<label>-<n>`` (a process-wide counter — two
+operators sharing a dir never collide); callers own cleanup of the
+directory, exactly like ``spark.sparkContext.setCheckpointDir``
+semantics.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame
+
+__all__ = ["materialize"]
+
+_step = itertools.count()
+
+
+def materialize(
+    df: DataFrame,
+    checkpoint_dir: str | None = None,
+    eager: bool = True,
+    label: str = "step",
+) -> DataFrame:
+    """Truncate ``df``'s lineage.
+
+    ``checkpoint_dir=None`` -> ``localCheckpoint(eager=eager)`` (the
+    single-node default). Otherwise the DataFrame is written once as
+    parquet under ``checkpoint_dir`` and read back — a RELIABLE
+    checkpoint: recompute-after-executor-loss becomes a re-read from
+    durable storage. The reliable path is always eager (a write is).
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    path = f"{checkpoint_dir.rstrip('/')}/{label}-{next(_step):06d}"
+    df.write.mode("error").parquet(path)
+    return df.sparkSession.read.parquet(path)

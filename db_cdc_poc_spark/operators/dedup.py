@@ -19,6 +19,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from db_cdc_poc_spark.checkpointing import materialize
 from db_cdc_poc_spark.operators.cdc import latest_by_key
 
 # --------------------------------------------------------------------------
@@ -203,18 +204,22 @@ def _pair_shingle_stats(
 
 
 def _pair_stats_from_rows(
-    sh: DataFrame, max_doc_freq: int | None = None
+    sh: DataFrame,
+    max_doc_freq: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The row-based core of ``_pair_shingle_stats``: takes any
     (id, shingle) feature rows — word shingles, winnowed fingerprints —
     and produces the per-pair overlap stats.
 
     The feature rows are referenced three times (sizes + both join
-    sides), so they are materialized once (lazy local checkpoint)
-    instead of re-running the upstream tokenize/shingle pipeline per
-    reference — the same build-the-index choice as the winnowed path.
+    sides), so they are materialized once (lazy local checkpoint by
+    default; reliable parquet under ``checkpoint_dir`` when set — see
+    ``checkpointing.materialize``) instead of re-running the upstream
+    tokenize/shingle pipeline per reference — the same build-the-index
+    choice as the winnowed path.
     """
-    sh = sh.localCheckpoint(eager=False)
+    sh = materialize(sh, checkpoint_dir, eager=False, label="pair-rows")
     counts = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     if max_doc_freq is not None:
         rare = (
@@ -261,6 +266,7 @@ def _exact_pair_stats(
     measure: str,
     docs: DataFrame,
     mode: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Dispatch the EXACT pair-stats computation by corpus size.
 
@@ -275,14 +281,19 @@ def _exact_pair_stats(
     if mode == "auto":
         mode = "naive" if docs.count() <= _PREFIX_AUTO_MIN_DOCS else "prefix"
     if mode == "naive":
-        return _pair_stats_from_rows(sh)
+        return _pair_stats_from_rows(sh, checkpoint_dir=checkpoint_dir)
     if mode == "prefix":
-        return _prefix_filtered_pair_stats(sh, threshold, measure)
+        return _prefix_filtered_pair_stats(
+            sh, threshold, measure, checkpoint_dir=checkpoint_dir
+        )
     raise ValueError(f"unknown mode: {mode!r} (want 'auto'|'naive'|'prefix')")
 
 
 def _prefix_filtered_pair_stats(
-    sh: DataFrame, threshold: float, measure: str
+    sh: DataFrame,
+    threshold: float,
+    measure: str,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id_a, id_b, common, sz_a, sz_b) for every pair that can reach
     ``measure >= threshold`` — the EXACT set-similarity join with
@@ -324,7 +335,7 @@ def _prefix_filtered_pair_stats(
     t = float(threshold)
     eps = 1e-9  # guards float rounding of t*n at the exact boundary:
     # only ever ADMITS borderline candidates, never drops a true pair
-    sh = sh.localCheckpoint(eager=False)
+    sh = materialize(sh, checkpoint_dir, eager=False, label="prefix-rows")
     counts = sh.groupBy("id").agg(F.count("*").alias("n"))
     # document frequency via a window over the shingle partition (one
     # exchange of the big table, no separate dfreq materialize+join);
@@ -424,6 +435,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     mode: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """All pairs (a < b) whose word-n-gram Jaccard similarity >= threshold.
 
@@ -440,7 +452,12 @@ def ngram_jaccard_pairs(
     """
     stats = (
         _exact_pair_stats(
-            hashed_shingle_rows(df, id_col, text_col, n), threshold, "jaccard", df, mode
+            hashed_shingle_rows(df, id_col, text_col, n),
+            threshold,
+            "jaccard",
+            df,
+            mode,
+            checkpoint_dir,
         )
         if max_doc_freq is None
         else _pair_shingle_stats(df, id_col, text_col, n, max_doc_freq)
@@ -464,6 +481,7 @@ def containment_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
     mode: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with shingle containment >= threshold:
     |A ∩ B| / min(|A|, |B|) — Broder's containment measure.
@@ -488,6 +506,7 @@ def containment_pairs(
             "containment",
             df,
             mode,
+            checkpoint_dir,
         )
         if max_doc_freq is None
         else _pair_shingle_stats(df, id_col, text_col, n, max_doc_freq)
@@ -556,6 +575,7 @@ def winnowed_containment_pairs(
     hash_fn: str = "md5",
     max_doc_freq: int | None = None,
     mode: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Containment over winnowed fingerprint sets — the corpus-scale
     form of ``containment_pairs``: same |A ∩ B| / min(|A|, |B|)
@@ -570,9 +590,9 @@ def winnowed_containment_pairs(
         "id", F.col("h").alias("shingle")
     )
     stats = (
-        _exact_pair_stats(fp, threshold, "containment", df, mode)
+        _exact_pair_stats(fp, threshold, "containment", df, mode, checkpoint_dir)
         if max_doc_freq is None
-        else _pair_stats_from_rows(fp, max_doc_freq)
+        else _pair_stats_from_rows(fp, max_doc_freq, checkpoint_dir)
     )
     return (
         stats
@@ -914,6 +934,7 @@ def neardup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
     max_driver_edges: int = 10_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (id, cluster_id)
     where cluster_id = the smallest id reachable through pair edges.
@@ -938,6 +959,14 @@ def neardup_clusters(
       Per-round fixed costs (planning + codegen ~seconds) only
       amortize on genuinely large graphs — hence the size gate.
 
+    ``checkpoint_dir``: when set, every per-iterate materialization is
+    a RELIABLE parquet checkpoint under that (durable) directory
+    instead of executor-local block storage — on a multi-node cluster
+    ``localCheckpoint`` truncates lineage with no recompute path, so
+    one lost executor kills the whole propagation loop; the reliable
+    form re-reads the last iterate instead. Results are identical
+    (asserted in tests); single-node default stays local.
+
     Input: (id_a, id_b) pairs (extra columns ignored).
     Output: (id, cluster_id) for every id that appears in a pair.
     """
@@ -945,12 +974,13 @@ def neardup_clusters(
     # below references it twice, and an unmaterialized lineage would
     # re-run the whole upstream pair pipeline (LSH, shingling, exact
     # verification) once per reference
-    p = pairs.select("id_a", "id_b").localCheckpoint()
-    edges = (
+    p = materialize(pairs.select("id_a", "id_b"), checkpoint_dir, label="cc-pairs")
+    edges = materialize(
         p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
+        label="cc-edges",
     )
     if edges.count() <= max_driver_edges:
         from pyspark.sql.types import StructField, StructType
@@ -986,11 +1016,12 @@ def neardup_clusters(
             ]
         )
         return spark.createDataFrame(rows, schema)
-    labels = (
+    labels = materialize(
         edges.groupBy("src")
         .agg(F.min("dst").alias("m"))
-        .select(F.col("src").alias("id"), F.least("m", "src").alias("label"))
-        .localCheckpoint()
+        .select(F.col("src").alias("id"), F.least("m", "src").alias("label")),
+        checkpoint_dir,
+        label="cc-labels",
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -1008,17 +1039,17 @@ def neardup_clusters(
         parents = via_neighbors.select(
             F.col("id").alias("p_id"), F.col("label").alias("p_label")
         )
-        new_labels = (
+        new_labels = materialize(
             via_neighbors.join(
                 parents, via_neighbors["label"] == parents["p_id"], "left"
-            )
-            .select(
+            ).select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce("p_label", F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
+            label="cc-iter",
         )
         changed = (
             new_labels.alias("n")
@@ -1040,6 +1071,7 @@ def dedup_fuzzy(
     id_col: str = "doc_id",
     keep: str = "min_id",
     quality_col: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Remove near-duplicates: cluster the pair graph, keep ONE
     representative per cluster (plus every unpaired document).
@@ -1048,8 +1080,12 @@ def dedup_fuzzy(
     keep='best_quality': the row with the greatest ``quality_col``
     survives (ties to smallest id) — the training-data policy of
     keeping the highest-quality copy.
+
+    ``checkpoint_dir``: reliable-checkpoint directory forwarded to
+    :func:`neardup_clusters` for fault-tolerant clustering on real
+    clusters (see there).
     """
-    clusters = neardup_clusters(pairs)
+    clusters = neardup_clusters(pairs, checkpoint_dir=checkpoint_dir)
     joined = df.join(
         clusters, df[id_col] == clusters["id"], "left"
     ).drop("id")

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from db_cdc_poc_spark.checkpointing import materialize
+
 __all__ = ["pagerank", "derive_scale"]
 
 #: 2^62 — headroom numerator for the automatic scale choice.
@@ -47,6 +49,7 @@ def pagerank(
     iterations: int = 3,
     damping_ppm: int = 850_000,
     scale: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over an (src, dst) edge list.
 
@@ -62,8 +65,10 @@ def pagerank(
 
     Plan per iteration: one broadcast-or-shuffle join of ranks to
     edges + one sum-by-dst — the minimal shape; ranks are
-    ``localCheckpoint``-ed each round so the logical plan stays flat
-    (same loop hygiene as `dedup.neardup_clusters`). The driver holds
+    materialized each round so the logical plan stays flat (same
+    loop hygiene as `dedup.neardup_clusters`; executor-local blocks by
+    default, reliable parquet under ``checkpoint_dir`` when set — a
+    long 100 TB job must survive executor loss). The driver holds
     only N and the dangling total (scalars), never rows. Fixed
     ``iterations`` rather than a convergence test keeps the result a
     pure function of the input — the property the oracle needs.
@@ -72,12 +77,17 @@ def pagerank(
     """
     if not 0 < damping_ppm < 1_000_000:
         raise ValueError(f"damping_ppm must be in (0, 1e6): {damping_ppm}")
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
-    nodes = (
+    e = materialize(
+        edges.select("src", "dst").distinct(), checkpoint_dir,
+        eager=False, label="pr-edges",
+    )
+    nodes = materialize(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        checkpoint_dir,
+        eager=False,
+        label="pr-nodes",
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n = nodes.count()
@@ -119,6 +129,6 @@ def pagerank(
                     + F.coalesce("in_mass", F.lit(0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        ranks = materialize(ranks, checkpoint_dir, eager=False, label="pr-iter")
     return ranks

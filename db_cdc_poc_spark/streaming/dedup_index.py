@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from db_cdc_poc_spark.checkpointing import materialize
 from db_cdc_poc_spark.operators.dedup import est_jaccard_col, minhash_bands
 from db_cdc_poc_spark.streaming.state import BucketedStateTable
 
@@ -59,6 +60,7 @@ class StreamingDedupIndex:
         threshold: float = 0.5,
         num_buckets: int = 16,
         max_bucket_size: int | None = None,
+        checkpoint_dir: str | None = None,
     ) -> None:
         self.id_col = id_col
         self.text_col = text_col
@@ -67,6 +69,11 @@ class StreamingDedupIndex:
         self.shingle_n = shingle_n
         self.threshold = threshold
         self.max_bucket_size = max_bucket_size
+        # reliable per-batch decision checkpoints (durable parquet)
+        # instead of executor-local blocks — see checkpointing module;
+        # a continuous ingest losing one executor must re-read its
+        # decisions, not die. None keeps the single-node default.
+        self.checkpoint_dir = checkpoint_dir
         self.state = BucketedStateTable(
             path, keys=["band_id", "band_hash"], num_buckets=num_buckets
         )
@@ -170,13 +177,16 @@ class StreamingDedupIndex:
                     F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
                 )
             )
-            # Decide BEFORE the index mutates: an eager localCheckpoint
-            # materializes the decision rows on the executors and cuts
+            # Decide BEFORE the index mutates: an eager materialization
+            # pins the decision rows (executor blocks by default,
+            # durable parquet when checkpoint_dir is set) and cuts
             # lineage, so the append below can't leak into the returned
             # plan — and decision data stays distributed instead of
             # round-tripping through the driver (driver traffic is the
             # touched-bucket id list only, bounded by num_buckets).
-            decisions = decisions.localCheckpoint(eager=True)
+            decisions = materialize(
+                decisions, self.checkpoint_dir, label="dedup-decisions"
+            )
             self.state.merge_batch(
                 banded.select("band_id", "band_hash", "id", "sig"),
                 lambda state, b: b if state is None else state.unionByName(b),
@@ -185,13 +195,20 @@ class StreamingDedupIndex:
             banded.unpersist()
         return decisions
 
-    def foreach_batch(self, sink: list | None = None):
+    def foreach_batch(self, sink: list | None = None, max_rows: int = 100_000):
         """Adapter for ``writeStream.foreachBatch``: processes each
-        micro-batch and (optionally) appends decision rows to ``sink``."""
+        micro-batch and (optionally) appends decision rows to ``sink``.
+
+        The list sink is a TEST/DEBUG surface: pulling decisions to the
+        driver caps at ``max_rows`` per batch via the size-guarded
+        exchange (raises ``DriverExchangeTooLarge`` beyond it) — a
+        production job writes decisions to a table instead of a list.
+        """
+        from db_cdc_poc_spark.sources.exchange import collect_rows
 
         def _fn(batch_df: DataFrame, epoch_id: int) -> None:
             result = self.process_batch(batch_df)
             if sink is not None:
-                sink.extend(result.collect())
+                sink.extend(collect_rows(result, max_rows=max_rows))
 
         return _fn
