@@ -84,14 +84,50 @@ def _image_codec():
         return None
 
 
+class _StdlibWavCodec:
+    """Minimal ``soundfile``-compatible reader for PCM WAV built on the
+    stdlib ``wave`` module (VERDICT r5 next-round #8): environments
+    without the C soundfile library can still exercise the REAL audio
+    kernel end-to-end on WAV content — the most common raw-audio
+    interchange format — instead of skipping to the fake. Only
+    ``read`` is provided (all the kernel uses); 8/16/32-bit integer
+    PCM, normalized to [-1, 1) floats like soundfile's default.
+    """
+
+    @staticmethod
+    def read(fobj):
+        import wave  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+
+        with wave.open(fobj, "rb") as w:
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            data = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:  # WAV 8-bit is unsigned
+            data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif width == 4:
+            data = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM sample width: {width}")
+        if ch > 1:
+            data = data.reshape(-1, ch)
+        return data, rate
+
+
 def _audio_codec():
-    """``soundfile`` when importable, else ``None``."""
+    """``soundfile`` when importable; else the stdlib-``wave`` PCM WAV
+    shim (real decode for WAV bytes; other formats fail in-kernel and
+    yield NULL features, same as any undecodable blob)."""
     try:
         import soundfile  # noqa: PLC0415
 
         return soundfile
     except Exception:
-        return None
+        return _StdlibWavCodec
 
 
 def _fake_features(content: bytes, dim: int) -> list[float]:

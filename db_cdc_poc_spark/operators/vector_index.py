@@ -31,6 +31,82 @@ from pyspark.sql import functions as F
 from db_cdc_poc_spark.operators.similarity import norm, paired_cosine
 
 
+def ivf_assignment_stats(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cohort: F.Column | None = None,
+) -> DataFrame:
+    """Inline per-list balance/distortion report for an IVF assignment
+    — the relational (oracle-replayable) sibling of
+    :meth:`IvfIndex.drift_report`, computed from corpus + codebook
+    without a persisted index.
+
+    Per list: ``n_vectors``, ``occupancy_ppm`` (1e6 * n div total —
+    imbalance degrades probe cost and recall-per-nprobe),
+    ``avg_cos_ppm`` (mean member-to-centroid cosine as exact scaled
+    integers — falling = rising quantization distortion), and, when
+    ``cohort`` (a boolean Column marking newly-appended vectors) is
+    given, ``new_n`` / ``new_share_ppm``: a list whose cohort share
+    deviates strongly from the global share is absorbing the
+    distribution shift — the re-cluster signal for append-only
+    maintenance, where assignments never go stale but the codebook
+    stops matching the data.
+
+    Plan: corpus scan -> broadcast codebook cross join (build side =
+    nlist rows, an algorithm parameter) -> argmax per vector -> one
+    groupBy(list_id). Linear in the corpus, O(nlist) per row.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ce"),
+        norm(vec_col).alias("cen"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col).alias("cn"),
+        (cohort if cohort is not None else F.lit(False)).alias("is_new"),
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
+        .groupBy("neighbor_id", "is_new")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc"))
+            ).alias("list_id"),
+            F.max("cos_c").alias("best_cos"),
+        )
+    )
+    per_list = assign.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        # +1 offset keeps every scaled term in [0, 2e6]: the sum stays
+        # positive, so integer `div` (trunc) and DuckDB `//` (floor)
+        # agree, and round() is half-away-from-zero == HALF_UP on both
+        # engines for positive arguments
+        F.sum(
+            F.round((F.col("best_cos") + 1) * 1_000_000, 0).cast("long")
+        ).alias("__cos_sum"),
+        F.sum(F.col("is_new").cast("long")).alias("new_n"),
+    )
+    total = per_list.agg(F.sum("n_vectors").alias("__n_tot"))
+    out = per_list.crossJoin(F.broadcast(total)).select(
+        "list_id",
+        "n_vectors",
+        F.expr("1000000 * n_vectors div __n_tot").alias("occupancy_ppm"),
+        (F.expr("__cos_sum div n_vectors") - F.lit(1_000_000)).alias(
+            "avg_cos_ppm"
+        ),
+        "new_n",
+        F.expr("1000000 * new_n div n_vectors").alias("new_share_ppm"),
+    )
+    if cohort is None:
+        out = out.drop("new_n", "new_share_ppm")
+    return out
+
+
 class IvfIndex:
     """Handle to a built index directory (see module docstring)."""
 
@@ -110,6 +186,79 @@ class IvfIndex:
         c.join(assign, "neighbor_id").write.partitionBy("list_id").mode(
             "append"
         ).parquet(f"{self.path}/lists")
+
+    # -- maintenance diagnostics -------------------------------------------
+
+    def drift_report(self, spark: SparkSession) -> DataFrame:
+        """Per-list index-health report — the signal that says when to
+        re-cluster (a 100 TB corpus's index is MAINTAINED, not rebuilt
+        per batch; the operational question is when maintenance is no
+        longer enough).
+
+        One pass over the persisted lists with the (k-bounded,
+        broadcast) codebook:
+
+        * ``n_vectors`` / ``occupancy_ppm`` — list sizes. Appends that
+          follow a shifted data distribution bloat a few lists;
+          occupancy imbalance directly degrades probe cost (a probed
+          hot list scans more vectors) and recall-per-nprobe.
+        * ``avg_cos_ppm`` — mean cosine of members to their OWN list
+          centroid (sum of 6-dp-rounded cosines as exact integers,
+          ``div`` count: order-independent, engine-portable). Falling
+          avg_cos = rising quantization distortion: new vectors far
+          from every existing centroid.
+        * ``n_misassigned`` — members whose argmax-cosine centroid (by
+          the CURRENT stored codebook, ties to smaller cid) is not the
+          list they live in. Zero right after build/append against the
+          same codebook; nonzero means the codebook changed under the
+          lists (external re-train, partial rebuild) and probes are
+          losing recall NOW — re-cluster.
+
+        Plan: lists scan -> broadcast codebook cross join (build side
+        = nlist rows, an algorithm parameter) -> one groupBy(list_id).
+        No corpus self-join, no collect.
+        """
+        cent = spark.read.parquet(f"{self.path}/centroids")
+        lists = spark.read.parquet(f"{self.path}/lists")
+        best = (
+            lists.crossJoin(F.broadcast(cent))
+            .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
+            .groupBy("neighbor_id", "list_id")
+            .agg(
+                F.max_by(
+                    "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc"))
+                ).alias("best_cid"),
+                # cosine to the list the vector actually lives in
+                F.max_by(
+                    "cos_c", (F.col("cid") == F.col("list_id")).cast("int")
+                ).alias("own_cos"),
+            )
+        )
+        per_list = best.groupBy("list_id").agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            # ppm-scaled BEFORE summing: exact integer running sum,
+            # order-independent — the repo's float-aggregation rule;
+            # +1 offset keeps terms positive (div == floor-div)
+            F.sum(
+                F.round((F.col("own_cos") + 1) * 1_000_000, 0).cast("long")
+            ).alias("__cos_sum"),
+            F.sum(
+                (F.col("best_cid") != F.col("list_id")).cast("long")
+            ).alias("n_misassigned"),
+        )
+        total = per_list.agg(F.sum("n_vectors").alias("__n_tot"))
+        return (
+            per_list.crossJoin(F.broadcast(total))
+            .select(
+                "list_id",
+                "n_vectors",
+                F.expr("1000000 * n_vectors div __n_tot").alias("occupancy_ppm"),
+                (F.expr("__cos_sum div n_vectors") - F.lit(1_000_000)).alias(
+                    "avg_cos_ppm"
+                ),
+                "n_misassigned",
+            )
+        )
 
     # -- probe ------------------------------------------------------------
 

@@ -5801,5 +5801,60 @@ def q146_auto_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q147_ivf_drift",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+), cent AS (
+    SELECT vec_id AS cid, e, nrm FROM v WHERE vec_id % 16 = 0
+), assign AS (
+    SELECT neighbor_id, is_new, cid AS list_id, cos_raw FROM (
+        SELECT c.vec_id AS neighbor_id, c.vec_id % 5 = 0 AS is_new, t.cid,
+               CASE WHEN c.nrm * t.nrm > 0
+                    THEN list_dot_product(c.e, t.e) / (c.nrm * t.nrm)
+                    ELSE 0.0 END AS cos_raw,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY CASE WHEN c.nrm * t.nrm > 0 THEN list_dot_product(c.e, t.e) / (c.nrm * t.nrm) ELSE 0.0 END DESC, t.cid) AS rn
+        FROM v c CROSS JOIN cent t)
+    WHERE rn = 1
+), per_list AS (
+    SELECT list_id,
+           count(*) AS n_vectors,
+           CAST(sum(CAST(round((cos_raw + 1) * 1000000, 0) AS BIGINT)) AS BIGINT) AS cos_sum,
+           CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS new_n
+    FROM assign GROUP BY list_id
+), tot AS (
+    SELECT CAST(sum(n_vectors) AS BIGINT) AS n_tot FROM per_list
+)
+SELECT list_id, n_vectors,
+       CAST(1000000 * n_vectors // n_tot AS BIGINT) AS occupancy_ppm,
+       CAST(cos_sum // n_vectors - 1000000 AS BIGINT) AS avg_cos_ppm,
+       new_n,
+       CAST(1000000 * new_n // n_vectors AS BIGINT) AS new_share_ppm
+FROM per_list, tot
+""",
+)
+def q147_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-maintenance drift report
+    (vector_index.ivf_assignment_stats): per-inverted-list occupancy,
+    quantization distortion (mean member-to-centroid cosine, exact
+    scaled-integer mean), and the share of a 'newly appended' cohort
+    (vec_id % 5 = 0 stands in for the append batch) — the numbers that
+    say when append-only maintenance (IvfIndex.append) has drifted far
+    enough from the codebook to warrant re-clustering. Broadcast
+    codebook (nlist-bounded build side), one corpus pass, one
+    groupBy(list_id)."""
+    from db_cdc_poc_spark.operators.vector_index import ivf_assignment_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_assignment_stats(
+        emb,
+        centroids=emb.filter(F.col("vec_id") % 16 == 0),
+        cohort=F.col("vec_id") % 5 == 0,
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

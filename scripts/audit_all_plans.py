@@ -70,6 +70,10 @@ BOUNDED_BUILD_NLJ = {
     # THRESHOLD LIST length (corpus already reduced to <= k+1 bucket
     # rows by one aggregation) — the non-equi join never sees the corpus.
     "q140_filter_sweep",
+    # drift report: corpus x broadcast codebook (nlist-bounded build,
+    # the q43 shape) plus a 1-row total-count spine join — both BNLJ
+    # build sides are parameter- or scalar-bounded, hand-verified.
+    "q147_ivf_drift",
 }
 
 # BNLJs whose every build side is a 1-row scalar-aggregate spine

@@ -1,0 +1,177 @@
+"""Skewed-data scale bench (VERDICT r5 next-round #3).
+
+`tests/test_dedup_skew.py` proves the salt/cap mechanics on synthetic
+unit corpora; `make_scaled_sf.py` preserves uniform fan-out, so the
+committed sf1.0/sf3.0 runs never exercised them. This script benches
+the mitigation paths against their unmitigated plans ON REALISTICALLY
+SKEWED DATA at sf1.0 scale (`make_scaled_sf.py --zipf`: 3 user keys
+holding 30% of 1M events — ~1300x the typical key — and 1000
+boilerplate documents that collide in every LSH band).
+
+Measured (each wall-clock of a full count()/collect() action, warm —
+the first run of each variant is discarded as JVM/codegen warm-up for
+the sub-minute cases):
+
+1. `skew_report` on events.user_id — the pre-flight diagnostic: shows
+   the skew the mitigations respond to (top-3 share ppm).
+2. fact x dim equi-join (q146 shape: events x per-user latest event
+   type) as a SHUFFLE join (broadcast disabled — at 100 TB the dim
+   does not broadcast; on local[32] the 15k-row dim always would,
+   which would hide the skew entirely), three ways:
+     a. plain SortMergeJoin, AQE skew-join OFF — the naive cluster
+        plan; the 3 hot keys land on 3 reducers;
+     b. plain SortMergeJoin, AQE skew-join ON — Spark's own runtime
+        mitigation (splits oversized partitions, replicates the
+        matching build partitions);
+     c. auto_salted_join (hot keys measured then salted 32 ways,
+        cold keys join plain) under the same no-broadcast confs.
+3. events x customer aggregate join (q51 shape): plain vs salted_join
+   (everything salted), same three confs.
+4. MinHash-LSH pairs on the boilerplate corpus: uncapped (every band
+   bucket self-joined — the 1000-doc hot bucket pays d^2 x 16 bands
+   ~ 8M candidates) vs max_bucket_size=50 (hot buckets dropped before
+   the self-join).
+
+Writes BENCH_skew.json (one JSON line, same shape as bench.py) and
+prints a markdown summary for SCALING.md.
+
+Usage: SPARK_GRAFT_SKEW_DIR=.benchdata/sf1.0-zipf python scripts/bench_skew.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from db_cdc_poc_spark.operators.cdc import latest_by_key  # noqa: E402
+from db_cdc_poc_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from db_cdc_poc_spark.operators.joins import auto_salted_join, salted_join  # noqa: E402
+from db_cdc_poc_spark.operators.stats import key_skew_report  # noqa: E402
+from db_cdc_poc_spark.session import get_spark  # noqa: E402
+
+SKEW_DIR = os.environ.get("SPARK_GRAFT_SKEW_DIR", ".benchdata/sf1.0-zipf")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _timed(fn, warm: bool = True) -> tuple[float, int]:
+    if warm:
+        fn()
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench-skew", cpus=CPUS)
+    ev = spark.read.parquet(f"{SKEW_DIR}/events.parquet")
+    cust = spark.read.parquet(f"{SKEW_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    docs = spark.read.parquet(f"{SKEW_DIR}/documents.parquet")
+    results: dict[str, float] = {}
+
+    # 1. the diagnostic: prove the data is skewed
+    rep = key_skew_report(ev, ["user_id"], top_k=3).collect()[0]
+    print(f"skew report: {rep.asDict()}")
+
+    dim = latest_by_key(ev, "user_id", "ts", "event_id").select(
+        "user_id", F.col("event_type").alias("latest_type")
+    )
+
+    def no_broadcast():
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+
+    def restore():
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    def aqe_skew(on: bool):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(on).lower())
+
+    fact = ev.select("event_id", "user_id", "event_type")
+
+    no_broadcast()
+    try:
+        # 2. fact x dim (q146 shape)
+        for label, on in (("aqe_off", False), ("aqe_on", True)):
+            aqe_skew(on)
+            dt, n = _timed(lambda: fact.join(dim, "user_id").count())
+            results[f"dim_join_plain_{label}"] = round(dt, 2)
+            print(f"dim_join plain {label}: {dt:.2f}s ({n} rows)")
+        aqe_skew(False)  # salting must not lean on AQE to look good
+        dt, n = _timed(
+            lambda: auto_salted_join(
+                fact, dim, "user_id", salt=32, hot_threshold=10_000
+            ).count()
+        )
+        results["dim_join_auto_salted"] = round(dt, 2)
+        print(f"dim_join auto_salted (aqe_off): {dt:.2f}s ({n} rows)")
+
+        # 3. events x customer aggregate (q51 shape)
+        def agg_of(joined):
+            return lambda: joined.groupBy("event_type").agg(
+                F.count("*").alias("n")
+            ).count()
+
+        for label, on in (("aqe_off", False), ("aqe_on", True)):
+            aqe_skew(on)
+            dt, n = _timed(agg_of(ev.join(cust, "user_id")))
+            results[f"cust_join_plain_{label}"] = round(dt, 2)
+            print(f"cust_join plain {label}: {dt:.2f}s")
+        aqe_skew(False)
+        dt, n = _timed(agg_of(salted_join(ev, cust, "user_id", salt=32)))
+        results["cust_join_salted"] = round(dt, 2)
+        print(f"cust_join salted (aqe_off): {dt:.2f}s")
+    finally:
+        restore()
+        aqe_skew(True)
+
+    # 4. LSH band-bucket cap (broadcast allowed — the candidate join is
+    # a self-join on band hashes, not a fact-dim shape)
+    t0 = time.time()
+    n_uncapped = minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.9
+    ).count()
+    results["lsh_uncapped"] = round(time.time() - t0, 2)
+    print(f"lsh uncapped: {results['lsh_uncapped']}s ({n_uncapped} pairs)")
+    dt, n_capped = _timed(
+        lambda: minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.9, max_bucket_size=50
+        ).count()
+    )
+    results["lsh_capped_50"] = round(dt, 2)
+    print(f"lsh capped(50): {dt:.2f}s ({n_capped} pairs)")
+    print(
+        f"lsh pair counts: uncapped={n_uncapped} capped={n_capped} "
+        f"(capped drops the boilerplate clique by design; recall tradeoff "
+        f"is measured by q132's recall report, not here)"
+    )
+
+    line = {
+        "metric": "skew_bench_sf1_zipf",
+        "value": round(sum(results.values()), 2),
+        "unit": "sec",
+        "queries": results,
+        "sf": 1.0,
+        "skew": {
+            "hot_user_rows": int(rep.max_cnt),
+            "p50_rows": float(rep.p50_cnt),
+            "top3_share_ppm": int(rep.top3_share_ppm),
+        },
+    }
+    print(json.dumps(line))
+    Path("BENCH_skew.json").write_text(json.dumps(line) + "\n")
+
+
+if __name__ == "__main__":
+    main()

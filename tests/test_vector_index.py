@@ -86,3 +86,70 @@ def test_append_matches_full_rebuild(spark):
     a = sorted(map(tuple, inc.probe(spark, queries, k=5, nprobe=4).collect()))
     b = sorted(map(tuple, full.probe(spark, queries, k=5, nprobe=4).collect()))
     assert a == b and a
+
+
+def test_drift_report_healthy_after_build_and_append(spark):
+    """Right after build+append against one codebook: zero misassigned
+    members everywhere, occupancy sums to ~1e6, every list's avg
+    member-to-centroid cosine is sane (> 0 for argmax assignment)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 16 == 0)
+    idx = IvfIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0), centroids=cents,
+        path=tempfile.mkdtemp(prefix="ivfd_") + "/i",
+    )
+    idx.append(emb.filter(F.col("vec_id") % 2 != 0))
+    rep = idx.drift_report(spark).collect()
+    assert rep
+    assert all(r.n_misassigned == 0 for r in rep)
+    assert sum(r.n_vectors for r in rep) == emb.count()
+    total_ppm = sum(r.occupancy_ppm for r in rep)
+    assert 1_000_000 - len(rep) <= total_ppm <= 1_000_000  # div truncation
+    assert all(r.avg_cos_ppm > 0 for r in rep)
+
+
+def test_drift_report_flags_codebook_change(spark):
+    """Re-training the codebook under existing lists (the drift the
+    report exists to catch) must surface as misassigned members."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivft_") + "/i"
+    idx = IvfIndex.build(
+        emb, centroids=emb.filter(F.col("vec_id") % 16 == 0), path=path
+    )
+    # overwrite the codebook with a DIFFERENT centroid sample, keeping
+    # the old cid values so every list still has a centroid row
+    from db_cdc_poc_spark.operators.similarity import norm
+
+    new_cents = (
+        emb.filter((F.col("vec_id") - 1) % 16 == 0)
+        .select(
+            (F.col("vec_id") - 1).alias("cid"),
+            F.col("embedding").alias("ce"),
+            norm("embedding").alias("cen"),
+        )
+    )
+    new_cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    rep = idx.drift_report(spark).collect()
+    assert sum(r.n_misassigned for r in rep) > 0
+
+
+def test_assignment_stats_matches_drift_report_on_fresh_index(spark):
+    """The inline relational form (the q147 oracle surface) and the
+    persisted-index report agree on occupancy and distortion for a
+    fresh build (where misassignment is structurally zero)."""
+    from db_cdc_poc_spark.operators.vector_index import ivf_assignment_stats
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 16 == 0)
+    idx = IvfIndex.build(
+        emb, centroids=cents, path=tempfile.mkdtemp(prefix="ivfe_") + "/i"
+    )
+    inline = {
+        r.list_id: (r.n_vectors, r.occupancy_ppm, r.avg_cos_ppm)
+        for r in ivf_assignment_stats(emb, cents).collect()
+    }
+    stored = {
+        r.list_id: (r.n_vectors, r.occupancy_ppm, r.avg_cos_ppm)
+        for r in idx.drift_report(spark).collect()
+    }
+    assert inline == stored
