@@ -5765,6 +5765,7 @@ def q145_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q146_auto_salted",
+    headline=True,
     oracle="""
 WITH dim AS (
     SELECT user_id, event_type AS latest_type FROM (
@@ -5803,6 +5804,7 @@ def q146_auto_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q147_ivf_drift",
+    headline=True,
     oracle="""
 WITH v AS (
     SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
