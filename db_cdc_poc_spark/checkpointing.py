@@ -27,21 +27,26 @@ Write-then-read is chosen over RDD ``.checkpoint()`` deliberately:
   md5-derived hashing used throughout this repo).
 
 Every reliable step writes to a fresh subdirectory
-``<checkpoint_dir>/<label>-<n>`` (a process-wide counter — two
-operators sharing a dir never collide); callers own cleanup of the
-directory, exactly like ``spark.sparkContext.setCheckpointDir``
-semantics.
+``<checkpoint_dir>/<label>-<run>-<n>`` (a per-process run token plus a
+process-wide counter — neither two operators in one run nor two runs
+sharing a dir ever collide); callers own cleanup of the directory,
+exactly like ``spark.sparkContext.setCheckpointDir`` semantics.
 """
 
 from __future__ import annotations
 
 import itertools
+import uuid
 
 from pyspark.sql import DataFrame
 
 __all__ = ["materialize"]
 
 _step = itertools.count()
+# per-process token: two RUNS (or a restart) pointing at the same
+# checkpoint_dir must not collide on step names — mode("error") would
+# otherwise refuse the write on a leftover directory
+_RUN = uuid.uuid4().hex[:8]
 
 
 def materialize(
@@ -60,6 +65,6 @@ def materialize(
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
-    path = f"{checkpoint_dir.rstrip('/')}/{label}-{next(_step):06d}"
+    path = f"{checkpoint_dir.rstrip('/')}/{label}-{_RUN}-{next(_step):06d}"
     df.write.mode("error").parquet(path)
     return df.sparkSession.read.parquet(path)
