@@ -1297,12 +1297,12 @@ WITH RECURSIVE tk AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
     FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-), pairs AS (
+), pairs AS MATERIALIZED (
     SELECT id_a, id_b FROM common
     JOIN sz sa ON sa.doc_id = id_a
     JOIN sz sb ON sb.doc_id = id_b
     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
-), edges AS (
+), edges AS MATERIALIZED (
     SELECT id_a AS s, id_b AS d FROM pairs
     UNION
     SELECT id_b, id_a FROM pairs
@@ -4538,12 +4538,12 @@ WITH RECURSIVE tk AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
     FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-), pairs AS (
+), pairs AS MATERIALIZED (
     SELECT id_a, id_b FROM common
     JOIN sz sa ON sa.doc_id = id_a
     JOIN sz sb ON sb.doc_id = id_b
     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
-), edges AS (
+), edges AS MATERIALIZED (
     SELECT id_a AS s, id_b AS d FROM pairs
     UNION
     SELECT id_b, id_a FROM pairs
@@ -5704,12 +5704,12 @@ WITH RECURSIVE base AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
     FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-), pairs AS (
+), pairs AS MATERIALIZED (
     SELECT id_a, id_b FROM common
     JOIN sz sa ON sa.doc_id = id_a
     JOIN sz sb ON sb.doc_id = id_b
     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9
-), edges AS (
+), edges AS MATERIALIZED (
     SELECT id_a AS s, id_b AS d FROM pairs
     UNION
     SELECT id_b, id_a FROM pairs
