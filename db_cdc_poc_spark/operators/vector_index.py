@@ -56,7 +56,14 @@ def ivf_assignment_stats(
 
     Plan: corpus scan -> broadcast codebook cross join (build side =
     nlist rows, an algorithm parameter) -> argmax per vector -> one
-    groupBy(list_id). Linear in the corpus, O(nlist) per row.
+    groupBy(list_id). Linear in the corpus, O(nlist) per row — which
+    means ``centroids`` MUST be a parameter-bounded sample (fixed
+    nlist), same contract as ``ivf_topk``/``IvfIndex.build``: a
+    codebook derived as a fixed FRACTION of the corpus makes the
+    assignment quadratic (n * n/16 pairs of interpreted
+    aggregate/zip_with dot products — measured pathological at 60k
+    vectors), exactly the degenerate case the q43-family big-SF
+    exclusions document.
     """
     cent = centroids.select(
         F.col(id_col).alias("cid"),
