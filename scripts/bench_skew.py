@@ -35,7 +35,25 @@ the sub-minute cases):
 Writes BENCH_skew.json (one JSON line, same shape as bench.py) and
 prints a markdown summary for SCALING.md.
 
-Usage: SPARK_GRAFT_SKEW_DIR=.benchdata/sf1.0-zipf python scripts/bench_skew.py
+Round-6 finding that reshaped this bench: at sf1.0-zipf the hot keys
+are ~100k rows each — a single reducer sorts that in well under a
+second on local[32], so the join mitigations measure as pure overhead
+(plain 1.0s / AQE 0.9s / salted 1.5s) and the honest conclusion is
+"at this skew, don't salt; AQE suffices". The straggler story only
+appears when one key is big enough to dominate a reducer, so the join
+benches also run on a second dataset (``make_scaled_sf.py --k 300
+--zipf --hot-keys 1 --tables events,customer``: 30M events, 30% — 9M
+rows — on ONE user) where plain-aqe_off pays a 9M-row single-task
+sort+join. Even there the single-JVM shuffle is so much cheaper than
+a cluster's network+disk shuffle that wall-clock deltas stay modest,
+so each run ALSO reports the per-reducer row-count imbalance under
+plain vs salted hash keying (murmur3+pmod, Spark's actual routing) —
+the number that is invariant to cluster size and IS the 100 TB
+argument.
+
+Usage: SPARK_GRAFT_SKEW_DIR=.benchdata/sf1.0-zipf \
+       SPARK_GRAFT_SKEW_HOT_DIR=.benchdata/sf30-zipf-hot1 \
+       python scripts/bench_skew.py
 """
 
 from __future__ import annotations
@@ -57,6 +75,7 @@ from db_cdc_poc_spark.operators.stats import key_skew_report  # noqa: E402
 from db_cdc_poc_spark.session import get_spark  # noqa: E402
 
 SKEW_DIR = os.environ.get("SPARK_GRAFT_SKEW_DIR", ".benchdata/sf1.0-zipf")
+HOT_DIR = os.environ.get("SPARK_GRAFT_SKEW_HOT_DIR", ".benchdata/sf30-zipf-hot1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -68,18 +87,55 @@ def _timed(fn, warm: bool = True) -> tuple[float, int]:
     return time.time() - t0, n
 
 
-def main() -> None:
-    spark = get_spark(app_name="bench-skew", cpus=CPUS)
-    ev = spark.read.parquet(f"{SKEW_DIR}/events.parquet")
-    cust = spark.read.parquet(f"{SKEW_DIR}/customer.parquet").select(
+def reducer_load(df, key_cols, parts: int = 32) -> tuple[int, float]:
+    """(max, median) rows per shuffle reducer if ``df`` were hash-
+    partitioned on ``key_cols`` into ``parts`` partitions (murmur3 +
+    pmod — Spark's HashPartitioner routing). THIS is the scale-
+    transferable skew evidence: local[32]'s in-memory shuffle hides
+    straggler wall-clock that a real cluster's network+disk shuffle
+    pays in full, but the per-reducer row imbalance is identical at
+    any cluster size."""
+    row = (
+        df.groupBy(F.pmod(F.hash(*key_cols), F.lit(parts)).alias("rid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.expr("percentile(n, 0.5)").alias("med"),
+        )
+        .first()
+    )
+    return int(row.mx), float(row.med)
+
+
+def join_benches(spark, sdir: str, prefix: str, results: dict) -> dict:
+    """Run the skew diagnostic + the two join benches (plain aqe_off /
+    plain aqe_on / salted aqe_off) against one dataset dir; results are
+    keyed ``{prefix}_...``. Returns the skew-report row as a dict."""
+    ev = spark.read.parquet(f"{sdir}/events.parquet")
+    cust = spark.read.parquet(f"{sdir}/customer.parquet").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    docs = spark.read.parquet(f"{SKEW_DIR}/documents.parquet")
-    results: dict[str, float] = {}
 
-    # 1. the diagnostic: prove the data is skewed
+    # the diagnostic: prove the data is skewed
     rep = key_skew_report(ev, ["user_id"], top_k=3).collect()[0]
-    print(f"skew report: {rep.asDict()}")
+    print(f"[{prefix}] skew report: {rep.asDict()}")
+
+    # reducer-load imbalance: plain shuffle keying vs salted keying.
+    # The salted keying mirrors salted/auto_salted's hot branch: the
+    # key plus a 32-way salt derived from the row id.
+    mx_p, med_p = reducer_load(ev, ["user_id"])
+    salted_key = ev.withColumn(
+        "__salt", F.pmod(F.hash("event_id"), F.lit(32))
+    )
+    mx_s, med_s = reducer_load(salted_key, ["user_id", "__salt"])
+    imbalance = {
+        "plain_max_reducer_rows": mx_p,
+        "plain_median_reducer_rows": med_p,
+        "plain_imbalance_x": round(mx_p / max(med_p, 1.0), 1),
+        "salted_max_reducer_rows": mx_s,
+        "salted_imbalance_x": round(mx_s / max(med_s, 1.0), 1),
+    }
+    print(f"[{prefix}] reducer load: {imbalance}")
 
     dim = latest_by_key(ev, "user_id", "ts", "event_id").select(
         "user_id", F.col("event_type").alias("latest_type")
@@ -102,22 +158,22 @@ def main() -> None:
 
     no_broadcast()
     try:
-        # 2. fact x dim (q146 shape)
+        # fact x dim (q146 shape)
         for label, on in (("aqe_off", False), ("aqe_on", True)):
             aqe_skew(on)
             dt, n = _timed(lambda: fact.join(dim, "user_id").count())
-            results[f"dim_join_plain_{label}"] = round(dt, 2)
-            print(f"dim_join plain {label}: {dt:.2f}s ({n} rows)")
+            results[f"{prefix}_dim_join_plain_{label}"] = round(dt, 2)
+            print(f"[{prefix}] dim_join plain {label}: {dt:.2f}s ({n} rows)")
         aqe_skew(False)  # salting must not lean on AQE to look good
         dt, n = _timed(
             lambda: auto_salted_join(
                 fact, dim, "user_id", salt=32, hot_threshold=10_000
             ).count()
         )
-        results["dim_join_auto_salted"] = round(dt, 2)
-        print(f"dim_join auto_salted (aqe_off): {dt:.2f}s ({n} rows)")
+        results[f"{prefix}_dim_join_auto_salted"] = round(dt, 2)
+        print(f"[{prefix}] dim_join auto_salted (aqe_off): {dt:.2f}s ({n} rows)")
 
-        # 3. events x customer aggregate (q51 shape)
+        # events x customer aggregate (q51 shape)
         def agg_of(joined):
             return lambda: joined.groupBy("event_type").agg(
                 F.count("*").alias("n")
@@ -126,15 +182,49 @@ def main() -> None:
         for label, on in (("aqe_off", False), ("aqe_on", True)):
             aqe_skew(on)
             dt, n = _timed(agg_of(ev.join(cust, "user_id")))
-            results[f"cust_join_plain_{label}"] = round(dt, 2)
-            print(f"cust_join plain {label}: {dt:.2f}s")
+            results[f"{prefix}_cust_join_plain_{label}"] = round(dt, 2)
+            print(f"[{prefix}] cust_join plain {label}: {dt:.2f}s")
         aqe_skew(False)
-        dt, n = _timed(agg_of(salted_join(ev, cust, "user_id", salt=32)))
-        results["cust_join_salted"] = round(dt, 2)
-        print(f"cust_join salted (aqe_off): {dt:.2f}s")
+        if ev.count() <= 2_000_000:
+            # full salting replicates the WHOLE dim salt× — the wrong
+            # tool at a multi-million-row dim (measured 3x slower than
+            # plain at zipf3's 1.5M-row customer side); only benched at
+            # the small scale to document exactly that
+            dt, n = _timed(agg_of(salted_join(ev, cust, "user_id", salt=32)))
+            results[f"{prefix}_cust_join_salted"] = round(dt, 2)
+            print(f"[{prefix}] cust_join salted (aqe_off): {dt:.2f}s")
+        dt, n = _timed(
+            agg_of(
+                auto_salted_join(
+                    ev, cust, "user_id", salt=32, hot_threshold=10_000
+                )
+            )
+        )
+        results[f"{prefix}_cust_join_auto_salted"] = round(dt, 2)
+        print(f"[{prefix}] cust_join auto_salted (aqe_off): {dt:.2f}s")
     finally:
         restore()
         aqe_skew(True)
+    return {
+        "hot_user_rows": int(rep.max_cnt),
+        "p50_rows": float(rep.p50_cnt),
+        "top3_share_ppm": int(rep.top3_share_ppm),
+        "reducer_load": imbalance,
+    }
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench-skew", cpus=CPUS)
+    docs = spark.read.parquet(f"{SKEW_DIR}/documents.parquet")
+    results: dict[str, float] = {}
+
+    # moderate skew: sf1.0, 30% of 1M events over 3 hot keys (~100k each)
+    skew_zipf3 = join_benches(spark, SKEW_DIR, "zipf3", results)
+    # giant-key skew: 10M events, 30% on ONE key (~3M rows) — the
+    # straggler case where a single reducer holds 3M of 10M rows
+    giant = None
+    if Path(HOT_DIR).exists():
+        giant = join_benches(spark, HOT_DIR, "giant1", results)
 
     # 4. LSH band-bucket cap (broadcast allowed — the candidate join is
     # a self-join on band hashes, not a fact-dim shape)
@@ -163,11 +253,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "sf": 1.0,
-        "skew": {
-            "hot_user_rows": int(rep.max_cnt),
-            "p50_rows": float(rep.p50_cnt),
-            "top3_share_ppm": int(rep.top3_share_ppm),
-        },
+        "skew": {"zipf3": skew_zipf3, **({"giant1": giant} if giant else {})},
     }
     print(json.dumps(line))
     Path("BENCH_skew.json").write_text(json.dumps(line) + "\n")

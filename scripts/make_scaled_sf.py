@@ -148,16 +148,18 @@ BOILERPLATE = (
 )
 
 
-def _zipf_events(table: pa.Table) -> pa.Table:
-    """Reassign 30% of events to the 3 smallest user ids, selected by a
-    deterministic Knuth multiplicative hash of event_id."""
+def _zipf_events(table: pa.Table, n_hot: int = 3) -> pa.Table:
+    """Reassign 30% of events to the ``n_hot`` smallest user ids,
+    selected by a deterministic Knuth multiplicative hash of event_id.
+    ``n_hot=1`` concentrates the whole 30% on ONE giant key — the
+    straggler-killer case the salting benches need at bench scale."""
     uid = table.column("user_id").to_numpy(zero_copy_only=False)
     eid = table.column("event_id").to_numpy(zero_copy_only=False)
-    hot = np.sort(np.unique(uid))[:3]
+    hot = np.sort(np.unique(uid))[:n_hot]
     h = (eid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
     take = (h % np.uint64(10)) < np.uint64(3)
     new = uid.copy()
-    new[take] = hot[(h[take] % np.uint64(3)).astype(np.int64)]
+    new[take] = hot[(h[take] % np.uint64(n_hot)).astype(np.int64)]
     idx = table.schema.get_field_index("user_id")
     return table.set_column(
         idx, table.schema.field(idx), pa.array(new, table.schema.field(idx).type)
@@ -191,19 +193,29 @@ def main() -> None:
                                          / ".benchdata" / "sf1.0"))
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--zipf", action="store_true",
-                    help="plant hot keys: 3 giant event user_ids, "
+                    help="plant hot keys: giant event user_ids, "
                          "boilerplate near-dup documents")
+    ap.add_argument("--hot-keys", type=int, default=3,
+                    help="number of hot user_ids splitting the 30%% "
+                         "share under --zipf (1 = one giant key)")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset of tables to emit "
+                         "(default: all); referenced FK domains are "
+                         "still offset consistently")
     args = ap.parse_args()
     src, dst = Path(args.src), Path(args.dst)
     dst.mkdir(parents=True, exist_ok=True)
+    subset = set(args.tables.split(",")) if args.tables else None
+    copied = [n for n in COPIED if subset is None or n in subset]
+    scaled = [n for n in SCALED if subset is None or n in subset]
 
-    for name in COPIED:
+    for name in copied:
         pq.write_table(pq.read_table(src / f"{name}.parquet"),
                        dst / f"{name}.parquet")
         print(f"{name}: copied")
 
     offsets = _domain_offsets(src)
-    for name in SCALED:
+    for name in scaled:
         base = pq.read_table(src / f"{name}.parquet")
         own = {c: offsets[c] for c in KEY_DOMAINS.get(name, []) if c in base.column_names}
         fks = {c: offsets[d] for c, d in FOREIGN.get(name, {}).items()}
@@ -220,7 +232,7 @@ def main() -> None:
             replicas.append(t)
         full = pa.concat_tables(replicas)
         if args.zipf and name == "events":
-            full = _zipf_events(full)
+            full = _zipf_events(full, n_hot=args.hot_keys)
         if args.zipf and name == "documents":
             full = _zipf_documents(full)
         pq.write_table(full, dst / f"{name}.parquet", row_group_size=200_000)
