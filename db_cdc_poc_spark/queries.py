@@ -5858,5 +5858,118 @@ def q147_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q148_compaction_plan",
+    oracle="""
+WITH f AS (
+    SELECT lang, doc_id AS file_id, n_chars AS bytes
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars < 10000
+), g AS (
+    SELECT lang, file_id, bytes,
+           CAST((sum(bytes) OVER (PARTITION BY lang ORDER BY file_id
+                                  ROWS UNBOUNDED PRECEDING) - bytes)
+                // 10000 AS BIGINT) AS group_id
+    FROM f
+)
+SELECT lang, file_id, bytes, group_id
+FROM g
+QUALIFY count(*) OVER (PARTITION BY lang, group_id) >= 2
+""",
+)
+def q148_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (maintenance.compaction_plan):
+    the documents table stands in for a file manifest (partition =
+    lang, file = doc_id, bytes = n_chars) and each sub-10kB file is
+    assigned to a ~10kB first-fit compaction group under a
+    per-partition window — the metadata query that decides WHAT
+    layout.compact_parquet rewrites. Single hash exchange on the
+    partition key; no global sort; singleton groups dropped (a 1-file
+    rewrite is a no-op)."""
+    from db_cdc_poc_spark.operators.maintenance import compaction_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        "lang", F.col("doc_id").alias("file_id"), F.col("n_chars").alias("bytes")
+    ).filter(F.col("bytes").isNotNull())
+    return compaction_plan(
+        files,
+        target_bytes=10_000,
+        partition_cols=["lang"],
+        file_col="file_id",
+        size_col="bytes",
+    )
+
+
+@_q(
+    "q149_file_pruning",
+    oracle="""
+WITH linear_stats AS (
+    SELECT l_orderkey % 64 AS file_id,
+           min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max
+    FROM lineitem GROUP BY 1
+), clustered_stats AS (
+    SELECT (extract(year FROM l_shipdate) * 12
+            + extract(month FROM l_shipdate)) AS file_id,
+           min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max
+    FROM lineitem GROUP BY 1
+), s AS (
+    SELECT 'linear' AS layout, ship_min, ship_max FROM linear_stats
+    UNION ALL
+    SELECT 'date_clustered', ship_min, ship_max FROM clustered_stats
+)
+SELECT layout,
+       count(*) AS n_files,
+       CAST(sum(CASE WHEN ship_min IS NOT NULL
+                      AND ship_min <= TIMESTAMP '1994-06-30 00:00:00'
+                      AND ship_max >= TIMESTAMP '1994-01-01 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survive
+FROM s GROUP BY layout
+""",
+)
+def q149_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping selectivity report (maintenance.
+    file_skipping_stats + interval_survives): per-file min/max stats
+    on l_shipdate for two synthetic layouts of lineitem — files cut
+    along orderkey (date-uncorrelated: every file's range spans the
+    table, nothing skips) vs files cut along ship month
+    (date-clustered: a 6-month predicate touches ~6 files). The
+    output quantifies what clustering buys BEFORE any rewrite — the
+    planner-side companion to q59's z-order write path. Each stats
+    build is one map-side-combined groupBy; the report is one more
+    aggregate over file-count-sized input."""
+    from db_cdc_poc_spark.operators.maintenance import (
+        file_skipping_stats,
+        interval_survives,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo = F.to_timestamp(F.lit("1994-01-01 00:00:00"))
+    hi = F.to_timestamp(F.lit("1994-06-30 00:00:00"))
+
+    def report(with_file: DataFrame, layout: str) -> DataFrame:
+        stats = file_skipping_stats(
+            with_file, file_col="file_id", stat_cols=["l_shipdate"]
+        )
+        return stats.select(
+            F.lit(layout).alias("layout"),
+            interval_survives("l_shipdate", lo, hi)
+            .cast("long")
+            .alias("__survive"),
+        ).groupBy("layout").agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("__survive").alias("n_survive"),
+        )
+
+    linear = li.withColumn("file_id", F.col("l_orderkey") % 64)
+    clustered = li.withColumn(
+        "file_id",
+        F.year("l_shipdate") * 12 + F.month("l_shipdate"),
+    )
+    return report(linear, "linear").unionAll(
+        report(clustered, "date_clustered")
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
