@@ -105,6 +105,38 @@ def test_pruning_never_false_negative_on_clustered_layout(spark):
     assert 99 not in {r.file_id for r in prune_files(s2, "v", 0, 1000).collect()}
 
 
+def test_zorder_layout_beats_roundrobin_under_pruning(spark, tmp_path):
+    """End-to-end loop: layout.write_zordered -> REAL parquet files ->
+    file_skipping_stats keyed by input_file_name -> prune_files. The
+    z-ordered layout must leave strictly fewer candidate files for a
+    2-D range predicate than a round-robin layout of the same data —
+    the measurable payoff q149 quantifies on synthetic file cuts."""
+    from db_cdc_poc_spark.operators.layout import write_zordered
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+    )
+    zpath, rpath = str(tmp_path / "zord"), str(tmp_path / "rr")
+    write_zordered(df, zpath, {"x": (0, 63), "y": (0, 63)}, num_files=16)
+    df.repartition(16).write.parquet(rpath)
+
+    def surviving(path):
+        filed = spark.read.parquet(path).withColumn(
+            "file_id", F.input_file_name()
+        )
+        stats = file_skipping_stats(filed, file_col="file_id", stat_cols=["x"])
+        total = stats.count()
+        return total, prune_files(stats, "x", 8, 15).count()
+
+    z_total, z_live = surviving(zpath)
+    r_total, r_live = surviving(rpath)
+    assert z_total == r_total == 16
+    # round-robin spreads every x everywhere: nothing skips
+    assert r_live == 16
+    assert z_live < r_live
+
+
 def test_interval_survives_matches_prune_filter(spark):
     df = spark.createDataFrame(
         [(v % 5, v) for v in range(50)], "file_id int, v int"
