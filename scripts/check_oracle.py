@@ -51,6 +51,15 @@ def main() -> int:
     only = set(sys.argv[1:])
     spark = get_spark(cpus=8)
     con = duckdb.connect()
+    # big-SF oracle runs (the exact pair-join replays) need to spill:
+    # an in-memory connection without a temp_directory can only grow
+    # until the memory limit kills it. Harmless at sf0.01.
+    tmp = os.environ.get("ORACLE_DUCKDB_TMP", "/tmp/duckdb_oracle_spill")
+    Path(tmp).mkdir(parents=True, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('ORACLE_DUCKDB_MEM', '40GB')}'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
