@@ -395,3 +395,230 @@ def cluster_aware_split(
         )
         .drop("__split_key")
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR) log-weights:
+    score every document by how much more likely its hashed n-gram
+    features are under a TARGET slice of the corpus than under the raw
+    corpus (Xie et al., NeurIPS 2023, public method). The standard
+    "make 100 TB of crawl look like Wikipedia" selector: rank by
+    weight, keep the top mass.
+
+    Features are unigrams + positional bigrams hashed into
+    ``n_buckets`` buckets (hashing trick); bucket distributions are
+    add-one smoothed, and the per-bucket log ratio
+    ``ln p_target(b) - ln p_raw(b)`` is FLOOR-quantized to integer
+    micro-nats BEFORE the per-document sum, so document scores are
+    exact long sums — aggregation-order-independent and replayable by
+    the md5-based oracle (ln on engine-identical integer-valued
+    doubles, one rounding per bucket).
+
+    Scale shape: one token-level shuffle to (doc, bucket) counts, one
+    parameter-bounded aggregation to the ``n_buckets``-row weight
+    table (the global-total window runs over those ``n_buckets`` rows,
+    not the corpus), then a broadcast join back onto the per-doc
+    counts. Linear in corpus tokens; no pair joins.
+
+    Output: ``id_col``, ``n_grams`` (long), ``log_w_micro`` (long,
+    micro-nats; higher = more target-like).
+    """
+    from db_cdc_poc_spark.operators.text import whitespace_tokens
+
+    toks = whitespace_tokens(text_col)
+    cnt = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, cnt),
+        F.slice(toks, 2, cnt),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feat = df.select(
+        F.col(id_col).alias("__id"),
+        target.alias("__tgt"),
+        F.explode(F.concat(toks, bigrams)).alias("__gram"),
+    ).select(
+        "__id",
+        "__tgt",
+        hash_bucket(F.col("__gram"), salt, n_buckets).alias("__bucket"),
+    )
+    # One token-level shuffle; __tgt is constant per doc so max() is
+    # just "carry the flag through the groupBy".
+    doc_counts = feat.groupBy("__id", "__bucket").agg(
+        F.count(F.lit(1)).alias("__c"), F.max("__tgt").alias("__tgt")
+    )
+    bstats = doc_counts.groupBy("__bucket").agg(
+        F.sum("__c").alias("raw_c"),
+        F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(F.lit(0))).alias(
+            "tgt_c"
+        ),
+    )
+    # Global totals over the n_buckets-row table: the single-partition
+    # window is bounded by the PARAMETER, never by the data.
+    tot = Window.partitionBy()
+    bstats = bstats.withColumn("raw_tot", F.sum("raw_c").over(tot)).withColumn(
+        "tgt_tot", F.sum("tgt_c").over(tot)
+    )
+    b = F.lit(float(n_buckets))
+    lr = (
+        F.log((F.col("tgt_c") + 1).cast("double"))
+        - F.log(F.col("tgt_tot").cast("double") + b)
+        - F.log((F.col("raw_c") + 1).cast("double"))
+        + F.log(F.col("raw_tot").cast("double") + b)
+    )
+    weights = bstats.select(
+        "__bucket",
+        F.round(lr * F.lit(1_000_000.0), 0).cast("long").alias("__lr_micro"),
+    )
+    return (
+        doc_counts.join(F.broadcast(weights), "__bucket")
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").alias("n_grams"),
+            F.sum(F.col("__c") * F.col("__lr_micro")).alias("log_w_micro"),
+        )
+        .select(F.col("__id").alias(id_col), "n_grams", "log_w_micro")
+    )
+
+
+def match_distribution_sample(
+    df: DataFrame,
+    id_col: str,
+    bin_col: Column,
+    is_reference: Column,
+    salt: str = "match",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Rejection-sample candidate rows so a binned feature matches the
+    REFERENCE slice's distribution — "make the web crawl's length
+    histogram look like the curated set's" (the distribution-matching
+    step of quality pipelines; importance resampling with a histogram
+    density ratio).
+
+    Rows where ``is_reference`` holds define the target histogram;
+    the remaining (candidate) rows are kept with probability
+    ``min(1, p_ref(bin) / p_cand(bin))`` via the deterministic md5
+    draw. Acceptance thresholds are computed in EXACT integer
+    arithmetic — ``((t_b·buckets) div n_t · n_c) div c_b`` — so the
+    oracle replays them bit-for-bit (valid while ``t_b·buckets`` and
+    ``thr·n_c`` stay under 2^63: with the 1e6 default that is ~9e12
+    reference rows — rescale ``buckets`` down beyond that).
+
+    Scale shape: one histogram aggregation (|bins| rows, tiny), a
+    parameter-bounded global window over it, one broadcast join back,
+    then a map-only hash filter. Returns candidate rows only, original
+    columns preserved.
+    """
+    b = df.withColumn("__bin", bin_col.cast("long")).withColumn(
+        "__ref", is_reference
+    )
+    stats = b.groupBy("__bin").agg(
+        F.sum(F.col("__ref").cast("long")).alias("t_b"),
+        F.sum((~F.col("__ref")).cast("long")).alias("c_b"),
+    )
+    tot = Window.partitionBy()
+    stats = stats.withColumn("n_t", F.sum("t_b").over(tot)).withColumn(
+        "n_c", F.sum("c_b").over(tot)
+    )
+    thr = F.least(
+        F.lit(buckets).cast("long"),
+        F.expr(f"(((t_b * {buckets}L) div n_t) * n_c) div c_b"),
+    )
+    thr_table = stats.select(
+        "__bin",
+        F.when((F.col("c_b") > 0) & (F.col("n_t") > 0), thr)
+        .otherwise(F.lit(0))
+        .alias("__thr"),
+    )
+    return (
+        b.filter(~F.col("__ref"))
+        .join(F.broadcast(thr_table), "__bin")
+        .filter(hash_bucket(id_col, salt, buckets) < F.col("__thr"))
+        .drop("__bin", "__ref", "__thr")
+    )
+
+
+def token_budget_fill(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Water-filling token-budget allocator: split a training-token
+    ``budget`` across domains proportionally to ``weight_col``, capping
+    each domain at its available ``tokens_col`` and redistributing the
+    shortfall to the uncapped domains (the mixture solver behind
+    DoReMi/Pile-style "target weights vs available data" planning).
+
+    The classic iterative algorithm is solved in CLOSED FORM with
+    window functions: sort domains by ``tokens/weight`` ascending —
+    along that order "domain fits fully at the current water level" is
+    a monotone predicate, so the capped set is a prefix and each row
+    decides membership from prefix sums alone:
+    ``n_k · (W − cumW_{k−1}) ≤ (B − cumN_{k−1}) · w_k``. Uncapped
+    domains get ``(B − ΣcapN) · w_s div (W − ΣcapW)`` — all exact
+    integer arithmetic, clamped to [0, n_s], replayed verbatim by the
+    oracle. The double ratio is used ONLY for ordering (identical
+    doubles order identically on both engines; ties broken by key).
+
+    All windows run over the |domains|-row aggregate — bounded by the
+    domain count, never the corpus. Weights must be positive longs
+    (floor-quantize upstream, e.g. ``floor(sqrt(n)·1e6)``); tokens
+    non-negative longs.
+
+    Output: ``key_col``, ``n_tokens``, ``weight``, ``capped`` (bool),
+    ``alloc_tokens`` (long, ≤ n_tokens, Σ ≤ budget).
+    """
+    base = df.select(
+        F.col(key_col).alias("__key"),
+        F.col(tokens_col).cast("long").alias("__n"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).withColumn(
+        "__r", F.col("__n").cast("double") / F.col("__w").cast("double")
+    )
+    order = Window.orderBy("__r", "__key").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    cum = (
+        base.withColumn("__cum_n", F.sum("__n").over(order))
+        .withColumn("__cum_w", F.sum("__w").over(order))
+        .withColumn("__tot_w", F.sum("__w").over(tot))
+    )
+    capped = F.expr(
+        f"__n * (__tot_w - (__cum_w - __w)) <= ({budget}L - (__cum_n - __n)) * __w"
+    )
+    sized = cum.withColumn("__capped", capped)
+    sized = sized.withColumn(
+        "__num",
+        F.lit(budget)
+        - F.sum(F.when(F.col("__capped"), F.col("__n")).otherwise(F.lit(0))).over(
+            tot
+        ),
+    ).withColumn(
+        "__den",
+        F.col("__tot_w")
+        - F.sum(F.when(F.col("__capped"), F.col("__w")).otherwise(F.lit(0))).over(
+            tot
+        ),
+    )
+    alloc = F.when(F.col("__capped"), F.col("__n")).otherwise(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("__n"), F.expr("(__num * __w) div __den")),
+        )
+    )
+    return sized.select(
+        F.col("__key").alias(key_col),
+        F.col("__n").alias("n_tokens"),
+        F.col("__w").alias("weight"),
+        F.col("__capped").alias("capped"),
+        alloc.cast("long").alias("alloc_tokens"),
+    )

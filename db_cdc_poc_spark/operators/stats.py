@@ -43,6 +43,7 @@ __all__ = [
     "transition_pmi",
     "survival_curve",
     "rank_normalize",
+    "unigram_js_divergence",
 ]
 
 
@@ -572,4 +573,74 @@ def rank_normalize(
         F.expr(f"({' + '.join(f'{s}_ppm' for s in signal_cols)}) div {k}").alias(
             out_col
         ),
+    )
+
+
+def unigram_js_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice corpus drift monitor: Jensen–Shannon divergence
+    between each group's unigram distribution and the WHOLE corpus —
+    the "did this source / this day's crawl shift vocabulary?" check a
+    training-data pipeline runs next to ingestion (JSD is symmetric,
+    bounded by ln 2, and defined even when supports differ — unlike
+    raw KL).
+
+    Words absent from a group contribute a closed-form residual
+    (``q·ln 2`` summed over the missing mass), so the computation only
+    ever touches (group, word) pairs that EXIST — no group×vocab
+    cross-join:
+    ``JSD = Σ_seen [p/2·ln(p/m) + q/2·ln(q/m)] + ln2/2·(1 − Σ_seen q)``.
+
+    Scale shape: one token-level shuffle to (group, word) counts, one
+    vocab-keyed aggregation + equi-join, and per-group finals; the
+    global token total comes from a window over the |groups|-row table
+    (bounded by the domain count). Doubles appear only in the final
+    per-word terms and are rounded to 5 dp after the sum — the same
+    discipline as the bigram-LM scores.
+
+    Output: ``group_col``, ``n_tokens`` (long), ``vocab`` (long),
+    ``jsd`` (double, 5 dp; 0 ⇔ identical distribution, ln 2 ≈ 0.693
+    ⇔ disjoint).
+    """
+    from db_cdc_poc_spark.operators.text import whitespace_tokens
+
+    toks = df.select(
+        F.col(group_col).alias("__grp"),
+        F.explode(whitespace_tokens(text_col)).alias("__word"),
+    )
+    gw = toks.groupBy("__grp", "__word").agg(F.count(F.lit(1)).alias("c_gw"))
+    wtot = gw.groupBy("__word").agg(F.sum("c_gw").alias("c_w"))
+    gtot = gw.groupBy("__grp").agg(
+        F.sum("c_gw").alias("n_g"), F.count(F.lit(1)).alias("vocab_g")
+    )
+    gtot = gtot.withColumn(
+        "n_tot", F.sum("n_g").over(Window.partitionBy())
+    )
+    j = gw.join(wtot, "__word").join(F.broadcast(gtot), "__grp")
+    p = F.col("c_gw").cast("double") / F.col("n_g").cast("double")
+    q = F.col("c_w").cast("double") / F.col("n_tot").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+    ln2 = F.log(F.lit(2.0))
+    return (
+        j.groupBy("__grp")
+        .agg(
+            F.any_value(F.col("n_g")).alias("n_tokens"),
+            F.any_value(F.col("vocab_g")).alias("vocab"),
+            F.sum(term).alias("__seen"),
+            F.sum(q).alias("__qcov"),
+        )
+        .select(
+            F.col("__grp").alias(group_col),
+            "n_tokens",
+            "vocab",
+            F.round(
+                F.col("__seen")
+                + F.lit(0.5) * ln2 * (F.lit(1.0) - F.col("__qcov")),
+                5,
+            ).alias("jsd"),
+        )
     )

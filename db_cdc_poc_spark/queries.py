@@ -5971,5 +5971,223 @@ def q149_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-6 additions: importance resampling, drift monitoring, mixture planning
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q150_dsir_weights",
+    headline=True,
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, lang = 'en' AS tgt,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id, tgt,
+           unnest(toks || [toks[i] || ' ' || toks[i+1]
+                           for i in range(1, greatest(len(toks), 1))]) AS gram
+    FROM tk
+), f AS (
+    SELECT doc_id, tgt,
+           (('0x' || substr(md5('dsir:' || gram), 1, 16))::UBIGINT
+            & 9223372036854775807) % 4096 AS bucket
+    FROM g
+), dc AS (
+    SELECT doc_id, bucket, max(tgt) AS tgt, count(*) AS c
+    FROM f GROUP BY 1, 2
+), bs AS (
+    SELECT bucket, sum(c) AS raw_c,
+           sum(CASE WHEN tgt THEN c ELSE 0 END) AS tgt_c
+    FROM dc GROUP BY 1
+), bt AS (
+    SELECT bucket, raw_c, tgt_c,
+           sum(raw_c) OVER () AS raw_tot, sum(tgt_c) OVER () AS tgt_tot
+    FROM bs
+), wt AS (
+    SELECT bucket,
+           CAST(round((ln(CAST(tgt_c + 1 AS DOUBLE))
+                       - ln(CAST(tgt_tot AS DOUBLE) + 4096.0)
+                       - ln(CAST(raw_c + 1 AS DOUBLE))
+                       + ln(CAST(raw_tot AS DOUBLE) + 4096.0))
+                      * 1000000.0, 0) AS BIGINT) AS lr_micro
+    FROM bt
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(sum(c * lr_micro) AS BIGINT) AS log_w_micro
+FROM dc JOIN wt USING (bucket)
+GROUP BY doc_id
+""",
+)
+def q150_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (sampling.dsir_log_weights): score every
+    document by hashed-ngram likelihood ratio against the English
+    slice as the target — the "select crawl that looks like the
+    curated set" ranker (Xie et al. 2023). Unigram+bigram hashing
+    trick into 4096 buckets; per-bucket log-ratios quantized to
+    integer micro-nats so per-doc scores are exact long sums. One
+    token-level shuffle + parameter-bounded weight table + broadcast
+    join — linear, no pair joins."""
+    from db_cdc_poc_spark.operators.sampling import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, "doc_id", "text", target=F.col("lang") == "en", n_buckets=4096
+    )
+
+
+@_q(
+    "q151_js_divergence",
+    oracle="""
+WITH tok AS (
+    SELECT source AS grp,
+           unnest(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+), gw AS (
+    SELECT grp, word, count(*) AS c_gw FROM tok GROUP BY 1, 2
+), wt AS (
+    SELECT word, CAST(sum(c_gw) AS BIGINT) AS c_w FROM gw GROUP BY 1
+), gt AS (
+    SELECT grp, CAST(sum(c_gw) AS BIGINT) AS n_g, count(*) AS vocab_g
+    FROM gw GROUP BY 1
+), gt2 AS (
+    SELECT grp, n_g, vocab_g, sum(n_g) OVER () AS n_tot FROM gt
+), terms AS (
+    SELECT gw.grp,
+           gt2.n_g, gt2.vocab_g,
+           CAST(c_gw AS DOUBLE) / CAST(n_g AS DOUBLE) AS p,
+           CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE) AS q
+    FROM gw JOIN wt USING (word) JOIN gt2 USING (grp)
+)
+SELECT grp AS source,
+       any_value(n_g) AS n_tokens,
+       any_value(vocab_g) AS vocab,
+       round(sum(0.5 * p * ln(p / ((p + q) / 2.0))
+                 + 0.5 * q * ln(q / ((p + q) / 2.0)))
+             + 0.5 * ln(2.0) * (1.0 - sum(q)), 5) AS jsd
+FROM terms
+GROUP BY grp
+""",
+)
+def q151_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor (stats.unigram_js_divergence): per-source
+    Jensen-Shannon divergence from the whole corpus's unigram
+    distribution — the vocabulary-shift alarm run next to ingestion.
+    Missing-word mass handled in closed form (q.ln2 residual) so only
+    EXISTING (group, word) pairs are touched: no group-times-vocab
+    cross join, one token shuffle + one vocab join."""
+    from db_cdc_poc_spark.operators.stats import unigram_js_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_js_divergence(docs, "source", "text")
+
+
+@_q(
+    "q152_match_distribution",
+    oracle="""
+WITH b AS (
+    SELECT doc_id, source, lang, n_chars // 64 AS bin, lang = 'en' AS ref
+    FROM documents
+), st AS (
+    SELECT bin, CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+           CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+    FROM b GROUP BY 1
+), st2 AS (
+    SELECT bin, t_b, c_b,
+           sum(t_b) OVER () AS n_t, sum(c_b) OVER () AS n_c
+    FROM st
+), thr AS (
+    SELECT bin,
+           CASE WHEN c_b > 0 AND n_t > 0
+                THEN least(1000000, (((t_b * 1000000) // n_t) * n_c) // c_b)
+                ELSE 0 END AS thr
+    FROM st2
+)
+SELECT b.doc_id, b.source, b.lang
+FROM b JOIN thr USING (bin)
+WHERE NOT b.ref
+  AND (('0x' || substr(md5('match:' || CAST(b.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+       & 9223372036854775807) % 1000000 < thr.thr
+""",
+)
+def q152_match_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matching rejection sampler
+    (sampling.match_distribution_sample): resample non-English docs so
+    their length histogram (64-char bins) matches the English slice's
+    — histogram-density-ratio importance resampling with exact
+    integer thresholds and the replayable md5 draw. Tiny histogram
+    aggregate + broadcast + map-only filter."""
+    from db_cdc_poc_spark.operators.sampling import match_distribution_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return match_distribution_sample(
+        docs,
+        "doc_id",
+        bin_col=F.expr("n_chars div 64"),
+        is_reference=F.col("lang") == "en",
+    ).select("doc_id", "source", "lang")
+
+
+@_q(
+    "q153_token_budget",
+    oracle="""
+WITH d AS (
+    SELECT source AS src, CAST(sum(n_chars) AS BIGINT) AS n,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+    FROM documents GROUP BY 1
+), r AS (
+    SELECT src, n, w, CAST(n AS DOUBLE) / CAST(w AS DOUBLE) AS ratio FROM d
+), c AS (
+    SELECT src, n, w,
+           sum(n) OVER (ORDER BY ratio, src
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+           sum(w) OVER (ORDER BY ratio, src
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+           sum(w) OVER () AS tot_w
+    FROM r
+), k AS (
+    SELECT src, n, w, tot_w,
+           n * (tot_w - (cum_w - w)) <= (75000 - (cum_n - n)) * w AS capped
+    FROM c
+), lvl AS (
+    SELECT src, n, w, capped,
+           75000 - sum(CASE WHEN capped THEN n ELSE 0 END) OVER () AS num,
+           tot_w - sum(CASE WHEN capped THEN w ELSE 0 END) OVER () AS den
+    FROM k
+)
+SELECT src AS source, n AS n_tokens, w AS weight, capped,
+       CAST(CASE WHEN capped THEN n
+                 ELSE greatest(0, least(n, (num * w) // den)) END AS BIGINT)
+           AS alloc_tokens
+FROM lvl
+""",
+)
+def q153_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocator (sampling.token_budget_fill):
+    split a 75k-char training budget across the 20 sources with
+    temperature weights (floor(sqrt(docs)*1e6)), capping at available
+    mass and redistributing the shortfall — the DoReMi-style mixture
+    planner solved in closed form with window functions over the
+    |domains|-row aggregate (the iterative algorithm's capped set is a
+    prefix of the tokens/weight ordering). Exact integer arithmetic
+    throughout; the corpus is touched once for the per-source sums."""
+    from db_cdc_poc_spark.operators.sampling import token_budget_fill
+
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("n_chars_tot"),
+        F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("w"),
+    )
+    return token_budget_fill(
+        per_src, "source", "n_chars_tot", "w", budget=75_000
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
