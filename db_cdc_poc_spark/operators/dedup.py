@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from db_cdc_poc_spark.checkpointing import materialize
@@ -1270,6 +1270,110 @@ def duplicate_span_stats(
             "n_spans",
             "n_dup_spans",
             F.expr("1000000 * n_dup_spans div n_spans").alias("dup_ppm"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication (ExactSubstr, Lee et al. ACL'22,
+    public method): REMOVE from every document the token spans covered
+    by any ``window``-gram occurring >= ``min_count`` times in the
+    corpus (within- or cross-document), returning the trimmed text plus
+    span accounting. ``duplicate_span_stats`` above measures the
+    duplication; this is the surgery.
+
+    Plan (all linear, no pair joins — a span duplicated in d docs
+    costs d rows): positional gram hashes (per-token xxhash64 + one
+    hash per n-slice, gram strings never materialized — span-hash
+    family contract: hash VALUES never surface, so the oracle replays
+    on gram strings and agrees up to a 64-bit collision), corpus-wide
+    count, re-join the >= min_count hashes onto their start positions,
+    expand each flagged start to its ``window`` covered positions
+    (distinct), anti-join the exploded tokens, and reassemble each doc
+    with order restored via the array_sort-struct pattern (q09/chunker
+    shape). Contiguous covered runs are counted with one per-doc
+    window (gaps-and-islands) — partitioned by doc, never global.
+
+    Output: ``id_col``, ``n_tokens``, ``dup_tokens``, ``n_spans``
+    (maximal removed runs), ``clean_text`` (kept tokens joined by
+    single spaces; fully-duplicated docs yield ``''`` — filter on
+    ``dup_tokens < n_tokens`` to drop them).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngram_hashes_col(text_col, window)).alias(
+            "p", "h"
+        ),
+    )
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    covered = (
+        grams.join(dup_h, "h")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(tokens_col(text_col)).alias("pos", "tok"),
+    )
+    totals = toks.groupBy("id").agg(F.count("tok").alias("n_tokens"))
+    clean = (
+        toks.join(covered, ["id", "pos"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.count("tok").alias("kept_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        covered.withColumn(
+            "__new",
+            (
+                F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(-2))
+                > 1
+            ).cast("long"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_tokens"),
+            F.sum("__new").alias("n_spans"),
+        )
+    )
+    return (
+        totals.join(spans, "id", "left")
+        .join(clean, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias(
+                "n_spans"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
 

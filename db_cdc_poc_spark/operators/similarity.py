@@ -924,3 +924,99 @@ def diversity_sample(
         .filter(F.col("pick") <= per_bucket)
         .select("bucket", "id", "pick")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.8,
+    ndigits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public method): semantic
+    deduplication by clustering embeddings and dropping, within each
+    cluster, every member of a high-cosine pair EXCEPT the one least
+    typical of the cluster (lowest cosine to the centroid — the paper's
+    keep-the-outlier policy, which preserves diversity while removing
+    semantic templates).
+
+    Clusters are nearest-centroid assignments against the per-label
+    mean codebook (``label_centroids``); assignment, pair screening and
+    the keep rule all use ONE metric — cosine via the sequential-fold
+    ``dot`` — so a SQL engine with an order-stable list dot product
+    replays every comparison bit-for-bit (ties: assignment prefers the
+    lower cluster id, the keep rule drops the higher ``id_col``).
+
+    Scale shape: the codebook is |labels| rows (parameter-bounded, the
+    same codebook contract as ``ivf_assignment_stats``), broadcast
+    twice — once for assignment, once as the pair screen's equi-key.
+    The only pair join is WITHIN clusters (equi on cluster id, range on
+    id): density n²/k per cluster instead of n² global, the same
+    bucketed-candidate story as ``neardup_pairs_bucketed``, and the
+    drop rule is pairwise-local — no connected components, no
+    iteration. Skewed clusters are visible in ``ivf_assignment_stats``
+    before this runs.
+
+    Output: survivors only — ``id_col``, ``cluster`` (the assigned
+    label id), ``cos_centroid`` (rounded to ``ndigits``).
+    """
+    cen = (
+        label_centroids(df, label_col, vec_col, ndigits)
+        .groupBy(F.col("label").alias("__cl"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda x: x.centroid,
+            ).alias("__cvec")
+        )
+        .withColumn("__cnrm", norm("__cvec"))
+    )
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__e"),
+    ).withColumn("__nrm", norm("__e"))
+    scored = v.join(F.broadcast(cen)).withColumn(
+        "__cos", paired_cosine("__e", "__cvec", "__nrm", "__cnrm")
+    )
+    pick = Window.partitionBy("__id").orderBy(
+        F.col("__cos").desc(), F.col("__cl")
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select("__id", F.col("__cl").alias("__cluster"), "__e", "__nrm",
+                F.col("__cos").alias("__cos_c"))
+    )
+    a = assigned.select(
+        F.col("__cluster").alias("__ca"), F.col("__id").alias("__ia"),
+        F.col("__e").alias("__ea"), F.col("__nrm").alias("__na"),
+        F.col("__cos_c").alias("__cca"),
+    )
+    b = assigned.select(
+        F.col("__cluster").alias("__cb"), F.col("__id").alias("__ib"),
+        F.col("__e").alias("__eb"), F.col("__nrm").alias("__nb"),
+        F.col("__cos_c").alias("__ccb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__ca") == F.col("__cb")) & (F.col("__ia") < F.col("__ib")),
+    ).filter(
+        paired_cosine("__ea", "__eb", "__na", "__nb") >= F.lit(threshold)
+    )
+    # keep the member FARTHEST from the centroid; drop the other
+    # (tie on cos_c -> drop the higher id)
+    drops = pairs.select(
+        F.when(F.col("__cca") > F.col("__ccb"), F.col("__ia"))
+        .when(F.col("__ccb") > F.col("__cca"), F.col("__ib"))
+        .otherwise(F.greatest("__ia", "__ib"))
+        .alias("__id")
+    ).distinct()
+    return (
+        assigned.join(drops, "__id", "left_anti")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cluster").alias("cluster"),
+            F.round(F.col("__cos_c"), ndigits).alias("cos_centroid"),
+        )
+    )

@@ -525,6 +525,103 @@ def dedup_chunks(
     )
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    window: int = 8,
+    min_docs: int = 2,
+    min_doc_ppm: int = 10_000,
+) -> DataFrame:
+    """Frequency-threshold boilerplate removal (the CCNet/RefinedWeb
+    "strip repeated lines per domain" step, at chunk granularity):
+    a chunk is boilerplate within its ``group_col`` (domain/source)
+    when it appears in >= ``min_docs`` distinct documents AND in >=
+    ``min_doc_ppm`` parts-per-million of the group's documents — and
+    then it is removed from EVERY document (navigation, footers),
+    unlike :func:`dedup_chunks` which keeps the first copy.
+
+    Plan: one explode pass to chunk (carrying the group key through,
+    no join back to the source table), one (group, chunk-hash)
+    aggregate for distinct-doc frequencies, the |groups|-row doc-count
+    table broadcast onto it, and one groupBy(doc) reassembly — a chunk
+    shared by d documents costs d rows end-to-end. The ppm test is
+    exact integer arithmetic (``docs_c * 1e6 >= min_doc_ppm *
+    docs_g``), and chunk identity is xxhash64 of the chunk text
+    (values never surface; the oracle replays the decision on the
+    strings — span-hash contract).
+
+    Output: ``id_col``, ``group_col``, ``n_chunks``,
+    ``n_boiler_chunks``, ``clean_text`` ('' when everything was
+    boilerplate).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(whitespace_tokens(text_col)).alias("pos", "tok"),
+    )
+    chunks = (
+        toks.withColumn("chunk_id", (F.col("pos") / window).cast("int"))
+        .groupBy("id", "grp", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .withColumn("__h", F.xxhash64("chunk_text"))
+    )
+    group_docs = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("docs_g")
+    )
+    boiler = (
+        chunks.groupBy("grp", "__h")
+        .agg(F.count_distinct("id").alias("docs_c"))
+        .join(F.broadcast(group_docs), "grp")
+        .filter(
+            (F.col("docs_c") >= min_docs)
+            & (
+                F.col("docs_c") * F.lit(1_000_000)
+                >= F.lit(min_doc_ppm) * F.col("docs_g")
+            )
+        )
+        .select("grp", "__h")
+    )
+    marked = chunks.join(
+        boiler.withColumn("__b", F.lit(True)), ["grp", "__h"], "left"
+    )
+    return marked.groupBy("id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("__b"), 1).otherwise(0)).cast("long").alias(
+            "n_boiler_chunks"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__b").isNull(),
+                            F.struct("chunk_id", "chunk_text"),
+                        )
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    ).select(
+        F.col("id").alias(id_col),
+        F.col("grp").alias(group_col),
+        "n_chunks",
+        "n_boiler_chunks",
+        "clean_text",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus bigram statistics (n-gram LM coverage / novelty scoring)
 # ---------------------------------------------------------------------------

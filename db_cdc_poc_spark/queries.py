@@ -6189,5 +6189,181 @@ def q153_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q154_semdedup",
+    oracle="""
+WITH cen0 AS (
+    SELECT label, pos, round(avg(val), 6) AS c
+    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS val,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY 1, 2
+), cen AS (
+    SELECT label AS cl, list(c ORDER BY pos) AS cvec
+    FROM cen0 GROUP BY 1
+), cen2 AS (
+    SELECT cl, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm FROM cen
+), v AS (
+    SELECT vec_id AS id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), assigned AS (
+    SELECT id, cl AS cluster, e, nrm,
+           CASE WHEN nrm * cnrm > 0
+                THEN list_dot_product(e, cvec) / (nrm * cnrm)
+                ELSE 0.0 END AS cos_c
+    FROM v CROSS JOIN cen2
+    QUALIFY row_number() OVER (
+        PARTITION BY id ORDER BY cos_c DESC, cl) = 1
+), pairs AS (
+    SELECT a.id AS ia, b.id AS ib, a.cos_c AS cca, b.cos_c AS ccb
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND a.id < b.id
+    WHERE CASE WHEN a.nrm * b.nrm > 0
+               THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+               ELSE 0.0 END >= 0.3
+), drops AS (
+    SELECT DISTINCT CASE WHEN cca > ccb THEN ia
+                         WHEN ccb > cca THEN ib
+                         ELSE greatest(ia, ib) END AS id
+    FROM pairs
+)
+SELECT id AS vec_id, cluster, round(cos_c, 6) AS cos_centroid
+FROM assigned WHERE id NOT IN (SELECT id FROM drops)
+""",
+)
+def q154_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors (similarity.semdedup): cluster embeddings by
+    nearest label-centroid, screen pairs WITHIN clusters only (n²/k
+    density, the bucketed-candidate story), and for every >= 0.3
+    cosine pair keep the member least typical of its cluster (lowest
+    cos-to-centroid — the paper's diversity-preserving policy). One
+    metric everywhere (sequential-fold cosine), so DuckDB replays
+    assignment, screen and keep rule bit-for-bit.  Threshold 0.3 for
+    the synthetic fixture's weak cluster structure (within-cluster p99
+    cosine ~0.295); the paper's 0.8 default stands for real
+    embeddings."""
+    from db_cdc_poc_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, "vec_id", "embedding", "label", threshold=0.3)
+
+
+@_q(
+    "q155_remove_dup_spans",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id AS id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), tok AS (
+    SELECT id, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) - 1 AS pos
+    FROM tk
+), g AS (
+    SELECT id, i - 1 AS p, array_to_string(toks[i:i+7], ' ') AS gram
+    FROM tk, LATERAL (
+        SELECT unnest(range(1, greatest(len(toks) - 6, 1))) AS i) u
+), dupg AS (
+    SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+), cov AS (
+    SELECT DISTINCT g.id, g.p + v.o AS pos
+    FROM g JOIN dupg USING (gram),
+         LATERAL (SELECT unnest(range(0, 8)) AS o) v
+), tot AS (
+    SELECT id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk
+), kept AS (
+    SELECT t.id, t.pos, t.tok
+    FROM tok t
+    WHERE NOT EXISTS (SELECT 1 FROM cov c
+                      WHERE c.id = t.id AND c.pos = t.pos)
+), clean AS (
+    SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY id
+), spans AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS dup_tokens,
+           CAST(count(DISTINCT pos - rn) AS BIGINT) AS n_spans
+    FROM (SELECT id, pos,
+                 row_number() OVER (PARTITION BY id ORDER BY pos) AS rn
+          FROM cov)
+    GROUP BY id
+)
+SELECT t.id AS doc_id, t.n_tokens,
+       coalesce(s.dup_tokens, 0) AS dup_tokens,
+       coalesce(s.n_spans, 0) AS n_spans,
+       coalesce(c.clean_text, '') AS clean_text
+FROM tot t
+LEFT JOIN spans s USING (id)
+LEFT JOIN clean c USING (id)
+""",
+)
+def q155_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup surgery (dedup.remove_duplicate_spans, Lee
+    et al. ACL'22 ExactSubstr): strip every token span covered by an
+    8-gram occurring >= 2 times in the corpus, returning trimmed text
+    + span accounting. Linear span-hash plan (count -> flag -> covered
+    positions -> anti-join -> reassemble); the only window is per-doc
+    gaps-and-islands. Spark hashes token-slice xxhash64 (gram strings
+    never materialized); the oracle replays on gram strings — the
+    span-hash family's value contract."""
+    from db_cdc_poc_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", window=8)
+
+
+@_q(
+    "q156_strip_boilerplate",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id AS id, source AS grp,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), c AS (
+    SELECT id, grp, CAST((i - 1) // 8 AS INTEGER) AS chunk_id,
+           array_to_string(toks[i:least(i + 7, len(toks))], ' ') AS ct
+    FROM tk, LATERAL (
+        SELECT unnest(range(1, len(toks) + 1, 8)) AS i) u
+), gd AS (
+    SELECT grp, count(*) AS docs_g FROM tk GROUP BY 1
+), boiler AS (
+    SELECT c.grp, ct
+    FROM c JOIN gd USING (grp)
+    GROUP BY c.grp, ct, docs_g
+    HAVING count(DISTINCT id) >= 2
+       AND count(DISTINCT id) * 1000000 >= 10000 * docs_g
+), m AS (
+    SELECT c.id, c.grp, c.chunk_id, c.ct,
+           b.ct IS NOT NULL AS is_b
+    FROM c LEFT JOIN boiler b ON c.grp = b.grp AND c.ct = b.ct
+)
+SELECT id AS doc_id, grp AS source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler_chunks,
+       coalesce(string_agg(CASE WHEN NOT is_b THEN ct END,
+                           ' ' ORDER BY chunk_id), '') AS clean_text
+FROM m
+GROUP BY 1, 2
+""",
+)
+def q156_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate stripping (text.strip_boilerplate): 8-token
+    chunks appearing in >= 2 distinct docs AND >= 1% of a source's
+    docs are removed from EVERY document (the CCNet per-domain
+    repeated-line rule; contrast q73's keep-first dedup). One chunk
+    explode carrying the group key, a (group, hash) frequency
+    aggregate with the broadcast group-size table, exact integer ppm
+    test, per-doc reassembly — a chunk in d docs costs d rows."""
+    from db_cdc_poc_spark.operators.text import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_boilerplate(
+        docs, "doc_id", "text", "source",
+        window=8, min_docs=2, min_doc_ppm=10_000,
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -333,3 +333,188 @@ def test_jsd_single_group_is_zero(spark):
     )
     [r] = unigram_js_divergence(df, "source", "text").collect()
     assert r.jsd == 0.0 and r.n_tokens == 4 and r.vocab == 3
+
+
+# ---------------------------------------------------------------------------
+# semdedup — keep-the-outlier policy on handcrafted clusters
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_drops_the_more_typical_member(spark):
+    import numpy as np
+
+    from db_cdc_poc_spark.operators.similarity import semdedup
+
+    # ids 1/2 are a near-dup pair in cluster 0; the paper's policy keeps
+    # the member with the LOWER cosine to the cluster centroid. Compute
+    # the expected survivor with numpy instead of trusting hand-math.
+    v1, v2 = np.array([1.0, 0.1, 0.0]), np.array([1.0, 0.3, 0.0])
+    cen = np.round((v1 + v2) / 2, 6)
+    cos = [
+        float(v @ cen / (np.linalg.norm(v) * np.linalg.norm(cen)))
+        for v in (v1, v2)
+    ]
+    survivor = 1 if cos[0] < cos[1] else 2
+    rows = [
+        (1, [1.0, 0.1, 0.0], 0),
+        (2, [1.0, 0.3, 0.0], 0),
+        (3, [0.0, 0.0, 1.0], 1),  # own cluster, no neighbor
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = semdedup(df, threshold=0.95)
+    kept = {r.vec_id for r in out.collect()}
+    assert kept == {survivor, 3}
+
+
+def test_semdedup_below_threshold_keeps_everything(spark):
+    from db_cdc_poc_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 0),  # orthogonal: cosine 0 < any threshold
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    assert out_ids(semdedup(df, threshold=0.5)) == {1, 2}
+
+
+def out_ids(df):
+    return {r.vec_id for r in df.collect()}
+
+
+def test_semdedup_cross_cluster_pairs_never_compared(spark):
+    from db_cdc_poc_spark.operators.similarity import semdedup
+
+    # near-identical vectors (cosine > 0.999) that land in different
+    # clusters: the pair is never screened, so both survive even above
+    # the threshold.
+    rows = [
+        (1, [1.0, 0.02, 0.0], 0),
+        (2, [1.0, -0.02, 0.0], 1),
+        (3, [0.9, 0.1, 0.0], 0),   # anchors keep centroids distinct
+        (4, [0.9, -0.1, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r.cluster for r in semdedup(df, threshold=0.999).collect()}
+    assert 1 in out and 2 in out and out[1] != out[2]
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans — ExactSubstr surgery on handcrafted docs
+# ---------------------------------------------------------------------------
+
+
+def _spans(spark, docs, window=3):
+    from db_cdc_poc_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", window=window
+        ).collect()
+    }
+
+
+def test_remove_dup_spans_cross_doc_span_removed_from_both(spark):
+    got = _spans(
+        spark,
+        [
+            (1, "a b c d e unique1 tail1"),
+            (2, "head2 a b c d e unique2"),
+        ],
+        window=5,
+    )
+    # the shared 5-gram "a b c d e" is removed from BOTH docs
+    assert got[1].clean_text == "unique1 tail1"
+    assert got[2].clean_text == "head2 unique2"
+    assert got[1].dup_tokens == 5 and got[1].n_spans == 1
+    assert got[2].dup_tokens == 5 and got[2].n_spans == 1
+    assert got[1].n_tokens == 7
+
+
+def test_remove_dup_spans_overlapping_grams_merge_into_one_span(spark):
+    # "a b c d" duplicated: grams (a b c) and (b c d) both flagged,
+    # covered positions merge into ONE contiguous span of 4 tokens.
+    got = _spans(
+        spark,
+        [(1, "a b c d x"), (2, "y a b c d")],
+        window=3,
+    )
+    assert got[1].dup_tokens == 4 and got[1].n_spans == 1
+    assert got[1].clean_text == "x"
+
+
+def test_remove_dup_spans_within_doc_repetition_counts(spark):
+    # the same doc repeats its own trigram: both occurrences removed
+    got = _spans(spark, [(1, "p q r z p q r")], window=3)
+    assert got[1].dup_tokens == 6 and got[1].n_spans == 2
+    assert got[1].clean_text == "z"
+
+
+def test_remove_dup_spans_short_and_clean_docs_untouched(spark):
+    got = _spans(
+        spark,
+        [(1, "tiny"), (2, "all fresh words here"), (3, "all fresh words here")],
+        window=5,
+    )
+    # doc 1 shorter than the window: no grams, kept whole
+    assert got[1].clean_text == "tiny" and got[1].dup_tokens == 0
+    # docs 2/3 duplicate each other but are only 4 tokens < window=5:
+    # no gram exists, so nothing is flagged (window sets the granularity)
+    assert got[2].dup_tokens == 0 and got[2].n_spans == 0
+
+
+def test_remove_dup_spans_fully_duplicated_doc_empties(spark):
+    got = _spans(spark, [(1, "a b c"), (2, "a b c")], window=3)
+    assert got[1].clean_text == "" and got[1].dup_tokens == 3
+    assert got[2].clean_text == "" and got[2].n_spans == 1
+
+
+# ---------------------------------------------------------------------------
+# strip_boilerplate — per-group frequency-threshold chunk removal
+# ---------------------------------------------------------------------------
+
+
+def _boiler(spark, docs, **kw):
+    from db_cdc_poc_spark.operators.text import strip_boilerplate
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    return {
+        r.doc_id: r
+        for r in strip_boilerplate(df, "doc_id", "text", "source", **kw).collect()
+    }
+
+
+def test_strip_boilerplate_removes_all_copies_in_group(spark):
+    # 2-token chunks; "nav bar" leads 2 of 3 docs in source A -> removed
+    # from BOTH (not keep-first); source B's identical chunk survives
+    # because frequency is judged per group.
+    docs = [
+        (1, "nav bar body one", "A"),
+        (2, "nav bar body two", "A"),
+        (3, "fresh text only here", "A"),
+        (4, "nav bar lone copy", "B"),
+        (5, "other stuff here too", "B"),
+    ]
+    got = _boiler(spark, docs, window=2, min_docs=2, min_doc_ppm=10_000)
+    assert got[1].clean_text == "body one"
+    assert got[2].clean_text == "body two"
+    assert got[1].n_boiler_chunks == 1 and got[1].n_chunks == 2
+    assert got[3].clean_text == "fresh text only here"
+    assert got[4].clean_text == "nav bar lone copy"  # B: only 1 doc has it
+    assert got[4].n_boiler_chunks == 0
+
+
+def test_strip_boilerplate_ppm_threshold_blocks_rare_chunks(spark):
+    # chunk in 2 docs but the group has 2000 docs -> 1000 ppm < 500000
+    docs = [(i, f"filler{i} text{i}", "A") for i in range(2000)]
+    docs += [(9001, "nav bar", "A"), (9002, "nav bar", "A")]
+    got = _boiler(spark, docs, window=2, min_docs=2, min_doc_ppm=500_000)
+    assert got[9001].n_boiler_chunks == 0
+    assert got[9001].clean_text == "nav bar"
+
+
+def test_strip_boilerplate_fully_boiler_doc_yields_empty(spark):
+    docs = [(1, "nav bar", "A"), (2, "nav bar", "A")]
+    got = _boiler(spark, docs, window=2, min_docs=2, min_doc_ppm=10_000)
+    assert got[1].clean_text == "" and got[1].n_boiler_chunks == 1
