@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from db_cdc_poc_spark.checkpointing import materialize
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two equal-length array<numeric> columns (double).
@@ -933,6 +935,7 @@ def semdedup(
     label_col: str = "label",
     threshold: float = 0.8,
     ndigits: int = 6,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public method): semantic
     deduplication by clustering embeddings and dropping, within each
@@ -950,13 +953,16 @@ def semdedup(
 
     Scale shape: the codebook is |labels| rows (parameter-bounded, the
     same codebook contract as ``ivf_assignment_stats``), broadcast
-    twice — once for assignment, once as the pair screen's equi-key.
-    The only pair join is WITHIN clusters (equi on cluster id, range on
-    id): density n²/k per cluster instead of n² global, the same
-    bucketed-candidate story as ``neardup_pairs_bucketed``, and the
-    drop rule is pairwise-local — no connected components, no
-    iteration. Skewed clusters are visible in ``ivf_assignment_stats``
-    before this runs.
+    once for assignment; the assignment is then MATERIALIZED (it feeds
+    both pair sides and the survivor join — un-cut, Catalyst re-runs
+    the scan + codebook join + rank window once per reference;
+    ``checkpoint_dir`` upgrades the cut to a durable parquet
+    checkpoint for cluster-scale fault tolerance). The only pair join
+    is WITHIN clusters (equi on cluster id, range on id): density n²/k
+    per cluster instead of n² global, the same bucketed-candidate
+    story as ``neardup_pairs_bucketed``, and the drop rule is
+    pairwise-local — no connected components, no iteration. Skewed
+    clusters are visible in ``ivf_assignment_stats`` before this runs.
 
     Output: survivors only — ``id_col``, ``cluster`` (the assigned
     label id), ``cos_centroid`` (rounded to ``ndigits``).
@@ -988,6 +994,12 @@ def semdedup(
         .select("__id", F.col("__cl").alias("__cluster"), "__e", "__nrm",
                 F.col("__cos").alias("__cos_c"))
     )
+    # The assignment feeds THREE consumers (both pair sides + the
+    # survivor join); un-materialized, Catalyst re-runs the scan +
+    # codebook join + rank window once per reference. Cut lineage at
+    # the chokepoint: localCheckpoint by default, durable parquet when
+    # checkpoint_dir is set (the cluster-scale fault-tolerance path).
+    assigned = materialize(assigned, checkpoint_dir, label="semdedup-assign")
     a = assigned.select(
         F.col("__cluster").alias("__ca"), F.col("__id").alias("__ia"),
         F.col("__e").alias("__ea"), F.col("__nrm").alias("__na"),

@@ -1,0 +1,136 @@
+"""Web/URL curation operators for training-data pipelines.
+
+Web-crawl corpora are keyed by URL before they are keyed by content:
+C4 and CCNet both dedup on (canonicalized) URL first, because it is
+the only O(n) signal that needs no text comparison at all. The
+reference has no web operators (its keys are order/product ids); this
+module is part of the LLM-data-pipeline extension (SURVEY.md §7
+step 5).
+
+Everything here is pure ``pyspark.sql.functions`` string/array
+expressions — JVM-side, whole-stage codegen, no Python in the hot
+path, and every step is expressible in ANSI-ish SQL so the DuckDB
+oracle replays the canonicalization decision-for-decision.
+
+At 100 TB: :func:`canonical_url` / :func:`registered_domain` are
+map-only projections that pipeline with the scan; :func:`url_dedup`
+is one hash shuffle on the canonical key (the same
+deterministic-survivor shape as ``dedup.dedup_exact``) — no pair
+joins anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Query parameters that never change page identity: analytics and
+#: click-tracking keys (the list every URL canonicalizer ships).
+TRACKING_PARAM_REGEX = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)="
+
+#: Second-level labels under which 2-letter ccTLDs hang registrable
+#: names (co.uk, com.au, ...). Tiny on purpose — swap in the public
+#: suffix list for production; the operator shape is the point.
+SECOND_LEVEL_LABELS = ("co", "com", "net", "org", "ac", "gov", "edu")
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of an absolute http(s) URL, as one JVM-side
+    expression: strip the ``#fragment``; lowercase scheme+authority
+    (never the path — paths are case-sensitive); drop a ``www.`` host
+    prefix and the scheme's default port (:80 / :443); trim trailing
+    slashes from the path; drop tracking query parameters
+    (:data:`TRACKING_PARAM_REGEX`) and sort the survivors so parameter
+    order can't split a page into two keys.
+
+    Scale shape: map-only, pipelines with the scan, prunes to the one
+    input column. Contract: input carries an explicit scheme (crawl
+    records do); relative URLs pass through un-lowercased.
+    """
+    u = F.regexp_replace(_col(url), "#.*", "")
+    base = F.substring_index(u, "?", 1)
+    query = F.regexp_extract(u, r"\?(.*)", 1)  # '' when no '?'
+    # scheme://authority, lowercased and normalized
+    prefix = F.lower(F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", 0))
+    prefix = F.regexp_replace(prefix, r"^(http://[^/:]*):80$", "$1")
+    prefix = F.regexp_replace(prefix, r"^(https://[^/:]*):443$", "$1")
+    prefix = F.regexp_replace(prefix, r"://www\.", "://")
+    path = F.regexp_replace(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    path = F.regexp_replace(path, "/+$", "")
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+        )
+    )
+    joined = F.array_join(params, "&")
+    return F.when(prefix == "", _col(url)).otherwise(
+        F.concat(
+            prefix,
+            path,
+            F.when(joined == "", F.lit("")).otherwise(F.concat(F.lit("?"), joined)),
+        )
+    )
+
+
+def host_of(url: Column | str) -> Column:
+    """The lowercased host of an absolute URL — userinfo, port, path,
+    query and fragment all stripped. Map-only."""
+    return F.regexp_extract(
+        F.lower(_col(url)),
+        r"^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)",
+        1,
+    )
+
+
+def registered_domain(url: Column | str) -> Column:
+    """The registrable domain of an absolute URL: the last two host
+    labels, or three when the second-to-last is a known second-level
+    label under a 2-letter ccTLD (``bbc.co.uk``). The per-domain
+    grouping key for crawl stats, blocklists and politeness budgets.
+    Map-only expression; no UDF."""
+    host = host_of(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    sld = F.element_at(labels, -2)
+    tld = F.element_at(labels, -1)
+    take3 = (
+        (n >= 3)
+        & (F.length(tld) == 2)
+        & sld.isin(*SECOND_LEVEL_LABELS)
+    )
+    k = F.when(take3, F.lit(3)).otherwise(F.least(n, F.lit(2)))
+    return F.array_join(F.slice(labels, n - k + 1, k), ".")
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """URL-keyed deduplication (the C4/CCNet first pass): canonicalize
+    with :func:`canonical_url` and keep ONE row per canonical URL —
+    the highest ``prefer_col`` (e.g. longest text, latest fetch), ties
+    and the no-preference case broken by lowest ``id_col`` so the
+    survivor is deterministic under any partitioning.
+
+    One hash shuffle on the canonical key; the rank window is
+    partition-local after it (same plan shape as
+    ``dedup.dedup_exact``). Output: all input columns plus
+    ``canonical_url``.
+    """
+    out = df.withColumn("canonical_url", canonical_url(url_col))
+    order = [F.col(id_col).asc()]
+    if prefer_col is not None:
+        order.insert(0, F.col(prefer_col).desc())
+    w = Window.partitionBy("canonical_url").orderBy(*order)
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

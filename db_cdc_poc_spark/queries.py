@@ -6252,6 +6252,7 @@ def q154_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q155_remove_dup_spans",
+    headline=True,
     oracle="""
 WITH tk AS (
     SELECT doc_id AS id,
@@ -6362,6 +6363,162 @@ def q156_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate(
         docs, "doc_id", "text", "source",
         window=8, min_docs=2, min_doc_ppm=10_000,
+    )
+
+
+def _synth_url_col():
+    """Deterministic crawl-like URL per document (testdata has no URL
+    column): host-case / www. / default-port / trailing-slash /
+    tracking-param / param-order / fragment variants keyed off doc_id
+    residues, so canonicalization has real work to do and ~1/3 of the
+    raw URLs collide after it. Mirrored verbatim in the q157/q158
+    oracle CTE ``raw``."""
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    return F.concat(
+        F.lit("https://"),
+        F.when(d % 3 == 0, F.lit("WWW."))
+        .when(d % 3 == 1, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.when(d % 2 == 0, F.lit(".example.com")).otherwise(
+            F.lit(".sample.co.uk")
+        ),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/cat-"),
+        s(d % 7),
+        F.lit("/item"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=rss&id="), s(d % 10)))
+        .when(d % 3 == 1, F.concat(F.lit("?id="), s(d % 10), F.lit("&utm_medium=x")))
+        .otherwise(F.concat(F.lit("?b=2&id="), s(d % 10))),
+        F.when(d % 6 == 0, F.lit("#s")).otherwise(F.lit("")),
+    )
+
+
+#: DuckDB CTEs replaying the synthetic URL + full canonicalization —
+#: shared by q157/q158. Single-match regexp_replace semantics are safe:
+#: every pattern is anchored or consumes to end-of-string.
+_URL_ORACLE_CTES = """
+raw AS (
+    SELECT doc_id, source, n_chars,
+           'https://'
+           || CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+                   WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END
+           || source
+           || CASE WHEN doc_id % 2 = 0 THEN '.example.com'
+                   ELSE '.sample.co.uk' END
+           || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+           || '/cat-' || CAST(doc_id % 7 AS VARCHAR) || '/item'
+           || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '?utm_source=rss&id=' || CAST(doc_id % 10 AS VARCHAR)
+                   WHEN doc_id % 3 = 1
+                   THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_medium=x'
+                   ELSE '?b=2&id=' || CAST(doc_id % 10 AS VARCHAR) END
+           || CASE WHEN doc_id % 6 = 0 THEN '#s' ELSE '' END AS url
+    FROM documents
+), s1 AS (
+    SELECT *, regexp_replace(url, '#.*', '') AS u FROM raw
+), s2 AS (
+    SELECT *,
+           CASE WHEN strpos(u, '?') > 0
+                THEN substr(u, 1, strpos(u, '?') - 1) ELSE u END AS base,
+           CASE WHEN strpos(u, '?') > 0
+                THEN substr(u, strpos(u, '?') + 1) ELSE '' END AS q
+    FROM s1
+), s3 AS (
+    SELECT *,
+           regexp_replace(regexp_replace(regexp_replace(
+               lower(regexp_extract(base,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', 0)),
+               '^(http://[^/:]*):80$', '\\1'),
+               '^(https://[^/:]*):443$', '\\1'),
+               '://www\\.', '://') AS pref,
+           regexp_replace(regexp_replace(base,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', ''), '/+$', '') AS pth,
+           array_to_string(list_sort(list_filter(string_split(q, '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)='))),
+               '&') AS joined
+    FROM s2
+), canon AS (
+    SELECT doc_id, source, n_chars, url,
+           pref || pth
+                || CASE WHEN joined = '' THEN ''
+                        ELSE '?' || joined END AS canonical_url
+    FROM s3
+)
+"""
+
+
+@_q(
+    "q157_url_canonical",
+    oracle="WITH "
+    + _URL_ORACLE_CTES
+    + """
+, h AS (
+    SELECT *, regexp_extract(lower(url),
+        '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host
+    FROM canon
+), d AS (
+    SELECT *, string_split(host, '.') AS ls,
+           CASE WHEN len(string_split(host, '.')) >= 3
+                     AND length(string_split(host, '.')[len(string_split(host, '.'))]) = 2
+                     AND string_split(host, '.')[len(string_split(host, '.')) - 1]
+                         IN ('co','com','net','org','ac','gov','edu')
+                THEN 3 ELSE least(len(string_split(host, '.')), 2) END AS k
+    FROM h
+)
+SELECT doc_id, url, canonical_url,
+       array_to_string(ls[len(ls) - k + 1 : len(ls)], '.') AS domain
+FROM d
+""",
+)
+def q157_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable domain (web.canonical_url /
+    web.registered_domain): strip fragment, lowercase scheme+authority,
+    drop www. and default ports, trim trailing slashes, drop tracking
+    params and sort the rest; domain = last 2 host labels (3 under
+    ccTLD second-levels like .co.uk). Map-only projections that
+    pipeline with the scan — the O(n) first pass of every web-crawl
+    pipeline (C4/CCNet dedup by URL before any text is compared)."""
+    from db_cdc_poc_spark.operators.web import canonical_url, registered_domain
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _synth_url_col())
+    return docs.select(
+        "doc_id",
+        "url",
+        canonical_url("url").alias("canonical_url"),
+        registered_domain("url").alias("domain"),
+    )
+
+
+@_q(
+    "q158_url_dedup",
+    headline=True,
+    oracle="WITH "
+    + _URL_ORACLE_CTES
+    + """
+SELECT doc_id, source, n_chars, canonical_url
+FROM canon
+QUALIFY row_number() OVER (
+    PARTITION BY canonical_url
+    ORDER BY n_chars DESC, doc_id) = 1
+""",
+)
+def q158_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup (web.url_dedup, the C4/CCNet first pass): one
+    survivor per canonical URL — longest document wins, ties to the
+    lowest doc_id so the survivor is deterministic under any
+    partitioning. One hash shuffle on the canonical key + a
+    partition-local rank window (the dedup_exact plan shape); no text
+    comparison, no pair join."""
+    from db_cdc_poc_spark.operators.web import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _synth_url_col())
+    return url_dedup(docs, "url", "doc_id", prefer_col="n_chars").select(
+        "doc_id", "source", "n_chars", "canonical_url"
     )
 
 

@@ -74,6 +74,11 @@ BOUNDED_BUILD_NLJ = {
     # the q43 shape) plus a 1-row total-count spine join — both BNLJ
     # build sides are parameter- or scalar-bounded, hand-verified.
     "q147_ivf_drift",
+    # SemDeDup: the vectors x broadcast label-codebook assignment join
+    # (|labels|-row build, the q43/q107 shape); the pair screen itself
+    # is an equi-join on the assigned cluster id (SMJ in the plan).
+    # Hand-verified: every BNLJ build side is the codebook relation.
+    "q154_semdedup",
 }
 
 # BNLJs whose every build side is a 1-row scalar-aggregate spine

@@ -168,3 +168,26 @@ def test_foreach_batch_sink_is_size_guarded(spark, tmp_path):
     with pytest.raises(DriverExchangeTooLarge):
         fn(_docs(spark, [(1, "a b c d e"), (2, "f g h i j")]), 0)
     assert sink == []
+
+
+def test_semdedup_reliable_matches_local(spark, tmp_path):
+    from db_cdc_poc_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.1, 0.0], 0),
+        (2, [1.0, 0.3, 0.0], 0),  # near-dup pair in cluster 0
+        (3, [0.0, 0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    local = sorted(r.vec_id for r in semdedup(df, threshold=0.95).collect())
+    reliable = sorted(
+        r.vec_id
+        for r in semdedup(
+            df, threshold=0.95, checkpoint_dir=str(tmp_path / "sd")
+        ).collect()
+    )
+    assert reliable == local and len(local) == 2
+    # the assignment materialized as a durable parquet step
+    assert os.listdir(tmp_path / "sd")
