@@ -1280,6 +1280,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     window: int = 8,
     min_count: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact-substring deduplication (ExactSubstr, Lee et al. ACL'22,
     public method): REMOVE from every document the token spans covered
@@ -1311,6 +1312,11 @@ def remove_duplicate_spans(
             "p", "h"
         ),
     )
+    # grams feeds the corpus count AND the covered-position join;
+    # covered feeds the anti-join AND the span accounting. Cut lineage
+    # at both (multi-consumer subtrees otherwise re-run the explode +
+    # hash once per reference — the q85/q150 2x-wall disease).
+    grams = materialize(grams, checkpoint_dir, eager=False, label="spans-grams")
     dup_h = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1326,6 +1332,9 @@ def remove_duplicate_spans(
             ).alias("pos"),
         )
         .distinct()
+    )
+    covered = materialize(
+        covered, checkpoint_dir, eager=False, label="spans-covered"
     )
     toks = df.select(
         F.col(id_col).alias("id"),

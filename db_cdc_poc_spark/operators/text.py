@@ -533,6 +533,7 @@ def strip_boilerplate(
     window: int = 8,
     min_docs: int = 2,
     min_doc_ppm: int = 10_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Frequency-threshold boilerplate removal (the CCNet/RefinedWeb
     "strip repeated lines per domain" step, at chunk granularity):
@@ -575,6 +576,13 @@ def strip_boilerplate(
         )
         .withColumn("__h", F.xxhash64("chunk_text"))
     )
+    # chunks feeds the frequency aggregate AND the per-doc reassembly
+    # join; un-cut, the explode + chunk groupBy runs once per consumer
+    # (the q85/q150 2x-wall disease). localCheckpoint by default,
+    # durable parquet when checkpoint_dir is set.
+    from db_cdc_poc_spark.checkpointing import materialize
+
+    chunks = materialize(chunks, checkpoint_dir, eager=False, label="boiler-chunks")
     group_docs = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).alias("docs_g")
     )

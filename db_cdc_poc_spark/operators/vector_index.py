@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from db_cdc_poc_spark.checkpointing import materialize
 from db_cdc_poc_spark.operators.similarity import norm, paired_cosine
 
 
@@ -98,6 +99,11 @@ def ivf_assignment_stats(
         ).alias("__cos_sum"),
         F.sum(F.col("is_new").cast("long")).alias("new_n"),
     )
+    # per_list (nlist rows) feeds BOTH the grand total and the output
+    # join; un-cut, Catalyst re-runs the corpus x codebook assignment
+    # once per consumer (measured 2x wall at sf1.0). Materializing
+    # nlist rows is free.
+    per_list = materialize(per_list, label="ivf-per-list")
     total = per_list.agg(F.sum("n_vectors").alias("__n_tot"))
     out = per_list.crossJoin(F.broadcast(total)).select(
         "list_id",

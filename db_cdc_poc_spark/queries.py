@@ -1465,17 +1465,25 @@ _IVF_COS = (
 )
 
 
-def _q43_oracle(step: int = 16, nprobe: int = 4, k: int = 5) -> str:
+def _q43_oracle(
+    step: int = 16, nprobe: int = 4, k: int = 5, nlist_cap: int = 128
+) -> str:
     """DuckDB replica of the IVF-Flat pipeline: same deterministic
-    sampled codebook (vec_id % step = 0), same argmax-cosine list
-    assignment (list_dot_product matches Spark's fold bit-for-bit),
-    same nprobe probing and exact re-rank."""
+    sampled codebook (vec_id % step = 0, CAPPED at nlist_cap entries —
+    nlist is an algorithm parameter, not a corpus fraction: uncapped,
+    the n x nlist assignment join is n^2/step, which the sf1.0 bench
+    measured as a 139x blowup on 10x data before the cap), same
+    argmax-cosine list assignment (list_dot_product matches Spark's
+    fold bit-for-bit), same nprobe probing and exact re-rank. At
+    sf0.01 (max vec_id 499) the cap is not binding, so driver-gate
+    results are unchanged."""
     return f"""
 WITH v AS (
     SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
     FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 ), cent AS (
-    SELECT vec_id AS cid, e, nrm FROM v WHERE vec_id % {step} = 0
+    SELECT vec_id AS cid, e, nrm FROM v
+    WHERE vec_id % {step} = 0 AND vec_id < {step * nlist_cap}
 ), assign AS (
     SELECT neighbor_id, cid AS list_id FROM (
         SELECT c.vec_id AS neighbor_id, t.cid,
@@ -1509,14 +1517,19 @@ QUALIFY rank <= {k}
 @_q("q43_ivf_topk", oracle=_q43_oracle())
 def q43_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-k (similarity.ivf_topk): deterministic
-    sampled codebook (every 16th vec_id), argmax-cosine inverted-list
-    assignment, 4-list probe, exact re-rank. Fully relational, so the
-    oracle replays the entire pipeline value-for-value."""
+    sampled codebook (every 16th vec_id, capped at 128 entries — nlist
+    is an algorithm PARAMETER; a corpus-fraction codebook makes the
+    n x nlist assignment join quadratic, the blowup the sf1.0 bench
+    caught on q147), argmax-cosine inverted-list assignment, 4-list
+    probe, exact re-rank. Fully relational, so the oracle replays the
+    entire pipeline value-for-value."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.ivf_topk(
         emb.filter(F.col("vec_id") < 10),
         emb,
-        centroids=emb.filter(F.col("vec_id") % 16 == 0),
+        centroids=emb.filter(
+            (F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 16 * 128)
+        ),
         k=5,
         nprobe=4,
     )
@@ -5810,7 +5823,8 @@ WITH v AS (
     SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
     FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 ), cent AS (
-    SELECT vec_id AS cid, e, nrm FROM v WHERE vec_id % 16 = 0
+    SELECT vec_id AS cid, e, nrm FROM v
+    WHERE vec_id % 16 = 0 AND vec_id < 2048
 ), assign AS (
     SELECT neighbor_id, is_new, cid AS list_id, cos_raw FROM (
         SELECT c.vec_id AS neighbor_id, c.vec_id % 5 = 0 AS is_new, t.cid,
@@ -5846,14 +5860,20 @@ def q147_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 5 = 0 stands in for the append batch) — the numbers that
     say when append-only maintenance (IvfIndex.append) has drifted far
     enough from the codebook to warrant re-clustering. Broadcast
-    codebook (nlist-bounded build side), one corpus pass, one
-    groupBy(list_id)."""
+    codebook (nlist-bounded build side — CAPPED at 128 entries: the
+    first sf1.0 run of this query used an uncapped corpus-fraction
+    codebook, n/16 centroids, and the n x nlist assignment measured
+    139x wall for 10x data; nlist is an algorithm parameter, never a
+    corpus fraction. At sf0.01 the cap is not binding, so driver-gate
+    results are unchanged), one corpus pass, one groupBy(list_id)."""
     from db_cdc_poc_spark.operators.vector_index import ivf_assignment_stats
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_assignment_stats(
         emb,
-        centroids=emb.filter(F.col("vec_id") % 16 == 0),
+        centroids=emb.filter(
+            (F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 16 * 128)
+        ),
         cohort=F.col("vec_id") % 5 == 0,
     )
 
