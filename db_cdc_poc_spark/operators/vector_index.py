@@ -321,3 +321,121 @@ class IvfIndex:
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank")
         )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    codebook_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    err_scale: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. TPAMI'11, public
+    method): split every vector into ``m`` contiguous subvectors and
+    replace each with the id of its nearest codeword in that
+    subspace's codebook — the fine-compression half of the FAISS-style
+    ANN stack (IVF = coarse routing, PQ = residual bytes). With k
+    codewords per subspace a d-dim float64 vector becomes m·log2(k)
+    bits: 64 dims / 512 bytes -> 32 bits here (m=8, k=16).
+
+    The codebooks are the ``m`` subvector slices of
+    ``codebook_vectors`` — a PARAMETER-bounded relation (k rows,
+    same contract as ``ivf_topk``'s centroids: ARCHITECTURE rule 13).
+    Assignment minimizes the exact squared L2 distance; since |x|² is
+    constant per (vector, subspace), the argmin is computed as argmax
+    of ``2·x·c − |c|²`` with every dot/norm the sequential-fold shape
+    the DuckDB oracle replays bit-for-bit (ties -> lower code_id).
+
+    Plan: one explode to (vector, subspace) rows — m rows per vector —
+    a broadcast join against the m·k-row codebook, per-(id, subspace)
+    ``max_by`` aggregate (rule 1: aggregate, not window), and one
+    groupBy(id) that packs the code. Linear in n·m·k; no pair joins,
+    no corpus shuffle beyond the two keyed aggregates.
+
+    Output: ``id_col``, ``pq_code`` (codes packed little-endian,
+    ceil(log2(k)) bits per subspace), ``err_micro`` (total squared
+    reconstruction error across subspaces, floor-scaled integers —
+    the distortion number a re-train decision reads).
+    """
+    # k is read off the codebook ONCE (parameter-bounded relation, so
+    # the driver count is O(k)); it only sizes the per-subspace bit
+    # width of the packed code. Codeword ids are remapped to a DENSE
+    # 0..k-1 range (rank by source id) so the bit packing can't alias;
+    # the single-partition rank window is over k rows — bounded by the
+    # parameter, never the data.
+    k = codebook_vectors.count()
+    bits = max(1, (int(k) - 1).bit_length())
+    wcb = Window.orderBy(F.col(id_col))
+    codebook_dense = codebook_vectors.select(
+        (F.row_number().over(wcb) - 1).alias("__dense"), F.col(vec_col)
+    )
+
+    def sub_rows(df: DataFrame, ident, out_id: str) -> DataFrame:
+        vec = F.col(vec_col).cast("array<double>")
+        subs = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.slice(
+                vec, (j * (F.size(vec) / m).cast("int")) + 1,
+                (F.size(vec) / m).cast("int"),
+            ),
+        )
+        return df.select(
+            F.col(ident).alias(out_id),
+            F.posexplode(subs).alias("sub_id", "sv"),
+        )
+
+    cw = sub_rows(codebook_dense, "__dense", "code_id").select(
+        "code_id",
+        "sub_id",
+        F.col("sv").alias("cv"),
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("sv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("cn2"),
+    )
+    xs = sub_rows(corpus, id_col, "id").withColumn(
+        "xn2",
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("sv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = xs.join(F.broadcast(cw), "sub_id").select(
+        "id",
+        "sub_id",
+        "code_id",
+        (F.lit(2.0) * dot - F.col("cn2")).alias("score"),
+        # squared L2 to this codeword; floor-scaled AFTER the winner is
+        # chosen so the integer never decides the argmax
+        (F.col("xn2") - F.lit(2.0) * dot + F.col("cn2")).alias("e2"),
+    )
+    best = scored.groupBy("id", "sub_id").agg(
+        F.max_by(
+            "code_id", F.struct(F.col("score"), (-F.col("code_id")).alias("nc"))
+        ).alias("code_id"),
+        F.max_by(
+            "e2", F.struct(F.col("score"), (-F.col("code_id")).alias("nc"))
+        ).alias("e2"),
+    )
+    return (
+        best.groupBy("id")
+        .agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(code_id AS BIGINT), sub_id * {bits})")
+            ).alias("pq_code"),
+            F.sum(
+                F.floor(F.greatest(F.col("e2"), F.lit(0.0)) * err_scale).cast(
+                    "long"
+                )
+            ).alias("err_micro"),
+        )
+        .select(F.col("id").alias(id_col), "pq_code", "err_micro")
+    )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from db_cdc_poc_spark.checkpointing import materialize
+
 #: Query parameters that never change page identity: analytics and
 #: click-tracking keys (the list every URL canonicalizer ships).
 TRACKING_PARAM_REGEX = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)="
@@ -133,4 +135,68 @@ def url_dedup(
         out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registrable-domain crawl audit: document count, corpus share
+    in exact ppm (integer floor-div against the single grand total),
+    and distinct host count (subdomain spread — a domain with many
+    hosts and few docs per host is a crawl-frontier smell).
+
+    One hash aggregate on the domain key plus a 1-row total joined
+    back (the scalar-spine shape every normalization query here uses).
+    The output is |domains| rows — the table a 100 TB crawl's
+    politeness budgets, blocklists and mixture weights are planned on.
+    """
+    per = (
+        df.select(
+            registered_domain(url_col).alias("domain"),
+            host_of(url_col).alias("__host"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("__host").alias("n_hosts"),
+        )
+    )
+    # per (|domains| rows) feeds the grand total AND the output join;
+    # cut it so the corpus aggregate runs once (ARCHITECTURE rule 12).
+    per = materialize(per, label="domain-stats")
+    total = per.agg(F.sum("n_docs").alias("__tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        "n_hosts",
+        F.expr("1000000 * n_docs div __tot").alias("share_ppm"),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop every row whose REGISTRABLE domain is on a blocklist (the
+    UT1/url-blocklist pass every crawl pipeline runs first): an entry
+    ``evil.com`` blocks ``evil.com`` and every subdomain host under it,
+    because matching happens on :func:`registered_domain`, not on the
+    raw host string.
+
+    Plan: one broadcast LEFT ANTI join against the |blocklist|-row
+    table — blocklists are millions of rows at most, always the small
+    side; the corpus never shuffles. Rows whose URL yields no domain
+    (schemeless/garbage) are KEPT — a blocklist must fail open on
+    unparseable input or it silently drops data the parser can't see.
+    """
+    b = blocklist.select(F.col(domain_col).alias("__blocked")).distinct()
+    return (
+        df.withColumn("__dom", registered_domain(url_col))
+        .join(
+            F.broadcast(b),
+            F.col("__dom") == F.col("__blocked"),
+            "left_anti",
+        )
+        .drop("__dom")
     )

@@ -6542,5 +6542,136 @@ def q158_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB CTE deriving host + registrable domain from the synthetic
+#: URL — shared by q159/q160; mirrors web.host_of/registered_domain.
+_DOMAIN_ORACLE_CTE = """
+h AS (
+    SELECT *, regexp_extract(lower(url),
+        '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host
+    FROM raw
+), d AS (
+    SELECT *,
+           string_split(host, '.') AS ls,
+           CASE WHEN len(string_split(host, '.')) >= 3
+                     AND length(string_split(host, '.')[len(string_split(host, '.'))]) = 2
+                     AND string_split(host, '.')[len(string_split(host, '.')) - 1]
+                         IN ('co','com','net','org','ac','gov','edu')
+                THEN 3 ELSE least(len(string_split(host, '.')), 2) END AS k
+    FROM h
+), dom AS (
+    SELECT *, array_to_string(ls[len(ls) - k + 1 : len(ls)], '.') AS domain
+    FROM d
+)
+"""
+
+
+@_q(
+    "q159_domain_stats",
+    oracle="WITH "
+    + _URL_ORACLE_CTES.split(", s1 AS")[0]
+    + ", "
+    + _DOMAIN_ORACLE_CTE
+    + """
+, per AS (
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM dom GROUP BY domain
+), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM per)
+SELECT domain, n_docs, n_hosts,
+       CAST(1000000 * n_docs // t AS BIGINT) AS share_ppm
+FROM per, tot
+""",
+)
+def q159_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain crawl audit (web.domain_stats): doc
+    count, distinct-host spread, exact floor-ppm corpus share. One
+    domain-keyed hash aggregate + the 1-row grand-total spine — the
+    |domains|-row table politeness budgets and blocklists plan on."""
+    from db_cdc_poc_spark.operators.web import domain_stats
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _synth_url_col())
+    return domain_stats(docs, "url")
+
+
+@_q(
+    "q160_blocklist_filter",
+    oracle="WITH "
+    + _URL_ORACLE_CTES.split(", s1 AS")[0]
+    + ", "
+    + _DOMAIN_ORACLE_CTE
+    + """
+SELECT doc_id, source, n_chars
+FROM dom
+WHERE domain NOT IN ('example.com', 'blocked.example.org')
+""",
+)
+def q160_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist pass (web.filter_blocked_domains, the
+    UT1-style first filter of every crawl pipeline): drop documents
+    whose REGISTRABLE domain is listed — every srcN.example.com /
+    www.srcN.example.com subdomain host falls to the one
+    'example.com' entry, because matching is on registered_domain,
+    not the raw host (that's the point of the op). One broadcast
+    left-anti join; the corpus never shuffles."""
+    from db_cdc_poc_spark.operators.web import filter_blocked_domains
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _synth_url_col())
+    blocked = spark.createDataFrame(
+        [("example.com",), ("blocked.example.org",)], "domain string"
+    )
+    return filter_blocked_domains(docs, blocked, "url").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@_q(
+    "q161_pq_codes",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cbv AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, e
+    FROM v WHERE vec_id % 16 = 0 AND vec_id < 256
+), subs AS (
+    SELECT vec_id AS id, j.j AS sub_id, e[j.j*8+1 : j.j*8+8] AS sv
+    FROM v, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+), cw AS (
+    SELECT code_id, j.j AS sub_id, e[j.j*8+1 : j.j*8+8] AS cv,
+           list_dot_product(e[j.j*8+1 : j.j*8+8],
+                            e[j.j*8+1 : j.j*8+8]) AS cn2
+    FROM cbv, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+), sc AS (
+    SELECT id, s.sub_id, code_id,
+           2 * list_dot_product(sv, cv) - cn2 AS score,
+           list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv) + cn2 AS e2
+    FROM subs s JOIN cw c ON s.sub_id = c.sub_id
+), best AS (
+    SELECT id, sub_id, code_id, e2 FROM sc
+    QUALIFY row_number() OVER (PARTITION BY id, sub_id
+                               ORDER BY score DESC, code_id) = 1
+)
+SELECT id AS vec_id,
+       CAST(sum(code_id << (sub_id * 4)) AS BIGINT) AS pq_code,
+       CAST(sum(CAST(floor(greatest(e2, 0) * 1000000) AS BIGINT)) AS BIGINT)
+           AS err_micro
+FROM best GROUP BY id
+""",
+)
+def q161_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (vector_index.pq_codes, Jégou et al.
+    TPAMI'11): 8 subspaces x 16 sampled codewords compress each 64-dim
+    vector to one packed 32-bit code plus an exact floor-scaled
+    reconstruction-error integer — the fine-compression half of the
+    IVF+PQ ANN stack (q43/q147 are the coarse half). Codebook =
+    deterministic parameter-bounded sample (16 vectors, the rule-13
+    contract); every dot/norm is the sequential fold DuckDB replays
+    bit-for-bit, so codes AND distortion replay value-for-value."""
+    from db_cdc_poc_spark.operators.vector_index import pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = emb.filter((F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 256))
+    return pq_codes(emb, cb, m=8)
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -103,6 +103,10 @@ SCALAR_SPINE_NLJ = {
     "q131_bm25_search",
     "q132_lsh_recall",
     "q144_quality_ensemble",
+    # domain_stats: the one BNLJ broadcasts the 1-row grand total over
+    # the materialized per-domain aggregate (share_ppm denominator) —
+    # hand-verified scalar spine.
+    "q159_domain_stats",
     "q44_tfidf_terms",
     "q97_gapfill_locf",
 }

@@ -1,0 +1,58 @@
+import numpy as np
+import pytest
+from db_cdc_poc_spark.operators.vector_index import pq_codes
+
+def test_pq_matches_numpy_reference(spark):
+    rng = np.random.RandomState(7)
+    d, m, k, n = 16, 4, 4, 20
+    vecs = rng.randn(n, d).round(3)
+    cb = rng.randn(k, d).round(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    code_df = spark.createDataFrame(
+        [(100 + i, [float(x) for x in cb[i]]) for i in range(k)],
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in pq_codes(corpus, code_df, m=m).collect()}
+    dsub = d // m
+    bits = max(1, (k - 1).bit_length())
+    for i in range(n):
+        code, err = 0, 0
+        for j in range(m):
+            x = vecs[i, j*dsub:(j+1)*dsub]
+            d2 = ((cb[:, j*dsub:(j+1)*dsub] - x) ** 2).sum(axis=1)
+            # ties -> lower dense code id; np.argmin is first-lowest
+            cid = int(np.argmin(d2))
+            code |= cid << (j * bits)
+            err += int(np.floor(max(d2[cid], 0.0) * 1_000_000))
+        assert out[i].pq_code == code, f"vec {i}"
+        assert abs(out[i].err_micro - err) <= m  # floor vs float wobble
+
+
+def test_pq_tie_breaks_to_lower_dense_id_and_zero_vec(spark):
+    # duplicate codewords: exact tie on every subspace -> dense id 0
+    # (source ids 7 < 9 -> dense 0 is the one with vec_id 7)
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cb = spark.createDataFrame(
+        [(9, [1.0, 0.0, 1.0, 0.0]), (7, [1.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    [r] = pq_codes(corpus, cb, m=2).collect()
+    assert r.pq_code == 0  # dense 0 in both subspaces
+    assert r.err_micro == 2_000_000  # |c|^2 = 1 per subspace
+
+
+def test_pq_bit_width_handles_non_power_of_two_k(spark):
+    # k=3 -> 2 bits per subspace; winning code 2 in sub 1 packs at <<2
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 5.0])], "vec_id long, embedding array<double>"
+    )
+    cb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [9.0, 9.0]), (3, [0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    [r] = pq_codes(corpus, cb, m=2).collect()
+    assert r.pq_code == (0 << 0) | (2 << 2)
+    assert r.err_micro == 0

@@ -99,3 +99,35 @@ def test_url_dedup_no_prefer_keeps_lowest_id(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = url_dedup(df, "url", "doc_id")
     assert [r.doc_id for r in out.collect()] == [3]
+
+
+def test_domain_stats_counts_hosts_and_share(spark):
+    from db_cdc_poc_spark.operators.web import domain_stats
+
+    rows = [
+        (1, "https://a.shop.com/x"),
+        (2, "https://b.shop.com/y"),
+        (3, "https://a.shop.com/z"),
+        (4, "https://news.bbc.co.uk/1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.domain: r for r in domain_stats(df, "url").collect()}
+    assert got["shop.com"].n_docs == 3 and got["shop.com"].n_hosts == 2
+    assert got["bbc.co.uk"].n_docs == 1
+    assert got["shop.com"].share_ppm == 750_000
+    assert got["bbc.co.uk"].share_ppm == 250_000
+
+
+def test_blocklist_blocks_subdomains_and_fails_open(spark):
+    from db_cdc_poc_spark.operators.web import filter_blocked_domains
+
+    rows = [
+        (1, "https://evil.com/x"),
+        (2, "https://deep.sub.evil.com/y"),  # subdomain: blocked too
+        (3, "https://good.com/z"),
+        (4, "not a url"),  # unparseable: kept (fail open)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("evil.com",)], "domain string")
+    kept = {r.doc_id for r in filter_blocked_domains(df, bl, "url").collect()}
+    assert kept == {3, 4}
