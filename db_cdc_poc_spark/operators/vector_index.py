@@ -439,3 +439,117 @@ def pq_codes(
         )
         .select(F.col("id").alias(id_col), "pq_code", "err_micro")
     )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_top: int = 5,
+    code_col: str = "pq_code",
+    dist_scale: int = 1_000_000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou TPAMI'11):
+    the query stays full-precision, every corpus vector is its packed
+    :func:`pq_codes` code, and distance is the sum over subspaces of a
+    precomputed (query, subspace, codeword) lookup table — the serving
+    path where a 100 TB corpus is scanned as 4-byte codes instead of
+    512-byte vectors.
+
+    The LUT is |queries|·m·k rows (all parameter-bounded), broadcast;
+    the corpus side explodes each code into its m (subspace, codeword)
+    entries with shift/mask expressions — never re-reading vectors —
+    then one groupBy(query, id) sums the m table hits and a rank
+    window keeps ``k_top``. Distances are floor-scaled integers
+    (exact long sums), so ranking and values replay bit-for-bit in
+    the oracle (ties -> lower corpus id).
+
+    Output: ``query_id``, ``neighbor_id``, ``adc_micro`` (approximate
+    squared L2, floor-micro), ``rank``.
+    """
+    k = codebook_vectors.count()
+    bits = max(1, (int(k) - 1).bit_length())
+    mask = (1 << bits) - 1
+    wcb = Window.orderBy(F.col(id_col))
+    cb = codebook_vectors.select(
+        (F.row_number().over(wcb) - 1).alias("code_id"),
+        F.col(vec_col).cast("array<double>").alias("ce"),
+    )
+
+    def subs_of(df: DataFrame, ident, out_id: str, out_vec: str) -> DataFrame:
+        vec = F.col(vec_col).cast("array<double>")
+        pieces = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.slice(
+                vec, (j * (F.size(vec) / m).cast("int")) + 1,
+                (F.size(vec) / m).cast("int"),
+            ),
+        )
+        return df.select(
+            F.col(ident).alias(out_id),
+            F.posexplode(pieces).alias("sub_id", out_vec),
+        )
+
+    def fold_dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qs = subs_of(queries, id_col, "query_id", "qv").withColumn(
+        "qn2", fold_dot("qv", "qv")
+    )
+    cws = cb.select(
+        "code_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(
+                    F.col("ce"), (j * (F.size("ce") / m).cast("int")) + 1,
+                    (F.size("ce") / m).cast("int"),
+                ),
+            )
+        ).alias("sub_id", "cv"),
+    ).withColumn("cn2", fold_dot("cv", "cv"))
+    # expansion form |q|^2 - 2 q.c + |c|^2 — the SAME expression shape
+    # the oracle replays (fold-dot contract), unlike a direct
+    # (a-b)^2 fold whose different rounding could flip a floor()
+    d2 = F.col("qn2") - F.lit(2.0) * fold_dot("qv", "cv") + F.col("cn2")
+    # (query, subspace, codeword) -> floor-scaled partial distance
+    lut = qs.join(cws, "sub_id").select(
+        "query_id",
+        "sub_id",
+        "code_id",
+        F.floor(F.greatest(d2, F.lit(0.0)) * dist_scale).cast("long").alias(
+            "d_micro"
+        ),
+    )
+    # corpus codes -> m (subspace, codeword) rows via shift/mask only
+    entries = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(code_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+    ).select(
+        "neighbor_id",
+        "sub_id",
+        F.expr(
+            f"shiftrightunsigned({code_col}, sub_id * {bits}) & {mask}"
+        ).alias("code_id"),
+    )
+    scored = (
+        entries.join(F.broadcast(lut), ["sub_id", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "adc_micro", "rank")
+    )

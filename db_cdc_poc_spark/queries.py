@@ -6673,5 +6673,72 @@ def q161_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(emb, cb, m=8)
 
 
+@_q(
+    "q162_pq_adc_topk",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cbv AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, e
+    FROM v WHERE vec_id % 16 = 0 AND vec_id < 256
+), subs AS (
+    SELECT vec_id AS id, j.j AS sub_id, e[j.j*8+1 : j.j*8+8] AS sv
+    FROM v, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+), cw AS (
+    SELECT code_id, j.j AS sub_id, e[j.j*8+1 : j.j*8+8] AS cv,
+           list_dot_product(e[j.j*8+1 : j.j*8+8],
+                            e[j.j*8+1 : j.j*8+8]) AS cn2
+    FROM cbv, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+), best AS (
+    SELECT id, s.sub_id, code_id FROM (
+        SELECT id, s.sub_id, code_id,
+               2 * list_dot_product(sv, cv) - cn2 AS score,
+               row_number() OVER (PARTITION BY id, s.sub_id
+                                  ORDER BY 2 * list_dot_product(sv, cv) - cn2
+                                           DESC, code_id) AS rn
+        FROM subs s JOIN cw c ON s.sub_id = c.sub_id) s
+    WHERE rn = 1
+), lut AS (
+    SELECT s.id AS query_id, s.sub_id, c.code_id,
+           CAST(floor(greatest(
+               list_dot_product(sv, sv)
+               - 2 * list_dot_product(sv, cv) + cn2, 0) * 1000000)
+               AS BIGINT) AS d_micro
+    FROM subs s JOIN cw c ON s.sub_id = c.sub_id
+    WHERE s.id < 10
+), scored AS (
+    SELECT l.query_id, b.id AS neighbor_id,
+           CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+    FROM best b
+    JOIN lut l ON l.sub_id = b.sub_id AND l.code_id = b.code_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_micro, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
+)
+def q162_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (vector_index.pq_adc_topk): the 10
+    query vectors stay full-precision, the corpus is scanned as packed
+    32-bit PQ codes (q161's output), and distance is the sum of m=8
+    broadcast lookup-table hits — the serving path where 100 TB of
+    float vectors become 4-byte codes. Floor-scaled integer distances
+    make ranking exact; the oracle replays assignment, LUT and ranks
+    from the unpacked relations (pack/unpack identity is unit-tested),
+    value-for-value."""
+    from db_cdc_poc_spark.operators.vector_index import pq_adc_topk, pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = emb.filter((F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 256))
+    codes = pq_codes(emb, cb, m=8)
+    return pq_adc_topk(
+        codes, emb.filter(F.col("vec_id") < 10), cb, m=8, k_top=5
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -56,3 +56,44 @@ def test_pq_bit_width_handles_non_power_of_two_k(spark):
     [r] = pq_codes(corpus, cb, m=2).collect()
     assert r.pq_code == (0 << 0) | (2 << 2)
     assert r.err_micro == 0
+
+
+def test_pq_adc_matches_numpy_reference(spark):
+    from db_cdc_poc_spark.operators.vector_index import pq_adc_topk
+
+    rng = np.random.RandomState(11)
+    d, m, k, n, nq, topk = 16, 4, 4, 30, 3, 5
+    vecs = rng.randn(n, d).round(3)
+    cb = rng.randn(k, d).round(3)
+    qs = rng.randn(nq, d).round(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    code_df = spark.createDataFrame(
+        [(100 + i, [float(x) for x in cb[i]]) for i in range(k)],
+        "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in qs[i]]) for i in range(nq)],
+        "vec_id long, embedding array<double>")
+    codes = pq_codes(corpus, code_df, m=m)
+    out = pq_adc_topk(codes, qdf, code_df, m=m, k_top=topk).collect()
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.adc_micro) for r in out}
+
+    dsub = d // m
+    bits = max(1, (k - 1).bit_length())
+    # reference: assign codes, build LUT in float64, floor-scale each
+    # partial, rank by integer sum then id
+    for qi in range(nq):
+        dists = []
+        for i in range(n):
+            total = 0
+            for j in range(m):
+                x = vecs[i, j*dsub:(j+1)*dsub]
+                cid = int(np.argmin(((cb[:, j*dsub:(j+1)*dsub] - x) ** 2).sum(axis=1)))
+                part = ((qs[qi, j*dsub:(j+1)*dsub] - cb[cid, j*dsub:(j+1)*dsub]) ** 2).sum()
+                total += int(np.floor(part * 1_000_000))
+            dists.append((total, i))
+        dists.sort()
+        for r, (dm, nid) in enumerate(dists[:topk], start=1):
+            assert got[(1000 + qi, r)][0] == nid, (qi, r)
+            assert abs(got[(1000 + qi, r)][1] - dm) <= m
