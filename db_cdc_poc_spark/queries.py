@@ -6740,5 +6740,125 @@ def q162_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q163_pq_recall",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cbv AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, e
+    FROM v WHERE vec_id % 16 = 0 AND vec_id < 256
+), subs AS (
+    SELECT vec_id AS id, j.j AS sub_id, e[j.j*8+1 : j.j*8+8] AS sv
+    FROM v, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+), cw AS (
+    SELECT code_id, j.j AS sub_id, e[j.j*8+1 : j.j*8+8] AS cv,
+           list_dot_product(e[j.j*8+1 : j.j*8+8],
+                            e[j.j*8+1 : j.j*8+8]) AS cn2
+    FROM cbv, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+), best AS (
+    SELECT id, s.sub_id, code_id FROM (
+        SELECT id, s.sub_id, code_id,
+               row_number() OVER (PARTITION BY id, s.sub_id
+                                  ORDER BY 2 * list_dot_product(sv, cv) - cn2
+                                           DESC, code_id) AS rn
+        FROM subs s JOIN cw c ON s.sub_id = c.sub_id) s
+    WHERE rn = 1
+), lut AS (
+    SELECT s.id AS query_id, s.sub_id, c.code_id,
+           CAST(floor(greatest(
+               list_dot_product(sv, sv)
+               - 2 * list_dot_product(sv, cv) + cn2, 0) * 1000000)
+               AS BIGINT) AS d_micro
+    FROM subs s JOIN cw c ON s.sub_id = c.sub_id
+    WHERE s.id < 10
+), adc AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT l.query_id, b.id AS neighbor_id,
+               row_number() OVER (PARTITION BY l.query_id
+                                  ORDER BY sum(l.d_micro), b.id) AS rank
+        FROM best b
+        JOIN lut l ON l.sub_id = b.sub_id AND l.code_id = b.code_id
+        GROUP BY l.query_id, b.id)
+    WHERE rank <= 5
+), q AS (
+    SELECT vec_id AS query_id, e AS qe,
+           list_dot_product(e, e) AS qn2
+    FROM v WHERE vec_id < 10
+), exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(v.e, v.e)
+                            - 2 * list_dot_product(q.qe, v.e) + q.qn2,
+                            v.vec_id) AS rank
+        FROM q CROSS JOIN v)
+    WHERE rank <= 5
+)
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(1000000 * count(a.neighbor_id) // 5 AS BIGINT) AS recall_ppm
+FROM exact e
+LEFT JOIN adc a ON a.query_id = e.query_id
+                AND a.neighbor_id = e.neighbor_id
+GROUP BY 1
+""",
+)
+def q163_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ADC recall@5 vs the exact squared-L2 top-5 (the PQ
+    sibling of q132's LSH recall report — measure the approximation,
+    don't guess): per query, how many of the true 5 nearest survive
+    the 32-bit-code ADC ranking, as exact floor-ppm integers. The
+    exact leg is a documented q24-style baseline (10 broadcast query
+    vectors, the allowlisted exact-BNLJ shape); both legs and the
+    intersection replay in DuckDB."""
+    from db_cdc_poc_spark.operators.vector_index import pq_adc_topk, pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = emb.filter((F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 256))
+    qv = emb.filter(F.col("vec_id") < 10)
+    adc = pq_adc_topk(pq_codes(emb, cb, m=8), qv, cb, m=8, k_top=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def fdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    ).withColumn("cn2", fdot(F.col("ce"), F.col("ce")))
+    q = qv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    ).withColumn("qn2", fdot(F.col("qe"), F.col("qe")))
+    d2 = F.col("cn2") - F.lit(2.0) * fdot(F.col("qe"), F.col("ce")) + F.col("qn2")
+    w = Window.partitionBy("query_id").orderBy(
+        d2.asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(adc, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__h"))
+        .join(exact.select("query_id").distinct(), "query_id", "right")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("n_hit"),
+            F.expr("1000000 * coalesce(__h, 0) div 5").alias("recall_ppm"),
+        )
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -54,6 +54,10 @@ NLJ_ALLOWED = {
     # only BNLJ is the 1-row corpus-stats spine, scalar-agg-classified
     # when it stands alone); the fusion join itself is an equi-join.
     "q137_hybrid_rrf",
+    # PQ recall report: the EXACT leg is the q24 shape (corpus x 10
+    # broadcast query vectors) — it exists to measure the ADC leg's
+    # recall against ground truth; the ADC leg itself is all equi-joins.
+    "q163_pq_recall",
 }
 
 # BNLJs whose broadcast build side is bounded by an ALGORITHM PARAMETER
