@@ -451,6 +451,7 @@ def pq_adc_topk(
     k_top: int = 5,
     code_col: str = "pq_code",
     dist_scale: int = 1_000_000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes (Jégou TPAMI'11):
     the query stays full-precision, every corpus vector is its packed
@@ -540,11 +541,24 @@ def pq_adc_topk(
             f"shiftrightunsigned({code_col}, sub_id * {bits}) & {mask}"
         ).alias("code_id"),
     )
-    scored = (
-        entries.join(F.broadcast(lut), ["sub_id", "code_id"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d_micro").alias("adc_micro"))
-    )
+    if candidates is not None:
+        # IVF-routed mode: score ONLY the (query, neighbor) pairs the
+        # coarse quantizer admitted — the candidate relation carries
+        # the probe selectivity, so ADC cost is |candidates|·m, not
+        # |corpus|·|queries|·m. Equi-joins throughout.
+        cand = candidates.select("query_id", "neighbor_id")
+        scored = (
+            entries.join(cand, "neighbor_id")
+            .join(F.broadcast(lut), ["query_id", "sub_id", "code_id"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("d_micro").alias("adc_micro"))
+        )
+    else:
+        scored = (
+            entries.join(F.broadcast(lut), ["sub_id", "code_id"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("d_micro").alias("adc_micro"))
+        )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("adc_micro").asc(), F.col("neighbor_id").asc()
     )

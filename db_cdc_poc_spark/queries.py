@@ -6860,5 +6860,136 @@ def q163_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q164_ivfpq_topk",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+), cent AS (
+    SELECT vec_id AS cid, e, nrm FROM v
+    WHERE vec_id % 16 = 0 AND vec_id < 256
+), assign AS (
+    SELECT neighbor_id, cid AS list_id FROM (
+        SELECT c.vec_id AS neighbor_id, t.cid,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                   CASE WHEN c.nrm * t.nrm > 0
+                        THEN list_dot_product(c.e, t.e) / (c.nrm * t.nrm)
+                        ELSE 0.0 END DESC, t.cid) AS rn
+        FROM v c CROSS JOIN cent t)
+    WHERE rn = 1
+), probes AS (
+    SELECT query_id, cid AS list_id FROM (
+        SELECT q.vec_id AS query_id, t.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   CASE WHEN q.nrm * t.nrm > 0
+                        THEN list_dot_product(q.e, t.e) / (q.nrm * t.nrm)
+                        ELSE 0.0 END DESC, t.cid) AS rn
+        FROM v q CROSS JOIN cent t WHERE q.vec_id < 10)
+    WHERE rn <= 4
+), cand AS (
+    SELECT p.query_id, a.neighbor_id
+    FROM probes p JOIN assign a
+      ON p.list_id = a.list_id AND p.query_id <> a.neighbor_id
+), cbv AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, e
+    FROM v WHERE vec_id % 16 = 0 AND vec_id < 256
+), subs AS (
+    SELECT vec_id AS id, j.j AS sub_id, e[j.j*8+1 : j.j*8+8] AS sv
+    FROM v, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+), cw AS (
+    SELECT code_id, j.j AS sub_id, e[j.j*8+1 : j.j*8+8] AS cv,
+           list_dot_product(e[j.j*8+1 : j.j*8+8],
+                            e[j.j*8+1 : j.j*8+8]) AS cn2
+    FROM cbv, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+), best AS (
+    SELECT id, s.sub_id, code_id FROM (
+        SELECT id, s.sub_id, code_id,
+               row_number() OVER (PARTITION BY id, s.sub_id
+                                  ORDER BY 2 * list_dot_product(sv, cv) - cn2
+                                           DESC, code_id) AS rn
+        FROM subs s JOIN cw c ON s.sub_id = c.sub_id) s
+    WHERE rn = 1
+), lut AS (
+    SELECT s.id AS query_id, s.sub_id, c.code_id,
+           CAST(floor(greatest(
+               list_dot_product(sv, sv)
+               - 2 * list_dot_product(sv, cv) + cn2, 0) * 1000000)
+               AS BIGINT) AS d_micro
+    FROM subs s JOIN cw c ON s.sub_id = c.sub_id
+    WHERE s.id < 10
+), scored AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+    FROM cand cd
+    JOIN best b ON b.id = cd.neighbor_id
+    JOIN lut l ON l.query_id = cd.query_id
+              AND l.sub_id = b.sub_id AND l.code_id = b.code_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_micro, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
+)
+def q164_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF+PQ search (the full FAISS-style serving path):
+    coarse cosine routing picks nprobe=4 of 16 inverted lists per
+    query (the q43 quantizer, self excluded), and ADC then scores ONLY
+    the admitted candidates from their packed 32-bit codes — cost is
+    |candidates|·m lookup hits, never |corpus|·|queries|. Flat PQ (no
+    residual encoding — documented simplification); every stage
+    (assignment, probes, codes, LUT, ranks) replays value-for-value."""
+    from db_cdc_poc_spark.operators.similarity import norm, paired_cosine
+    from db_cdc_poc_spark.operators.vector_index import pq_adc_topk, pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = emb.filter((F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 256))
+    qv = emb.filter(F.col("vec_id") < 10)
+    cent = cb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        norm("embedding").alias("cen"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        norm("embedding").alias("cn"),
+    )
+    assign = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc"))
+            ).alias("list_id")
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    probes = (
+        qv.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            norm("embedding").alias("qn"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", paired_cosine("qe", "ce", "qn", "cen"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 4)
+        .select("query_id", F.col("cid").alias("list_id"))
+    )
+    cand = probes.join(assign, "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    codes = pq_codes(emb, cb, m=8)
+    return pq_adc_topk(codes, qv, cb, m=8, k_top=5, candidates=cand)
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -83,6 +83,10 @@ BOUNDED_BUILD_NLJ = {
     # is an equi-join on the assigned cluster id (SMJ in the plan).
     # Hand-verified: every BNLJ build side is the codebook relation.
     "q154_semdedup",
+    # IVF+PQ composition: the coarse quantizer's corpus x codebook and
+    # queries x codebook joins (capped 16-entry build, the q43 shape);
+    # the candidate-restricted ADC leg is equi-joins only.
+    "q164_ivfpq_topk",
 }
 
 # BNLJs whose every build side is a 1-row scalar-aggregate spine

@@ -97,3 +97,34 @@ def test_pq_adc_matches_numpy_reference(spark):
         for r, (dm, nid) in enumerate(dists[:topk], start=1):
             assert got[(1000 + qi, r)][0] == nid, (qi, r)
             assert abs(got[(1000 + qi, r)][1] - dm) <= m
+
+
+def test_pq_adc_candidates_restricts_and_matches_unrestricted(spark):
+    from db_cdc_poc_spark.operators.vector_index import pq_adc_topk
+
+    rng = np.random.RandomState(3)
+    d, m, k, n = 8, 2, 4, 12
+    vecs = rng.randn(n, d).round(3)
+    cb = rng.randn(k, d).round(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    code_df = spark.createDataFrame(
+        [(i, [float(x) for x in cb[i]]) for i in range(k)],
+        "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]])], "vec_id long, embedding array<double>")
+    codes = pq_codes(corpus, code_df, m=m)
+    full = {r.neighbor_id: r.adc_micro
+            for r in pq_adc_topk(codes, qdf, code_df, m=m, k_top=n).collect()}
+    allowed = [2, 5, 7]
+    cand = spark.createDataFrame(
+        [(0, i) for i in allowed], "query_id long, neighbor_id long")
+    out = pq_adc_topk(codes, qdf, code_df, m=m, k_top=n,
+                      candidates=cand).collect()
+    # only admitted pairs scored; distances identical to the full scan
+    assert {r.neighbor_id for r in out} == set(allowed)
+    for r in out:
+        assert r.adc_micro == full[r.neighbor_id]
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == \
+        sorted(allowed, key=lambda i: (full[i], i))
