@@ -49,6 +49,15 @@ def _value_hash(rows, colnames) -> str:
 
 def main() -> int:
     only = set(sys.argv[1:])
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    # Fail fast on typoed names: a silently-empty selection would print
+    # "ALL GREEN" and exit 0 — a vacuous pass from the primary gate.
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"unknown: {unknown}")
+        print("FAILURES: unknown query names (nothing ran)")
+        return 1
     spark = get_spark(cpus=8)
     con = duckdb.connect()
     # big-SF oracle runs (the exact pair-join replays) need to spill:
@@ -64,12 +73,12 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
@@ -114,7 +123,9 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"PASS {name}: {len(srows)} rows  ({dt:.1f}s)")
-    print(f"\n{'ALL GREEN' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    requested = len(only) if only else len(qs)
+    print(f"\nran {ran} of {requested} requested")
+    print(f"{'ALL GREEN' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0
 
 

@@ -74,3 +74,22 @@ def test_oracle_audit_artifact_matches_registry():
         f"missing={sorted(registered - covered)} "
         f"stale={sorted(covered - registered)}"
     )
+
+
+def test_check_oracle_rejects_unknown_names():
+    """check_oracle.py must fail fast (exit 1, nothing run) when a
+    requested query name is not in the registry — VERDICT r6 showed a
+    typoed name produced a vacuous 'ALL GREEN' with exit 0."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "check_oracle.py"),
+         "q999_nonexistent"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "unknown: ['q999_nonexistent']" in proc.stdout
+    assert "ALL GREEN" not in proc.stdout
