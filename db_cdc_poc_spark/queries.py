@@ -6542,27 +6542,60 @@ def q158_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: DuckDB CTE deriving host + registrable domain from the synthetic
-#: URL — shared by q159/q160; mirrors web.host_of/registered_domain.
-_DOMAIN_ORACLE_CTE = """
-h AS (
+def _psl_domain_cte() -> str:
+    """DuckDB CTEs deriving host + PSL registrable domain from the
+    synthetic URL — shared by q159/q160. Replays
+    web.registrable_domain's four broadcast suffix-lookups against the
+    SAME vendored rule rows (generated from
+    data/psl_snapshot.rule_rows(), so Spark and oracle can never
+    drift), prevailing rule = exception > longest match > default '*'.
+    """
+    from db_cdc_poc_spark.data.psl_snapshot import MAX_KEY_LABELS, rule_rows
+
+    vals = ",\n        ".join(
+        f"('{s}', {p}, {'true' if e else 'false'})" for s, p, e in rule_rows()
+    )
+    joins = "\n".join(
+        f"    LEFT JOIN psl p{i} ON p{i}.suffix = CASE WHEN n >= {i} "
+        f"THEN array_to_string(ls[n - {i - 1} : n], '.') END"
+        for i in range(1, MAX_KEY_LABELS + 1)
+    )
+    exc = ",\n        ".join(
+        f"CASE WHEN p{i}.is_exc THEN p{i}.ps_len END"
+        for i in reversed(range(1, MAX_KEY_LABELS + 1))
+    )
+    best = ", ".join(
+        f"coalesce(CASE WHEN NOT p{i}.is_exc THEN p{i}.ps_len END, 0)"
+        for i in range(1, MAX_KEY_LABELS + 1)
+    )
+    return f"""
+psl AS (
+    SELECT * FROM (VALUES
+        {vals}) t(suffix, ps_len, is_exc)
+), h AS (
     SELECT *, regexp_extract(lower(url),
         '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host
     FROM raw
-), d AS (
-    SELECT *,
-           string_split(host, '.') AS ls,
-           CASE WHEN len(string_split(host, '.')) >= 3
-                     AND length(string_split(host, '.')[len(string_split(host, '.'))]) = 2
-                     AND string_split(host, '.')[len(string_split(host, '.')) - 1]
-                         IN ('co','com','net','org','ac','gov','edu')
-                THEN 3 ELSE least(len(string_split(host, '.')), 2) END AS k
+), d0 AS (
+    SELECT *, string_split(host, '.') AS ls,
+           len(string_split(host, '.')) AS n
     FROM h
+), dps AS (
+    SELECT d0.*, coalesce(
+        {exc},
+        CASE WHEN greatest({best}) > 0 THEN greatest({best}) END,
+        1) AS ps
+    FROM d0
+{joins}
 ), dom AS (
-    SELECT *, array_to_string(ls[len(ls) - k + 1 : len(ls)], '.') AS domain
-    FROM d
+    SELECT *, CASE WHEN n > ps
+                   THEN array_to_string(ls[n - ps : n], '.') END AS domain
+    FROM dps
 )
 """
+
+
+_DOMAIN_ORACLE_CTE = _psl_domain_cte()
 
 
 @_q(
@@ -6584,7 +6617,10 @@ FROM per, tot
 )
 def q159_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain crawl audit (web.domain_stats): doc
-    count, distinct-host spread, exact floor-ppm corpus share. One
+    count, distinct-host spread, exact floor-ppm corpus share. Domains
+    are PSL-backed (web.registrable_domain: four broadcast lookups
+    against the vendored public-suffix snapshot, exception > longest >
+    default-'*' semantics — the r7 7-label stopgap is retired). One
     domain-keyed hash aggregate + the 1-row grand-total spine — the
     |domains|-row table politeness budgets and blocklists plan on."""
     from db_cdc_poc_spark.operators.web import domain_stats
@@ -6610,9 +6646,10 @@ def q160_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     UT1-style first filter of every crawl pipeline): drop documents
     whose REGISTRABLE domain is listed — every srcN.example.com /
     www.srcN.example.com subdomain host falls to the one
-    'example.com' entry, because matching is on registered_domain,
-    not the raw host (that's the point of the op). One broadcast
-    left-anti join; the corpus never shuffles."""
+    'example.com' entry, because matching is on the PSL-backed
+    registrable domain, not the raw host (that's the point of the
+    op). Four broadcast PSL lookups + one broadcast left-anti join;
+    the corpus never shuffles."""
     from db_cdc_poc_spark.operators.web import filter_blocked_domains
 
     docs = _t(spark, sf_dir, "documents").withColumn("url", _synth_url_col())
@@ -6622,6 +6659,202 @@ def q160_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_blocked_domains(docs, blocked, "url").select(
         "doc_id", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ training shared by q163-q166 (vector_index.pq_train):
+# deterministic fixed-iteration Lloyd refinement, so the whole training
+# chain unrolls into oracle CTEs and replays value-for-value.
+# ---------------------------------------------------------------------------
+
+# memoized trained codebooks per sf_dir: training is deterministic
+# (fixed seeds, fixed iteration count, exact-integer means), so q163-
+# q166 can share one training run per dataset instead of re-running
+# the 7 Lloyd iterations per query. Driver footprint: 2 x 16 rows.
+_PQ_TRAINED: dict[str, tuple[list, list]] = {}
+
+
+def _pq_trained(spark: SparkSession, sf_dir: str):
+    """(coarse_centroids, residual codebook) DataFrames for sf_dir:
+    seeds = vec_id%16==0/<256 (coarse) and vec_id%16==1/<256 (fine;
+    disjoint from the coarse seeds — a coarse seed's own residual is
+    ~0 and would waste a codeword), training cohort vec_id<2048 (a
+    PARAMETER bound, rule 13 — never a corpus fraction), 2 coarse
+    cosine-Lloyd iterations + 5 residual subspace iterations."""
+    from db_cdc_poc_spark.operators.vector_index import pq_train
+
+    if sf_dir not in _PQ_TRAINED:
+        emb = _t(spark, sf_dir, "embeddings")
+        coarse, cb = pq_train(
+            emb.filter(F.col("vec_id") < 2048),
+            emb.filter((F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 256)),
+            emb.filter((F.col("vec_id") % 16 == 1) & (F.col("vec_id") < 256)),
+            m=8,
+            coarse_iters=2,
+            pq_iters=5,
+        )
+        _PQ_TRAINED[sf_dir] = (
+            [(int(r[0]), [float(x) for x in r[1]]) for r in coarse.collect()],
+            [(int(r[0]), [float(x) for x in r[1]]) for r in cb.collect()],
+        )
+    crows, cbrows = _PQ_TRAINED[sf_dir]
+    return (
+        spark.createDataFrame(crows, "list_id long, embedding array<double>"),
+        spark.createDataFrame(cbrows, "vec_id long, embedding array<double>"),
+    )
+
+
+def _pq_train_ctes(coarse_iters: int = 2, pq_iters: int = 5) -> str:
+    """The WITH-body CTE chain replaying pq_train + residual pq_codes'
+    shared relations (64-dim embeddings, m=8, k=16, 10 queries): the
+    final CTEs are ``coarse`` (refined centroids), ``cassign``
+    (full-corpus list assignment), ``resid`` (residuals), ``cw``
+    (trained residual codewords per subspace), ``best`` (per-(vector,
+    subspace) winning codeword + reconstruction error) and ``lut``
+    (the residual ADC (query, list, subspace, codeword) table).
+
+    The Lloyd mean is the exact-integer form
+    ``(sum(floor((x+1024)*1e6)) // n - 1024e6) / 1e6`` — offset keeps
+    every term positive so DuckDB ``//`` (floor) matches Spark ``div``
+    (trunc); empty clusters keep the previous codeword (LEFT JOIN +
+    coalesce), mirroring refine_centroids/pq_train.
+    """
+    parts = [
+        """
+v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), tr AS (
+    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+    FROM v WHERE vec_id < 2048
+), c0 AS (
+    SELECT vec_id AS list_id, e FROM v WHERE vec_id % 16 = 0 AND vec_id < 256
+)"""
+    ]
+    prev = "c0"
+    for t in range(1, coarse_iters + 1):
+        parts.append(
+            f""", c{t} AS (
+    SELECT s.list_id, coalesce(mu.e, s.e) AS e
+    FROM {prev} s LEFT JOIN (
+        SELECT list_id, list(mu ORDER BY pos) AS e
+        FROM (
+            SELECT a.list_id, g.pos,
+                   (sum(CAST(floor((a.e[g.pos] + 1024.0) * 1000000.0)
+                        AS BIGINT)) // count(*) - 1024000000)
+                       / 1000000.0 AS mu
+            FROM (
+                SELECT t.e, c.list_id,
+                       row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                           CASE WHEN t.nrm * sqrt(list_dot_product(c.e, c.e)) > 0
+                                THEN list_dot_product(t.e, c.e)
+                                     / (t.nrm * sqrt(list_dot_product(c.e, c.e)))
+                                ELSE 0.0 END DESC, c.list_id) AS rn
+                FROM tr t CROSS JOIN {prev} c
+                QUALIFY rn = 1
+            ) a, LATERAL (SELECT unnest(range(1, 65)) AS pos) g
+            GROUP BY 1, 2
+        ) GROUP BY 1
+    ) mu USING (list_id)
+)"""
+        )
+        prev = f"c{t}"
+    parts.append(
+        f""", coarse AS (
+    SELECT list_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM {prev}
+), cassign AS (
+    SELECT vec_id, list_id FROM (
+        SELECT x.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                   CASE WHEN x.nrm * c.nrm > 0
+                        THEN list_dot_product(x.e, c.e) / (x.nrm * c.nrm)
+                        ELSE 0.0 END DESC, c.list_id) AS rn
+        FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v) x
+        CROSS JOIN coarse c)
+    WHERE rn = 1
+), resid AS (
+    SELECT a.vec_id, a.list_id,
+           list_transform(range(1, 65), i -> x.e[i] - c.e[i]) AS r
+    FROM cassign a
+    JOIN v x ON x.vec_id = a.vec_id
+    JOIN coarse c USING (list_id)
+), cwseed AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, r
+    FROM resid WHERE vec_id % 16 = 1 AND vec_id < 256
+), w0 AS (
+    SELECT code_id, j.j AS sub_id, r[j.j*8+1 : j.j*8+8] AS cv
+    FROM cwseed, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+), rsubs AS (
+    SELECT vec_id AS id, j.j AS sub_id, r[j.j*8+1 : j.j*8+8] AS sv
+    FROM resid, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+    WHERE vec_id < 2048
+)"""
+    )
+    prev = "w0"
+    for t in range(1, pq_iters + 1):
+        parts.append(
+            f""", w{t} AS (
+    SELECT s.code_id, s.sub_id, coalesce(mu.cv, s.cv) AS cv
+    FROM {prev} s LEFT JOIN (
+        SELECT code_id, sub_id, list(mu ORDER BY pos) AS cv
+        FROM (
+            SELECT a.code_id, a.sub_id, g.pos,
+                   (sum(CAST(floor((a.sv[g.pos] + 1024.0) * 1000000.0)
+                        AS BIGINT)) // count(*) - 1024000000)
+                       / 1000000.0 AS mu
+            FROM (
+                SELECT r.sv, r.sub_id, c.code_id,
+                       row_number() OVER (PARTITION BY r.id, r.sub_id ORDER BY
+                           2 * list_dot_product(r.sv, c.cv)
+                               - list_dot_product(c.cv, c.cv) DESC,
+                           c.code_id) AS rn
+                FROM rsubs r JOIN {prev} c ON r.sub_id = c.sub_id
+                QUALIFY rn = 1
+            ) a, LATERAL (SELECT unnest(range(1, 9)) AS pos) g
+            GROUP BY 1, 2, 3
+        ) GROUP BY 1, 2
+    ) mu ON s.code_id = mu.code_id AND s.sub_id = mu.sub_id
+)"""
+        )
+        prev = f"w{t}"
+    parts.append(
+        f""", cw AS (
+    SELECT code_id, sub_id, cv, list_dot_product(cv, cv) AS cn2 FROM {prev}
+), allsubs AS (
+    SELECT vec_id AS id, j.j AS sub_id, r[j.j*8+1 : j.j*8+8] AS sv
+    FROM resid, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+), best AS (
+    SELECT id, sub_id, code_id, e2 FROM (
+        SELECT s.id, s.sub_id, c.code_id,
+               list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+                   + c.cn2 AS e2,
+               row_number() OVER (PARTITION BY s.id, s.sub_id ORDER BY
+                   2 * list_dot_product(s.sv, c.cv) - c.cn2 DESC,
+                   c.code_id) AS rn
+        FROM allsubs s JOIN cw c ON s.sub_id = c.sub_id)
+    WHERE rn = 1
+), qres AS (
+    SELECT q.vec_id AS query_id, c.list_id,
+           list_transform(range(1, 65), i -> q.e[i] - c.e[i]) AS qr
+    FROM v q CROSS JOIN coarse c WHERE q.vec_id < 10
+), lut AS (
+    SELECT s.query_id, s.list_id, s.sub_id, c.code_id,
+           CAST(floor(greatest(
+               list_dot_product(s.qv, s.qv) - 2 * list_dot_product(s.qv, c.cv)
+               + c.cn2, 0) * 1000000) AS BIGINT) AS d_micro
+    FROM (SELECT query_id, list_id, j.j AS sub_id, qr[j.j*8+1 : j.j*8+8] AS qv
+          FROM qres, LATERAL (SELECT unnest(range(0, 8)) AS j) j) s
+    JOIN cw c ON s.sub_id = c.sub_id
+), adcscore AS (
+    SELECT l.query_id, b.id AS neighbor_id,
+           CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+    FROM best b
+    JOIN cassign a ON a.vec_id = b.id
+    JOIN lut l ON l.list_id = a.list_id AND l.sub_id = b.sub_id
+              AND l.code_id = b.code_id
+    GROUP BY 1, 2
+)"""
+    )
+    return "".join(parts)
 
 
 @_q(
@@ -6665,7 +6898,9 @@ def q161_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF+PQ ANN stack (q43/q147 are the coarse half). Codebook =
     deterministic parameter-bounded sample (16 vectors, the rule-13
     contract); every dot/norm is the sequential fold DuckDB replays
-    bit-for-bit, so codes AND distortion replay value-for-value."""
+    bit-for-bit, so codes AND distortion replay value-for-value.
+    This is the FLAT-PQ baseline (raw vectors, sampled codewords);
+    the quality path is the residual-encoded q163-q166 family."""
     from db_cdc_poc_spark.operators.vector_index import pq_codes
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -6729,7 +6964,8 @@ def q162_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float vectors become 4-byte codes. Floor-scaled integer distances
     make ranking exact; the oracle replays assignment, LUT and ranks
     from the unpacked relations (pack/unpack identity is unit-tested),
-    value-for-value."""
+    value-for-value. Flat-PQ baseline mechanics — the residual-encoded
+    quality path (same ADC machinery, list-keyed LUT) is q163-q166."""
     from db_cdc_poc_spark.operators.vector_index import pq_adc_topk, pq_codes
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -6742,44 +6978,13 @@ def q162_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q163_pq_recall",
-    oracle="""
-WITH v AS (
-    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-), cbv AS (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, e
-    FROM v WHERE vec_id % 16 = 0 AND vec_id < 256
-), subs AS (
-    SELECT vec_id AS id, j.j AS sub_id, e[j.j*8+1 : j.j*8+8] AS sv
-    FROM v, LATERAL (SELECT unnest(range(0, 8)) AS j) j
-), cw AS (
-    SELECT code_id, j.j AS sub_id, e[j.j*8+1 : j.j*8+8] AS cv,
-           list_dot_product(e[j.j*8+1 : j.j*8+8],
-                            e[j.j*8+1 : j.j*8+8]) AS cn2
-    FROM cbv, LATERAL (SELECT unnest(range(0, 8)) AS j) j
-), best AS (
-    SELECT id, s.sub_id, code_id FROM (
-        SELECT id, s.sub_id, code_id,
-               row_number() OVER (PARTITION BY id, s.sub_id
-                                  ORDER BY 2 * list_dot_product(sv, cv) - cn2
-                                           DESC, code_id) AS rn
-        FROM subs s JOIN cw c ON s.sub_id = c.sub_id) s
-    WHERE rn = 1
-), lut AS (
-    SELECT s.id AS query_id, s.sub_id, c.code_id,
-           CAST(floor(greatest(
-               list_dot_product(sv, sv)
-               - 2 * list_dot_product(sv, cv) + cn2, 0) * 1000000)
-               AS BIGINT) AS d_micro
-    FROM subs s JOIN cw c ON s.sub_id = c.sub_id
-    WHERE s.id < 10
-), adc AS (
+    oracle=f"""
+WITH {_pq_train_ctes()}, adc AS (
     SELECT query_id, neighbor_id FROM (
-        SELECT l.query_id, b.id AS neighbor_id,
-               row_number() OVER (PARTITION BY l.query_id
-                                  ORDER BY sum(l.d_micro), b.id) AS rank
-        FROM best b
-        JOIN lut l ON l.sub_id = b.sub_id AND l.code_id = b.code_id
-        GROUP BY l.query_id, b.id)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_micro, neighbor_id) AS rank
+        FROM adcscore)
     WHERE rank <= 5
 ), q AS (
     SELECT vec_id AS query_id, e AS qe,
@@ -6806,21 +7011,32 @@ GROUP BY 1
 """,
 )
 def q163_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured ADC recall@5 vs the exact squared-L2 top-5 (the PQ
-    sibling of q132's LSH recall report — measure the approximation,
-    don't guess): per query, how many of the true 5 nearest survive
-    the 32-bit-code ADC ranking, as exact floor-ppm integers. The
-    exact leg is a documented q24-style baseline (10 broadcast query
-    vectors, the allowlisted exact-BNLJ shape); both legs and the
-    intersection replay in DuckDB."""
+    """Measured RESIDUAL-PQ ADC recall@5 vs the exact squared-L2 top-5
+    (the PQ sibling of q132's LSH recall report — measure the
+    approximation, don't guess): per query, how many of the true 5
+    nearest survive the 32-bit residual-code ADC ranking, as exact
+    floor-ppm integers. Codes are x - centroid(list) residuals against
+    the pq_train codebooks (2 coarse + 5 subspace Lloyd iterations,
+    all unrolled in the oracle) — at the SAME m=8/k=16 bit budget this
+    lifts recall@5 over the r7 flat-PQ path from 0.38 to 0.44 at
+    sf0.01 and from 0.26 to 0.40 at 2000 vectors (the flat path's
+    mechanics remain q161/q162). The exact leg is a documented
+    q24-style baseline (10 broadcast query vectors, the allowlisted
+    exact-BNLJ shape); training, both legs and the intersection replay
+    in DuckDB."""
     from db_cdc_poc_spark.operators.vector_index import pq_adc_topk, pq_codes
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = emb.filter((F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 256))
+    coarse, cb = _pq_trained(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") < 10)
-    adc = pq_adc_topk(pq_codes(emb, cb, m=8), qv, cb, m=8, k_top=5).select(
-        "query_id", "neighbor_id"
-    )
+    adc = pq_adc_topk(
+        pq_codes(emb, cb, m=8, coarse_centroids=coarse),
+        qv,
+        cb,
+        m=8,
+        k_top=5,
+        coarse_centroids=coarse,
+    ).select("query_id", "neighbor_id")
 
     def fdot(a, b):
         return F.aggregate(
@@ -6862,68 +7078,29 @@ def q163_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q164_ivfpq_topk",
-    oracle="""
-WITH v AS (
-    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
-    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-), cent AS (
-    SELECT vec_id AS cid, e, nrm FROM v
-    WHERE vec_id % 16 = 0 AND vec_id < 256
-), assign AS (
-    SELECT neighbor_id, cid AS list_id FROM (
-        SELECT c.vec_id AS neighbor_id, t.cid,
-               row_number() OVER (PARTITION BY c.vec_id ORDER BY
-                   CASE WHEN c.nrm * t.nrm > 0
-                        THEN list_dot_product(c.e, t.e) / (c.nrm * t.nrm)
-                        ELSE 0.0 END DESC, t.cid) AS rn
-        FROM v c CROSS JOIN cent t)
-    WHERE rn = 1
-), probes AS (
-    SELECT query_id, cid AS list_id FROM (
-        SELECT q.vec_id AS query_id, t.cid,
+    oracle=f"""
+WITH {_pq_train_ctes()}, probes AS (
+    SELECT query_id, list_id FROM (
+        SELECT q.vec_id AS query_id, t.list_id,
                row_number() OVER (PARTITION BY q.vec_id ORDER BY
                    CASE WHEN q.nrm * t.nrm > 0
                         THEN list_dot_product(q.e, t.e) / (q.nrm * t.nrm)
-                        ELSE 0.0 END DESC, t.cid) AS rn
-        FROM v q CROSS JOIN cent t WHERE q.vec_id < 10)
+                        ELSE 0.0 END DESC, t.list_id) AS rn
+        FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+              FROM v WHERE vec_id < 10) q
+        CROSS JOIN coarse t)
     WHERE rn <= 4
 ), cand AS (
-    SELECT p.query_id, a.neighbor_id
-    FROM probes p JOIN assign a
-      ON p.list_id = a.list_id AND p.query_id <> a.neighbor_id
-), cbv AS (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, e
-    FROM v WHERE vec_id % 16 = 0 AND vec_id < 256
-), subs AS (
-    SELECT vec_id AS id, j.j AS sub_id, e[j.j*8+1 : j.j*8+8] AS sv
-    FROM v, LATERAL (SELECT unnest(range(0, 8)) AS j) j
-), cw AS (
-    SELECT code_id, j.j AS sub_id, e[j.j*8+1 : j.j*8+8] AS cv,
-           list_dot_product(e[j.j*8+1 : j.j*8+8],
-                            e[j.j*8+1 : j.j*8+8]) AS cn2
-    FROM cbv, LATERAL (SELECT unnest(range(0, 8)) AS j) j
-), best AS (
-    SELECT id, s.sub_id, code_id FROM (
-        SELECT id, s.sub_id, code_id,
-               row_number() OVER (PARTITION BY id, s.sub_id
-                                  ORDER BY 2 * list_dot_product(sv, cv) - cn2
-                                           DESC, code_id) AS rn
-        FROM subs s JOIN cw c ON s.sub_id = c.sub_id) s
-    WHERE rn = 1
-), lut AS (
-    SELECT s.id AS query_id, s.sub_id, c.code_id,
-           CAST(floor(greatest(
-               list_dot_product(sv, sv)
-               - 2 * list_dot_product(sv, cv) + cn2, 0) * 1000000)
-               AS BIGINT) AS d_micro
-    FROM subs s JOIN cw c ON s.sub_id = c.sub_id
-    WHERE s.id < 10
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN cassign a
+      ON p.list_id = a.list_id AND p.query_id <> a.vec_id
 ), scored AS (
     SELECT cd.query_id, cd.neighbor_id,
            CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
     FROM cand cd
     JOIN best b ON b.id = cd.neighbor_id
-    JOIN lut l ON l.query_id = cd.query_id
+    JOIN cassign a ON a.vec_id = cd.neighbor_id
+    JOIN lut l ON l.query_id = cd.query_id AND l.list_id = a.list_id
               AND l.sub_id = b.sub_id AND l.code_id = b.code_id
     GROUP BY 1, 2
 )
@@ -6936,41 +7113,35 @@ QUALIFY rank <= 5
 """,
 )
 def q164_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed IVF+PQ search (the full FAISS-style serving path):
-    coarse cosine routing picks nprobe=4 of 16 inverted lists per
-    query (the q43 quantizer, self excluded), and ADC then scores ONLY
-    the admitted candidates from their packed 32-bit codes — cost is
-    |candidates|·m lookup hits, never |corpus|·|queries|. Flat PQ (no
-    residual encoding — documented simplification); every stage
-    (assignment, probes, codes, LUT, ranks) replays value-for-value."""
+    """The composed RESIDUAL IVF+PQ search (the full FAISS-style
+    serving path, Jégou TPAMI'11): coarse cosine routing over the
+    TRAINED centroids picks nprobe=4 of 16 inverted lists per query
+    (self excluded), codes are x - centroid(list) residuals, and
+    residual ADC scores ONLY the admitted candidates from their packed
+    32-bit codes — cost is |candidates|·m lookup hits, never
+    |corpus|·|queries|. The candidate lists come straight off the
+    ``list_id`` column residual ``pq_codes`` emits, so routing and
+    encoding share one assignment; every stage (training, assignment,
+    probes, codes, LUT, ranks) replays value-for-value."""
+    from db_cdc_poc_spark.checkpointing import materialize
     from db_cdc_poc_spark.operators.similarity import norm, paired_cosine
     from db_cdc_poc_spark.operators.vector_index import pq_adc_topk, pq_codes
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = emb.filter((F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 256))
+    coarse, cb = _pq_trained(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") < 10)
-    cent = cb.select(
-        F.col("vec_id").alias("cid"),
+    # codes feed BOTH the candidate lists and the ADC entries — cut the
+    # subtree once (rule 12) so the residual encode runs once
+    codes = materialize(
+        pq_codes(emb, cb, m=8, coarse_centroids=coarse), label="q164-codes"
+    )
+    cent = coarse.select(
+        F.col("list_id"),
         F.col("embedding").alias("ce"),
         norm("embedding").alias("cen"),
     )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        norm("embedding").alias("cn"),
-    )
-    assign = (
-        corpus.crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by(
-                "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc"))
-            ).alias("list_id")
-        )
-    )
     wp = Window.partitionBy("query_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid").asc()
+        F.col("cos_c").desc(), F.col("list_id").asc()
     )
     probes = (
         qv.select(
@@ -6982,13 +7153,187 @@ def q164_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_c", paired_cosine("qe", "ce", "qn", "cen"))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= 4)
-        .select("query_id", F.col("cid").alias("list_id"))
+        .select("query_id", "list_id")
     )
-    cand = probes.join(assign, "list_id").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    cand = probes.join(
+        codes.select(F.col("vec_id").alias("neighbor_id"), "list_id"),
+        "list_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return pq_adc_topk(
+        codes, qv, cb, m=8, k_top=5, candidates=cand, coarse_centroids=coarse
     )
-    codes = pq_codes(emb, cb, m=8)
-    return pq_adc_topk(codes, qv, cb, m=8, k_top=5, candidates=cand)
+
+
+@_q(
+    "q165_pq_rerank_topk",
+    oracle=f"""
+WITH {_pq_train_ctes()}, shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_micro, neighbor_id) AS rank
+        FROM adcscore)
+    WHERE rank <= 32
+), rescored AS (
+    SELECT s.query_id, s.neighbor_id,
+           CAST(floor(greatest(
+               list_dot_product(c.e, c.e) - 2 * list_dot_product(q.e, c.e)
+               + list_dot_product(q.e, q.e), 0) * 1000000) AS BIGINT)
+               AS d2_micro
+    FROM shortlist s
+    JOIN v c ON c.vec_id = s.neighbor_id
+    JOIN v q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, d2_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2_micro, neighbor_id)
+            AS INTEGER) AS rank
+FROM rescored
+QUALIFY rank <= 5
+""",
+)
+def q165_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist + exact re-rank (vector_index.exact_rerank — the
+    public FAISS IndexRefineFlat pattern): residual ADC over-fetches
+    its top-32 from the 32-bit codes, then full-precision vectors are
+    read back for ONLY those 320 (query, candidate) pairs via
+    equi-joins and re-ranked by exact floor-micro squared L2 — the
+    recall-recovery stage of the serving path (never a corpus scan;
+    the over-fetch factor is the knob). Training, shortlist and
+    re-scoring all replay value-for-value."""
+    from db_cdc_poc_spark.operators.vector_index import (
+        exact_rerank,
+        pq_adc_topk,
+        pq_codes,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse, cb = _pq_trained(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 10)
+    adc32 = pq_adc_topk(
+        pq_codes(emb, cb, m=8, coarse_centroids=coarse),
+        qv,
+        cb,
+        m=8,
+        k_top=32,
+        coarse_centroids=coarse,
+    )
+    return exact_rerank(adc32, qv, emb, k_top=5)
+
+
+@_q(
+    "q166_pq_rerank_recall",
+    oracle=f"""
+WITH {_pq_train_ctes()}, shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_micro, neighbor_id) AS rank
+        FROM adcscore)
+    WHERE rank <= 32
+), rr AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY s.query_id ORDER BY
+                   CAST(floor(greatest(
+                       list_dot_product(c.e, c.e)
+                       - 2 * list_dot_product(q.e, c.e)
+                       + list_dot_product(q.e, q.e), 0) * 1000000) AS BIGINT),
+                   s.neighbor_id) AS rank
+        FROM shortlist s
+        JOIN v c ON c.vec_id = s.neighbor_id
+        JOIN v q ON q.vec_id = s.query_id)
+    WHERE rank <= 5
+), q AS (
+    SELECT vec_id AS query_id, e AS qe,
+           list_dot_product(e, e) AS qn2
+    FROM v WHERE vec_id < 10
+), exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(v.e, v.e)
+                            - 2 * list_dot_product(q.qe, v.e) + q.qn2,
+                            v.vec_id) AS rank
+        FROM q CROSS JOIN v)
+    WHERE rank <= 5
+)
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(1000000 * count(a.neighbor_id) // 5 AS BIGINT) AS recall_ppm
+FROM exact e
+LEFT JOIN rr a ON a.query_id = e.query_id
+               AND a.neighbor_id = e.neighbor_id
+GROUP BY 1
+""",
+)
+def q166_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the re-ranked serving path (q165) vs the
+    exact top-5 — the number that justifies the refine stage: ADC-only
+    recall is 0.44 at sf0.01 (q163); re-ranking the ADC top-32 with
+    exact distances recovers 0.84 here and 0.60 at 2000 vectors, at
+    the cost of 32 full-vector reads per query. Same exact-BNLJ
+    ground-truth leg as q163 (documented, allowlisted)."""
+    from db_cdc_poc_spark.operators.vector_index import (
+        exact_rerank,
+        pq_adc_topk,
+        pq_codes,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse, cb = _pq_trained(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 10)
+    adc32 = pq_adc_topk(
+        pq_codes(emb, cb, m=8, coarse_centroids=coarse),
+        qv,
+        cb,
+        m=8,
+        k_top=32,
+        coarse_centroids=coarse,
+    )
+    rr = exact_rerank(adc32, qv, emb, k_top=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def fdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    ).withColumn("cn2", fdot(F.col("ce"), F.col("ce")))
+    q = qv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    ).withColumn("qn2", fdot(F.col("qe"), F.col("qe")))
+    d2 = (
+        F.col("cn2") - F.lit(2.0) * fdot(F.col("qe"), F.col("ce")) + F.col("qn2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        d2.asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(rr, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__h"))
+        .join(exact.select("query_id").distinct(), "query_id", "right")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("n_hit"),
+            F.expr("1000000 * coalesce(__h, 0) div 5").alias("recall_ppm"),
+        )
+    )
 
 
 def registry() -> dict[str, Query]:

@@ -54,10 +54,12 @@ NLJ_ALLOWED = {
     # only BNLJ is the 1-row corpus-stats spine, scalar-agg-classified
     # when it stands alone); the fusion join itself is an equi-join.
     "q137_hybrid_rrf",
-    # PQ recall report: the EXACT leg is the q24 shape (corpus x 10
+    # PQ recall reports: the EXACT leg is the q24 shape (corpus x 10
     # broadcast query vectors) — it exists to measure the ADC leg's
-    # recall against ground truth; the ADC leg itself is all equi-joins.
+    # recall against ground truth; the ADC leg itself is all equi-joins
+    # (q163 residual ADC, q166 the re-ranked serving path).
     "q163_pq_recall",
+    "q166_pq_rerank_recall",
 }
 
 # BNLJs whose broadcast build side is bounded by an ALGORITHM PARAMETER
@@ -85,8 +87,14 @@ BOUNDED_BUILD_NLJ = {
     "q154_semdedup",
     # IVF+PQ composition: the coarse quantizer's corpus x codebook and
     # queries x codebook joins (capped 16-entry build, the q43 shape);
-    # the candidate-restricted ADC leg is equi-joins only.
+    # the candidate-restricted ADC leg is equi-joins only. The residual
+    # paths add the query x coarse-centroid residual build and the
+    # residualize assignment join — every build side is the 16-row
+    # trained codebook (pq_train caps: parameter-bounded, rule 13).
     "q164_ivfpq_topk",
+    # ADC top-32 + exact re-rank: residualize/LUT builds as above; the
+    # re-rank leg itself is equi-joins on (query_id, neighbor_id).
+    "q165_pq_rerank_topk",
 }
 
 # BNLJs whose every build side is a 1-row scalar-aggregate spine

@@ -128,3 +128,168 @@ def test_pq_adc_candidates_restricts_and_matches_unrestricted(spark):
         assert r.adc_micro == full[r.neighbor_id]
     assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == \
         sorted(allowed, key=lambda i: (full[i], i))
+
+
+def test_pq_rejects_non_divisible_dim(spark):
+    corpus = spark.createDataFrame(
+        [(1, [0.0] * 65)], "vec_id long, embedding array<double>"
+    )
+    cb = spark.createDataFrame(
+        [(i, [float(i)] * 65) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="divide"):
+        pq_codes(corpus, cb, m=8)
+    from db_cdc_poc_spark.operators.vector_index import pq_adc_topk
+
+    with pytest.raises(ValueError, match="divide"):
+        pq_adc_topk(corpus.selectExpr("vec_id", "0L AS pq_code"),
+                    corpus, cb, m=8)
+
+
+def test_pq_rejects_code_overflowing_sign_bit(spark):
+    # k=256 -> 8 bits; m=8 packs bit 63 (the sign bit): must raise,
+    # not silently alias (ADVICE r7 item 2)
+    corpus = spark.createDataFrame(
+        [(1, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    cb = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(256)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="63"):
+        pq_codes(corpus, cb, m=8)
+    # k=128 -> 7 bits * 8 = 56: fine
+    cb7 = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(128)],
+        "vec_id long, embedding array<double>",
+    )
+    assert pq_codes(corpus, cb7, m=8).count() == 1
+
+
+def _np_residualize(vecs, cents):
+    import numpy as np
+
+    cn = np.linalg.norm(cents, axis=1)
+    vn = np.linalg.norm(vecs, axis=1)
+    den = vn[:, None] * cn[None, :]
+    cos = np.where(den > 0, vecs @ cents.T / den, 0.0)
+    assign = np.argmax(cos, axis=1)  # first max == ties to lower id
+    return assign, vecs - cents[assign]
+
+
+def test_pq_codes_residual_mode_matches_numpy(spark):
+    rng = np.random.RandomState(5)
+    d, m, k, n, nlist = 8, 2, 4, 25, 3
+    vecs = rng.randn(n, d).round(3)
+    cents = rng.randn(nlist, d).round(3)
+    cb = rng.randn(k, d).round(3) * 0.3  # residual-space codewords
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    coarse = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(nlist)],
+        "list_id long, embedding array<double>")
+    cb_df = spark.createDataFrame(
+        [(i, [float(x) for x in cb[i]]) for i in range(k)],
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           pq_codes(corpus, cb_df, m=m, coarse_centroids=coarse).collect()}
+    assign, res = _np_residualize(vecs, cents)
+    dsub = d // m
+    bits = max(1, (k - 1).bit_length())
+    for i in range(n):
+        assert out[i].list_id == assign[i], f"vec {i} list"
+        code = 0
+        for j in range(m):
+            x = res[i, j*dsub:(j+1)*dsub]
+            d2 = ((cb[:, j*dsub:(j+1)*dsub] - x) ** 2).sum(axis=1)
+            code |= int(np.argmin(d2)) << (j * bits)
+        assert out[i].pq_code == code, f"vec {i}"
+
+
+def test_pq_adc_residual_mode_matches_numpy(spark):
+    from db_cdc_poc_spark.operators.vector_index import pq_adc_topk
+
+    rng = np.random.RandomState(13)
+    d, m, k, n, nlist, nq = 8, 2, 4, 20, 3, 2
+    vecs = rng.randn(n, d).round(3)
+    cents = rng.randn(nlist, d).round(3)
+    cb = rng.randn(k, d).round(3) * 0.3
+    qs = rng.randn(nq, d).round(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    coarse = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(nlist)],
+        "list_id long, embedding array<double>")
+    cb_df = spark.createDataFrame(
+        [(i, [float(x) for x in cb[i]]) for i in range(k)],
+        "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(100 + i, [float(x) for x in qs[i]]) for i in range(nq)],
+        "vec_id long, embedding array<double>")
+    codes = pq_codes(corpus, cb_df, m=m, coarse_centroids=coarse)
+    out = pq_adc_topk(codes, qdf, cb_df, m=m, k_top=n,
+                      coarse_centroids=coarse).collect()
+    got = {(r.query_id, r.neighbor_id): r.adc_micro for r in out}
+    assign, res = _np_residualize(vecs, cents)
+    dsub = d // m
+    for qi in range(nq):
+        for i in range(n):
+            qr = qs[qi] - cents[assign[i]]
+            total = 0
+            for j in range(m):
+                x = res[i, j*dsub:(j+1)*dsub]
+                cid = int(np.argmin(
+                    ((cb[:, j*dsub:(j+1)*dsub] - x) ** 2).sum(axis=1)))
+                part = ((qr[j*dsub:(j+1)*dsub]
+                         - cb[cid, j*dsub:(j+1)*dsub]) ** 2).sum()
+                total += int(np.floor(max(part, 0.0) * 1_000_000))
+            assert abs(got[(100 + qi, i)] - total) <= m, (qi, i)
+
+
+def test_exact_rerank_matches_numpy_on_shortlist(spark):
+    from db_cdc_poc_spark.operators.vector_index import exact_rerank
+
+    rng = np.random.RandomState(23)
+    d, n = 6, 15
+    vecs = rng.randn(n, d).round(3)
+    q = rng.randn(d).round(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(99, [float(x) for x in q])], "vec_id long, embedding array<double>")
+    short = [3, 7, 1, 11, 8]
+    sdf = spark.createDataFrame(
+        [(99, i) for i in short], "query_id long, neighbor_id long")
+    out = exact_rerank(sdf, qdf, corpus, k_top=3).collect()
+    d2 = {i: int(np.floor(max(((vecs[i] - q) ** 2).sum(), 0.0) * 1_000_000))
+          for i in short}
+    want = sorted(short, key=lambda i: (d2[i], i))[:3]
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == want
+    for r in out:
+        assert abs(r.d2_micro - d2[r.neighbor_id]) <= 2  # float assoc wobble
+
+
+def test_pq_train_deterministic_and_reduces_distortion(spark):
+    # training twice from the same seeds must be bit-identical (the
+    # oracle-replay contract), and the trained residual codebook must
+    # beat the flat raw-sample codebook on total reconstruction error
+    from pyspark.sql import functions as F
+    from db_cdc_poc_spark.operators.vector_index import pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") < 2048)
+    cs = emb.filter((F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 256))
+    ws = emb.filter((F.col("vec_id") % 16 == 1) & (F.col("vec_id") < 256))
+    c1, b1 = pq_train(train, cs, ws, m=8, coarse_iters=1, pq_iters=2)
+    c2, b2 = pq_train(train, cs, ws, m=8, coarse_iters=1, pq_iters=2)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+    assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
+    flat_err = pq_codes(emb, cs, m=8).agg(
+        F.sum("err_micro")).collect()[0][0]
+    res_err = pq_codes(emb, b1, m=8, coarse_centroids=c1).agg(
+        F.sum("err_micro")).collect()[0][0]
+    assert res_err < flat_err, (res_err, flat_err)

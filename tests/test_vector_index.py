@@ -153,3 +153,35 @@ def test_assignment_stats_matches_drift_report_on_fresh_index(spark):
         for r in idx.drift_report(spark).collect()
     }
     assert inline == stored
+
+
+def test_drift_report_orphaned_list_is_deterministic_null(spark):
+    """A list_id absent from the stored codebook (external re-train
+    that DROPPED a centroid — exactly the case the report exists to
+    catch) must yield NULL own_cos-derived distortion, not an
+    arbitrary centroid's cosine (r7 ADVICE: max_by on a 0/1 flag ties
+    at 0 for every centroid and picks nondeterministically)."""
+    from db_cdc_poc_spark.operators.similarity import norm
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 16 == 0)
+    path = tempfile.mkdtemp(prefix="ivforph_") + "/index"
+    idx = IvfIndex.build(emb, centroids=cents, path=path)
+    # drop one centroid from the stored codebook: its list is orphaned
+    # (materialize rows FIRST — overwriting a path a lazy plan still
+    # reads from races the scan against the delete)
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    dropped_cid = min(r.cid for r in rows)
+    spark.createDataFrame(
+        [r for r in rows if r.cid != dropped_cid],
+        spark.read.parquet(f"{path}/centroids").schema,
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    reports = [
+        {r.list_id: (r.avg_cos_ppm, r.n_misassigned)
+         for r in idx.drift_report(spark).collect()}
+        for _ in range(3)
+    ]
+    assert reports[0] == reports[1] == reports[2]  # deterministic
+    orphan = reports[0][dropped_cid]
+    assert orphan[0] is None  # no own centroid -> NULL distortion
+    assert orphan[1] > 0  # every member now misassigned
