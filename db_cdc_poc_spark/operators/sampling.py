@@ -582,6 +582,15 @@ def token_budget_fill(
     (floor-quantize upstream, e.g. ``floor(sqrt(n)·1e6)``); tokens
     non-negative longs.
 
+    Validity bound (exact-integer arithmetic): the prefix-sum products
+    need ``max(n)·Σw < 2^63`` and ``budget·max(w) < 2^63``. At the
+    100 TB scale this targets (domains of ~1e13 tokens), that means
+    weight mass Σw must stay under ~9e5 — quantize weights coarser,
+    not finer, as domains grow. The guard below rejects violating
+    inputs up front with that guidance (under ANSI mode the products
+    would error loudly anyway, but mid-job and without the remedy);
+    it reads one 3-value aggregate over the |domains|-row input.
+
     Output: ``key_col``, ``n_tokens``, ``weight``, ``capped`` (bool),
     ``alloc_tokens`` (long, ≤ n_tokens, Σ ≤ budget).
     """
@@ -592,6 +601,23 @@ def token_budget_fill(
     ).withColumn(
         "__r", F.col("__n").cast("double") / F.col("__w").cast("double")
     )
+    lim = base.agg(
+        F.max("__n").alias("n_max"),
+        F.sum("__w").alias("w_tot"),
+        F.max("__w").alias("w_max"),
+    ).collect()[0]
+    if lim.n_max is not None and (
+        int(lim.n_max) * int(lim.w_tot) >= 2**63
+        or int(budget) * int(lim.w_max) >= 2**63
+    ):
+        raise ValueError(
+            f"token_budget_fill int64 validity bound exceeded: need "
+            f"max(tokens)*sum(weights) < 2^63 and budget*max(weight) < "
+            f"2^63, got max(n)={lim.n_max}, sum(w)={lim.w_tot}, "
+            f"budget={budget}, max(w)={lim.w_max}; quantize weights "
+            "coarser (divide all weights by a common factor — the "
+            "allocation depends only on weight RATIOS)"
+        )
     order = Window.orderBy("__r", "__key").rowsBetween(
         Window.unboundedPreceding, 0
     )

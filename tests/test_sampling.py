@@ -303,3 +303,28 @@ def test_weighted_sample_null_and_all_zero_weights(spark):
     # all-zero total: empty result, not a divide-by-zero
     zeros = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, w long")
     assert weighted_sample(zeros, "doc_id", F.col("w"), 10).count() == 0
+
+
+def test_token_budget_fill_rejects_overflow_inputs(spark):
+    """The int64 validity bound (max(n)*sum(w) < 2^63) is enforced up
+    front with remediation guidance, instead of an ANSI overflow
+    mid-job (r7 ADVICE item 3)."""
+    import pytest
+
+    from db_cdc_poc_spark.operators.sampling import token_budget_fill
+
+    df = spark.createDataFrame(
+        [("a", 10**13, 10**6), ("b", 10**13, 10**6)],
+        "domain string, n_tokens long, weight long",
+    )
+    with pytest.raises(ValueError, match="validity bound"):
+        token_budget_fill(df, "domain", "n_tokens", "weight", 10**12)
+    # same ratios, coarser weights: fine
+    ok = spark.createDataFrame(
+        [("a", 10**13, 1), ("b", 10**13, 1)],
+        "domain string, n_tokens long, weight long",
+    )
+    rows = token_budget_fill(
+        ok, "domain", "n_tokens", "weight", 10**12
+    ).collect()
+    assert sum(r.alloc_tokens for r in rows) == 10**12

@@ -60,3 +60,37 @@ def test_neardup_pairs_np_broadcast_cap(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     with pytest.raises(ValueError, match="ANN"):
         sim.neardup_pairs_np(emb, max_broadcast_rows=10)
+
+
+def test_neardup_pairs_np_byte_cap_fires_before_any_collect(spark):
+    """The guard must reject by BYTES (rows x dim x 8) and must fire
+    before df.collect() materializes the corpus on the driver (r7 ask:
+    a 1M-row guard passes a 1M x 1024-dim = 8 GB matrix, and guarding
+    after collect defeats the purpose)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # patch the CONCRETE DataFrame class (pyspark 4 routes collect
+    # through a subclass of pyspark.sql.DataFrame)
+    cls = type(emb)
+    # 500 x 64 x 8 = 256_000 bytes > 1000-byte cap -> byte guard fires
+    calls = []
+    orig = cls.collect
+
+    def counting_collect(self):
+        calls.append(len(self.columns))
+        return orig(self)
+
+    cls.collect = counting_collect
+    try:
+        with pytest.raises(ValueError, match="bytes"):
+            sim.neardup_pairs_np(emb, max_broadcast_bytes=1000)
+    finally:
+        cls.collect = orig
+    # only the 1-row (n, d) stats aggregate ran — never the corpus
+    # select (which would collect 2 columns of 500 rows)
+    assert calls == [2]
+
+
+def test_cosine_topk_np_query_byte_cap(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="max_query_bytes"):
+        sim.cosine_topk_np(emb, emb, max_query_bytes=1000)
