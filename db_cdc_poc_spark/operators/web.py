@@ -90,11 +90,16 @@ def host_of(url: Column | str) -> Column:
 
 
 def registered_domain(url: Column | str) -> Column:
-    """The registrable domain of an absolute URL: the last two host
-    labels, or three when the second-to-last is a known second-level
-    label under a 2-letter ccTLD (``bbc.co.uk``). The per-domain
-    grouping key for crawl stats, blocklists and politeness budgets.
-    Map-only expression; no UDF."""
+    """HEURISTIC registrable domain of an absolute URL: the last two
+    host labels, or three when the second-to-last is a known
+    second-level label under a 2-letter ccTLD (``bbc.co.uk``).
+
+    Kept for contexts that need a single Column expression; the
+    DataFrame-level operators below (``domain_stats``,
+    ``filter_blocked_domains``) use :func:`registrable_domain`, the
+    PSL-backed lookup, which additionally handles ``com.au``-style
+    families the 7-label list misses, wildcard ccTLDs (``*.ck``) and
+    exception rules (``!www.ck``). Map-only expression; no UDF."""
     host = host_of(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -107,6 +112,90 @@ def registered_domain(url: Column | str) -> Column:
     )
     k = F.when(take3, F.lit(3)).otherwise(F.least(n, F.lit(2)))
     return F.array_join(F.slice(labels, n - k + 1, k), ".")
+
+
+def suffix_rules(spark) -> DataFrame:
+    """The vendored Public Suffix List snapshot as a lookup relation
+    ``(suffix, ps_len, is_exc)`` — see
+    :mod:`db_cdc_poc_spark.data.psl_snapshot` for the rule->row
+    encoding and the vendoring policy (curated ICANN-section subset;
+    swap the full public file in for production, same schema).
+    Parameter-bounded (~140 rows): always the broadcast side."""
+    from db_cdc_poc_spark.data.psl_snapshot import rule_rows
+
+    return spark.createDataFrame(
+        rule_rows(), "suffix string, ps_len int, is_exc boolean"
+    )
+
+
+def registrable_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "domain",
+    rules: DataFrame | None = None,
+) -> DataFrame:
+    """PSL-backed registrable domain (publicsuffix.org algorithm):
+    adds ``out_col`` with the public suffix plus one label, or NULL
+    when the host IS a public suffix (or unparseable — downstream
+    blocklists must fail open on NULL, and do).
+
+    Plan shape: the host's last-1..4-label suffixes are four derived
+    columns, each LEFT-joined against the broadcast ~140-row rule
+    table — four BroadcastHashJoins that stream with the scan, NO
+    shuffle, no per-row explode/regroup (the explode+groupBy
+    formulation would shuffle 4x the corpus to reassemble rows). The
+    prevailing rule is the matching exception if any, else the longest
+    match, else the PSL default ``*`` (1-label suffix) — all one CASE
+    expression over the four join results, replayed verbatim by the
+    q159/q160 oracles from the same vendored rows.
+    """
+    from db_cdc_poc_spark.data.psl_snapshot import MAX_KEY_LABELS
+
+    if rules is None:
+        rules = suffix_rules(df.sparkSession)
+    ks = range(1, MAX_KEY_LABELS + 1)
+    out = (
+        df.withColumn("__ls", F.split(host_of(url_col), r"\."))
+        .withColumn("__n", F.size("__ls"))
+    )
+    for i in ks:
+        out = out.withColumn(
+            f"__c{i}",
+            F.when(
+                F.col("__n") >= i,
+                F.array_join(
+                    F.slice("__ls", F.col("__n") - F.lit(i) + 1, i), "."
+                ),
+            ),
+        ).join(
+            F.broadcast(
+                rules.select(
+                    F.col("suffix").alias(f"__c{i}"),
+                    F.col("ps_len").alias(f"__ps{i}"),
+                    F.col("is_exc").alias(f"__ex{i}"),
+                )
+            ),
+            f"__c{i}",
+            "left",
+        )
+    exc = F.coalesce(
+        *[F.when(F.col(f"__ex{i}"), F.col(f"__ps{i}")) for i in reversed(ks)]
+    )
+    best = F.greatest(
+        *[
+            F.coalesce(
+                F.when(~F.col(f"__ex{i}"), F.col(f"__ps{i}")), F.lit(0)
+            )
+            for i in ks
+        ]
+    )
+    ps = F.coalesce(exc, F.when(best > 0, best), F.lit(1))
+    dom = F.when(
+        F.col("__n") > ps,
+        F.array_join(F.slice("__ls", F.col("__n") - ps, ps + F.lit(1)), "."),
+    )
+    drop = ["__ls", "__n"] + [c for i in ks for c in (f"__c{i}", f"__ps{i}", f"__ex{i}")]
+    return out.withColumn(out_col, dom).drop(*drop)
 
 
 def url_dedup(
@@ -150,9 +239,12 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     politeness budgets, blocklists and mixture weights are planned on.
     """
     per = (
-        df.select(
-            registered_domain(url_col).alias("domain"),
-            host_of(url_col).alias("__host"),
+        registrable_domain(
+            df.select(
+                F.col(url_col), host_of(url_col).alias("__host")
+            ),
+            url_col,
+            out_col="domain",
         )
         .groupBy("domain")
         .agg(
@@ -184,15 +276,18 @@ def filter_blocked_domains(
     because matching happens on :func:`registered_domain`, not on the
     raw host string.
 
-    Plan: one broadcast LEFT ANTI join against the |blocklist|-row
-    table — blocklists are millions of rows at most, always the small
-    side; the corpus never shuffles. Rows whose URL yields no domain
-    (schemeless/garbage) are KEPT — a blocklist must fail open on
-    unparseable input or it silently drops data the parser can't see.
+    Plan: the PSL domain lookup's four broadcast joins plus one
+    broadcast LEFT ANTI join against the |blocklist|-row table —
+    blocklists are millions of rows at most, always the small side;
+    the corpus never shuffles. Rows whose URL yields no registrable
+    domain (schemeless/garbage, or a bare public suffix -> NULL) are
+    KEPT — a blocklist must fail open on unparseable input or it
+    silently drops data the parser can't see (NULL never equals a
+    blocklist entry in the anti join).
     """
     b = blocklist.select(F.col(domain_col).alias("__blocked")).distinct()
     return (
-        df.withColumn("__dom", registered_domain(url_col))
+        registrable_domain(df, url_col, out_col="__dom")
         .join(
             F.broadcast(b),
             F.col("__dom") == F.col("__blocked"),

@@ -131,3 +131,73 @@ def test_blocklist_blocks_subdomains_and_fails_open(spark):
     bl = spark.createDataFrame([("evil.com",)], "domain string")
     kept = {r.doc_id for r in filter_blocked_domains(df, bl, "url").collect()}
     assert kept == {3, 4}
+
+
+def test_registrable_domain_psl_families_wildcards_exceptions(spark):
+    """PSL lookup semantics (publicsuffix.org algorithm) on the cases
+    the r7 7-label heuristic missed: com.au / co.jp families, wildcard
+    ccTLDs, exception rules, city wildcards, bare public suffixes, and
+    the default '*' rule for unlisted TLDs."""
+    from db_cdc_poc_spark.operators.web import registrable_domain
+
+    cases = [
+        ("https://shop.myer.com.au/x", "myer.com.au"),      # com.au family
+        ("https://www.rakuten.co.jp/", "rakuten.co.jp"),    # co.jp family
+        ("https://a.b.example.co.uk", "example.co.uk"),     # deep subdomain
+        # wildcard *.ck: 'bar.ck' is the PUBLIC SUFFIX, so the
+        # registrable domain is one label deeper
+        ("https://foo.bar.ck/x", "foo.bar.ck"),
+        ("https://bar.ck/x", None),                         # bare wildcard suffix
+        ("https://www.ck/x", "www.ck"),                     # exception !www.ck
+        ("https://city.kawasaki.jp/", "city.kawasaki.jp"),  # exception beats city wildcard
+        ("https://sub.ward.kawasaki.jp/", "sub.ward.kawasaki.jp"),  # *.kawasaki.jp
+        ("https://example.com/x", "example.com"),           # plain gTLD
+        ("https://sub.example.xyz/x", "example.xyz"),       # unlisted TLD -> default '*'
+        ("https://co.uk/", None),                           # bare public suffix
+        ("not-a-url", None),                                # fail open
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {r.i: r.domain for r in registrable_domain(df, "url").collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_registrable_domain_plan_is_broadcast_join_only(spark):
+    """The lookup must stay shuffle-free: four BroadcastHashJoins, no
+    Exchange other than the broadcasts, no explode/regroup."""
+    from db_cdc_poc_spark.operators.web import registrable_domain
+
+    df = spark.range(10).selectExpr(
+        "id", "concat('https://h', id, '.example.com/p') AS url"
+    )
+    plan = registrable_domain(df, "url")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_blocklist_psl_grouping_blocks_family_subdomains(spark):
+    """An entry 'shop.com.au' blocks every host under it, while
+    'com.au' itself (a public suffix, never a registrable domain)
+    blocks nothing — the PSL boundary is what separates the two."""
+    from db_cdc_poc_spark.operators.web import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.shop.com.au/x"),
+            (2, "https://shop.com.au/y"),
+            (3, "https://other.com.au/z"),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame([("shop.com.au",), ("com.au",)],
+                                    "domain string")
+    kept = {r.doc_id for r in
+            filter_blocked_domains(df, blocked, "url").collect()}
+    assert kept == {3}
