@@ -160,3 +160,71 @@ def prune_files(
     companion question).
     """
     return stats.filter(interval_survives(col, lo, hi))
+
+
+def execute_compaction(
+    spark,
+    path: str,
+    plan: DataFrame,
+    *,
+    file_col: str = "file_name",
+) -> dict:
+    """Execute a :func:`compaction_plan` against a parquet directory —
+    the loop-closer (plan -> compact -> re-measure with
+    :func:`file_skipping_stats`): each planned group's files are read
+    together, rewritten as ONE file, atomically swapped in, and the
+    originals removed. Files the plan left alone are untouched.
+
+    Group independence is the point: each (partition, group_id) is its
+    own read->write->swap, so a 100 TB lake compacts incrementally —
+    any prefix of groups executed leaves a fully consistent table, and
+    groups parallelize across a job queue. Because the plan packs
+    files in name order and range-written part files are named in
+    range order, rewritten files inherit their group's clustering:
+    min/max pruning keeps working on the compacted table (asserted in
+    tests and measured in SCALING.md).
+
+    The plan manifest is collected to the driver — the standard
+    orchestration artifact (one task per group); its size is the
+    number of files REWRITTEN this round, bounded by the maintenance
+    batch, not the table.
+
+    Returns ``{"groups": n, "files_removed": n, "files_written": n}``.
+    """
+    import shutil
+    import tempfile
+    import uuid
+    from collections import defaultdict
+    from pathlib import Path
+
+    src = Path(path)
+    groups: dict = defaultdict(list)
+    for r in plan.select(file_col, "group_id").collect():
+        groups[r.group_id].append(r[file_col])
+    written = removed = 0
+    for gid, names in sorted(groups.items()):
+        member_paths = [str(src / n) for n in names]
+        staging = Path(tempfile.mkdtemp(prefix=".compactg_", dir=src.parent))
+        spark.read.parquet(*member_paths).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging / "out"))
+        [part] = list((staging / "out").glob("part-*.parquet"))
+        new_name = f"compact-{gid}-{uuid.uuid4().hex}.parquet"
+        # move the new file in BEFORE removing members: a reader racing
+        # this sees duplicates at worst transiently; table-format logs
+        # (Delta/Iceberg) make the swap properly atomic — this is the
+        # plain-directory form
+        shutil.move(str(part), str(src / new_name))
+        crc = staging / "out" / f".{part.name}.crc"
+        if crc.exists():
+            shutil.move(str(crc), str(src / f".{new_name}.crc"))
+        written += 1
+        for m in member_paths:
+            Path(m).unlink()
+            mcrc = Path(m).parent / f".{Path(m).name}.crc"
+            if mcrc.exists():
+                mcrc.unlink()
+            removed += 1
+        shutil.rmtree(staging, ignore_errors=True)
+    return {"groups": len(groups), "files_removed": removed,
+            "files_written": written}

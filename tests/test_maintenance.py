@@ -147,3 +147,63 @@ def test_interval_survives_matches_prune_filter(spark):
         interval_survives("v", 3, 7).cast("long").alias("s")
     ).agg(F.sum("s").alias("n")).first().n
     assert via_filter == via_flag
+
+
+def test_plan_execute_remeasure_loop(spark, tmp_path):
+    """The full maintenance loop (r7 ask 6): fragment a range-
+    clustered table -> compaction_plan from the on-disk manifest ->
+    execute_compaction -> re-measure with file_skipping_stats: fewer
+    files, identical data, and min/max pruning selectivity preserved
+    (files stay range-disjoint, a point-range query still survives to
+    O(1) files)."""
+    import os
+
+    from db_cdc_poc_spark.operators.maintenance import execute_compaction
+
+    path = str(tmp_path / "frag")
+    # 32 tiny range-ordered files over id 0..9999 (the micro-batch
+    # writer fragmentation pattern)
+    base = spark.range(10_000).selectExpr("id", "id % 97 AS v")
+    base.repartitionByRange(32, F.col("id")).sortWithinPartitions(
+        "id"
+    ).write.parquet(path)
+
+    def manifest():
+        rows = [
+            (f, os.path.getsize(os.path.join(path, f)))
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+        return spark.createDataFrame(rows, "file_name string, bytes long")
+
+    def stats():
+        df = spark.read.parquet(path).withColumn(
+            "f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        return file_skipping_stats(df, file_col="f", stat_cols=["id"])
+
+    before_files = manifest().count()
+    assert before_files == 32
+    before_sum = spark.read.parquet(path).agg(F.sum("v")).collect()[0][0]
+    before_hit = prune_files(stats(), "id", 5_000, 5_010).count()
+    assert before_hit <= 2  # range clustering prunes to O(1) files
+
+    total = manifest().agg(F.sum("bytes")).collect()[0][0]
+    target = int(total / 8) + 1  # pack ~4 source files per group
+    plan = compaction_plan(manifest(), target_bytes=target)
+    res = execute_compaction(spark, path, plan)
+    assert res["files_written"] < res["files_removed"]
+
+    after = manifest().count()
+    assert after < before_files
+    # identical data
+    assert spark.read.parquet(path).count() == 10_000
+    assert spark.read.parquet(path).agg(F.sum("v")).collect()[0][0] == before_sum
+    # clustering preserved: files still pairwise range-disjoint ...
+    st = stats().collect()
+    ranges = sorted((r.id_min, r.id_max) for r in st)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "compaction broke range disjointness"
+    # ... so the point-range query still survives to exactly 1 file
+    after_hit = prune_files(stats(), "id", 5_000, 5_010).count()
+    assert after_hit == 1
