@@ -55,7 +55,8 @@ def main() -> int:
     # "ALL GREEN" and exit 0 — a vacuous pass from the primary gate.
     unknown = sorted(only - set(qs))
     if unknown:
-        print(f"unknown: {unknown}")
+        # deliberate, format-stable message (test_contract greps for it)
+        print("unknown query names: " + ", ".join(unknown))
         print("FAILURES: unknown query names (nothing ran)")
         return 1
     spark = get_spark(cpus=8)

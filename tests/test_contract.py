@@ -91,5 +91,6 @@ def test_check_oracle_rejects_unknown_names():
         capture_output=True, text=True, timeout=120,
     )
     assert proc.returncode == 1, proc.stdout + proc.stderr
-    assert "unknown: ['q999_nonexistent']" in proc.stdout
+    # stable substrings, not the incidental repr of a Python list
+    assert "unknown" in proc.stdout and "q999_nonexistent" in proc.stdout
     assert "ALL GREEN" not in proc.stdout
