@@ -1058,3 +1058,138 @@ def script_profile(
         ],
         "dominant_script",
     )
+
+
+def pack_examples(
+    df: DataFrame,
+    seq_len: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eos: str = "<|eos|>",
+    bucket_size: int = 1 << 20,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing that MATERIALIZES
+    the packed example text (the sibling of :func:`pack_sequences`,
+    which computes each document's (group, seq, offset) PLACEMENT
+    without assembling text) — the example-prep
+    step after cleaning/dedup: documents are concatenated in ``id_col``
+    order with one ``eos`` separator token after each, and the global
+    token stream is cut into fixed ``seq_len`` examples (no padding;
+    examples span document boundaries; the final short example is
+    kept). This is the packing used by the public GPT/LLaMA training
+    recipes, as opposed to per-document chunking (chunk_documents) or
+    first-fit bin packing (token_budget_fill solves the budget side).
+
+    Scale shape — the global token offset is the crux. A naive
+    ``Window.orderBy(id)`` prefix-sum funnels the per-doc count
+    relation through ONE reducer (1e9 docs -> one task); instead the
+    offsets are a TWO-LEVEL prefix sum: (1) within-bucket running sum,
+    hash-partitioned by ``id div bucket_size`` (requires a numeric
+    id — the same id that defines pack order); (2) a global prefix
+    over the |buckets|-row totals (bounded: 1e9 docs / 2^20 = ~1000
+    rows through the single-partition window), broadcast-joined back.
+    After that it is chunk_documents' shape: one explode, one
+    groupBy(example_id) with deterministic array_sort assembly.
+
+    Output: (example_id, n_tokens, n_docs, text) — n_docs counts the
+    documents contributing tokens (EOS attributed to its document),
+    the packing-quality number (examples spanning many tiny docs are
+    a dedup/filter smell upstream).
+    """
+    from pyspark.sql import Window
+
+    counts = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(whitespace_tokens(text_col)).cast("long").alias("n"),
+    ).withColumn("bucket", F.expr(f"id div {bucket_size}"))
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = counts.withColumn(
+        "__pre", F.coalesce(F.sum(F.col("n") + 1).over(wb), F.lit(0))
+    )
+    btot = counts.groupBy("bucket").agg(F.sum(F.col("n") + 1).alias("__bt"))
+    wg = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = btot.withColumn(
+        "__boff", F.coalesce(F.sum("__bt").over(wg), F.lit(0))
+    ).select("bucket", "__boff")
+    offs = within.join(F.broadcast(bpre), "bucket").select(
+        "id", "n", (F.col("__boff") + F.col("__pre")).alias("off")
+    )
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(whitespace_tokens(text_col)).alias("pos", "tok"),
+    )
+    stream = toks.join(offs, "id").select(
+        "id", (F.col("off") + F.col("pos")).alias("gpos"), "tok"
+    ).unionAll(
+        offs.select(
+            "id", (F.col("off") + F.col("n")).alias("gpos"), F.lit(eos).alias("tok")
+        )
+    )
+    return (
+        stream.withColumn("example_id", F.expr(f"gpos div {seq_len}"))
+        .groupBy("example_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.count_distinct("id").cast("int").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+
+
+#: PII patterns shared by the Spark path and the oracle SQL — kept to
+#: syntax that Java regex (Spark) and RE2 (DuckDB) match identically:
+#: no lookaround, no backreferences, character classes + bounded
+#: repetition only (the same cross-engine contract as canonical_url's
+#: patterns). Order matters: kinds are applied in this sequence, each
+#: counting/replacing on the PREVIOUS stage's output, so overlapping
+#: matches resolve deterministically (an email's digits can never be
+#: re-counted as a phone).
+PII_KIND_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+\d{9,15}"),
+)
+
+
+def redact_pii_by_kind(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    patterns: tuple[tuple[str, str], ...] = PII_KIND_PATTERNS,
+) -> DataFrame:
+    """Per-KIND PII scrubbing — the audit-grade sibling of
+    :func:`redact_pii` (q56's single-[PII]-sentinel form): each
+    pattern kind gets its own ``<|kind|>`` sentinel token and its own
+    match count, so the corpus-level redaction rate is auditable PER
+    CATEGORY (the numbers a release review reads), and the oracle SQL
+    is GENERATED from this module's pattern tuple so the two engines
+    cannot drift.
+
+    Map-only: a chain of regexp_count + regexp_replace per kind, all
+    JVM-side codegen — no UDF, pipelines with the scan. Counting
+    happens stage-by-stage on the previous kind's output (see
+    :data:`PII_KIND_PATTERNS` on ordering/overlap). Regex-based scrubbing
+    is a FLOOR, not a guarantee — names/addresses need NER-grade
+    tooling; the operator's job is the deterministic, cheap,
+    every-document pass.
+
+    Output: all input columns + ``n_<kind>`` ints + ``out_col``.
+    """
+    cur = F.col(text_col)
+    out = df
+    for kind, pat in patterns:
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(cur, F.lit(pat)).cast("int")
+        )
+        cur = F.regexp_replace(cur, pat, f"<|{kind}|>")
+    return out.withColumn(out_col, cur)

@@ -7336,5 +7336,133 @@ def q166_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q167_sequence_pack",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), cnt AS (
+    SELECT doc_id, len(toks) AS n FROM tk
+), offs AS (
+    SELECT doc_id, n,
+           coalesce(sum(n + 1) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM cnt
+), tkrows AS (
+    SELECT t.doc_id, g.i - 1 AS pos, t.toks[g.i] AS tok
+    FROM tk t, LATERAL (SELECT unnest(range(1, len(t.toks) + 1)) AS i) g
+), stream AS (
+    SELECT t.doc_id, o.off + t.pos AS gpos, t.tok
+    FROM tkrows t JOIN offs o USING (doc_id)
+    UNION ALL
+    SELECT doc_id, off + n AS gpos, '<|eos|>' FROM offs
+)
+SELECT gpos // 64 AS example_id,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS INTEGER) AS n_docs,
+       array_to_string(list(tok ORDER BY gpos), ' ') AS text
+FROM stream GROUP BY 1
+""",
+)
+def q167_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing (text.pack_examples): docs
+    concatenated in id order with one <|eos|> each, the global token
+    stream cut into 64-token training examples that span document
+    boundaries. The global offset is a TWO-LEVEL prefix sum (bucketed
+    running sums + a |buckets|-row global prefix broadcast back), so
+    no corpus-sized relation ever crosses one reducer — the oracle
+    replays it with the plain single-window cumsum, which must agree
+    value-for-value."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.pack_examples(docs, seq_len=64)
+
+
+#: deterministic PII-bearing text per document (testdata has none) —
+#: mirrored verbatim in the q168 oracle; the q157 synth-column pattern.
+def _synth_pii_col():
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("user"), d.cast("string"), F.lit("@mail.example.com ")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("from 10.2."), (d % 250).cast("string"), F.lit(".7 ")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("call +1415555"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _q168_oracle() -> str:
+    """Build the PII-scrub oracle from text.PII_PATTERNS itself so the
+    Spark chain and the SQL replay can never drift: per kind, count on
+    the previous stage's text then global-replace (DuckDB needs the
+    explicit 'g' flag; Spark replaces globally by default)."""
+    from db_cdc_poc_spark.operators.text import PII_KIND_PATTERNS
+
+    cur = "pii_text"
+    stages, cols = [], []
+    for i, (kind, pat) in enumerate(PII_KIND_PATTERNS):
+        nxt = f"t{i}"
+        stages.append(
+            f", s{i} AS (\n"
+            f"    SELECT *, CAST(len(regexp_extract_all({cur}, '{pat}')) AS INTEGER)"
+            f" AS n_{kind},\n"
+            f"           regexp_replace({cur}, '{pat}', '<|{kind}|>', 'g') AS {nxt}\n"
+            f"    FROM {'raw' if i == 0 else f's{i - 1}'}\n)"
+        )
+        cols.append(f"n_{kind}")
+        cur = nxt
+    return (
+        """
+WITH raw AS (
+    SELECT doc_id,
+           text || ' contact '
+           || CASE WHEN doc_id % 3 = 0
+                   THEN 'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com '
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN 'from 10.2.' || CAST(doc_id % 250 AS VARCHAR) || '.7 '
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN 'call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS pii_text
+    FROM documents
+)"""
+        + "".join(stages)
+        + f"\nSELECT doc_id, {', '.join(cols)}, {cur} AS clean_text FROM s{len(stages) - 1}\n"
+    )
+
+
+@_q("q168_pii_scrub", oracle=_q168_oracle())
+def q168_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind PII scrubbing (text.redact_pii_by_kind; q56's
+    redact_pii is the single-sentinel form): emails / IPv4s / intl phone numbers replaced by sentinel
+    tokens with per-kind counts for the corpus redaction-rate audit.
+    PII is synthesized deterministically per doc_id (testdata carries
+    none) and the oracle is GENERATED from the same PII_KIND_PATTERNS
+    tuple, so pattern drift between engines is impossible. Map-only
+    regex chain, no UDF."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_pii_col().alias("pii_text")
+    )
+    return tx.redact_pii_by_kind(
+        docs, text_col="pii_text", out_col="clean_text"
+    ).drop(
+        "pii_text"
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

@@ -400,3 +400,62 @@ def test_char_entropy_empty_doc_emits_no_row(spark):
     # the empty doc from fabricating phantom characters
     assert 1 not in got
     assert got[2].n_chars == 2
+
+
+def test_pack_examples_matches_python_reference(spark):
+    """Concat-and-chunk packing == the obvious sequential reference:
+    concatenate token lists in id order with an EOS after each doc,
+    cut every seq_len tokens; n_docs counts contributing documents."""
+    docs = [
+        (0, "a b c d e"),
+        (1, ""),                      # empty doc still contributes EOS
+        (2, "f g   h"),               # multi-space split
+        (5, "i j k l m n o p q r"),   # id gap: order by id, not row
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.example_id: r for r in
+           tx.pack_examples(df, seq_len=4, bucket_size=2).collect()}
+    stream = []
+    for did, text in sorted(docs):
+        toks = [t for t in text.split() if t]
+        stream += [(did, t) for t in toks] + [(did, "<|eos|>")]
+    want = {}
+    for eid in range(0, (len(stream) + 3) // 4):
+        part = stream[eid * 4:(eid + 1) * 4]
+        want[eid] = (len(part), len({d for d, _ in part}),
+                     " ".join(t for _, t in part))
+    assert {k: (v.n_tokens, v.n_docs, v.text) for k, v in out.items()} == want
+
+
+def test_pack_examples_bucketing_invariant(spark):
+    """The two-level prefix sum must be invariant to bucket_size (it
+    only changes the plan, never the offsets)."""
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(i % 7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, tx.pack_examples(df, seq_len=16, bucket_size=4).collect()))
+    b = sorted(map(tuple, tx.pack_examples(df, seq_len=16, bucket_size=1 << 20).collect()))
+    assert a == b
+
+
+def test_redact_pii_by_kind_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.na+x@sub.example.co.uk or jo@ex.io thanks"),
+            (2, "server 192.168.0.1 and 10.0.255.250 up"),
+            (3, "call +14155550123 now"),
+            (4, "clean text with no pii at all"),
+            (5, "mix a@b.cc from 8.8.8.8 dial +4915112345678"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.redact_pii_by_kind(df).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (2, 0, 0)
+    assert "<|email|>" in out[1].clean_text and "@" not in out[1].clean_text
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 2, 0)
+    assert out[2].clean_text == "server <|ipv4|> and <|ipv4|> up"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 1)
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+    assert out[4].clean_text == out[4].text
+    assert (out[5].n_email, out[5].n_ipv4, out[5].n_phone) == (1, 1, 1)
