@@ -168,6 +168,7 @@ def execute_compaction(
     plan: DataFrame,
     *,
     file_col: str = "file_name",
+    size_col: str = "bytes",
 ) -> dict:
     """Execute a :func:`compaction_plan` against a parquet directory —
     the loop-closer (plan -> compact -> re-measure with
@@ -197,6 +198,19 @@ def execute_compaction(
     from collections import defaultdict
     from pathlib import Path
 
+    # this executor works on ONE directory: a plan built with
+    # partition_cols has group_id dense only WITHIN each partition, so
+    # executing it here would merge files across partitions — filter
+    # the plan to one partition directory (and drop its partition
+    # columns) per call, the same per-directory contract as
+    # layout.compact_parquet
+    extra = set(plan.columns) - {file_col, size_col, "group_id"}
+    if extra:
+        raise ValueError(
+            f"plan carries partition columns {sorted(extra)}: execute "
+            "per partition directory (filter to one partition, drop its "
+            "columns) — group_id is only dense within a partition"
+        )
     src = Path(path)
     groups: dict = defaultdict(list)
     for r in plan.select(file_col, "group_id").collect():

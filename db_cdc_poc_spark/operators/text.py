@@ -1098,10 +1098,17 @@ def pack_examples(
     """
     from pyspark.sql import Window
 
+    from db_cdc_poc_spark.checkpointing import materialize
+
     counts = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.size(whitespace_tokens(text_col)).cast("long").alias("n"),
     ).withColumn("bucket", F.expr(f"id div {bucket_size}"))
+    # counts feeds the within-bucket window AND the bucket totals AND
+    # the offset join — cut the tokenize-and-count subtree once
+    # (ARCHITECTURE rule 12) instead of re-tokenizing the corpus per
+    # consumer; the waist is |docs| rows of three numeric columns
+    counts = materialize(counts, eager=False, label="pack-counts")
     wb = (
         Window.partitionBy("bucket")
         .orderBy("id")

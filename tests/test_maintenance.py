@@ -207,3 +207,17 @@ def test_plan_execute_remeasure_loop(spark, tmp_path):
     # ... so the point-range query still survives to exactly 1 file
     after_hit = prune_files(stats(), "id", 5_000, 5_010).count()
     assert after_hit == 1
+
+
+def test_execute_compaction_rejects_partitioned_plan(spark, tmp_path):
+    """group_id is dense only WITHIN a partition: executing a
+    partitioned plan against one directory would merge files across
+    partitions — must be rejected with the per-directory guidance."""
+    import pytest
+
+    from db_cdc_poc_spark.operators.maintenance import execute_compaction
+
+    files = _manifest(spark, {"a": [10, 10], "b": [10, 10]})
+    plan = compaction_plan(files, target_bytes=100, partition_cols=["part"])
+    with pytest.raises(ValueError, match="partition"):
+        execute_compaction(spark, str(tmp_path), plan)
