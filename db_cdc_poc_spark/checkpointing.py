@@ -36,9 +36,11 @@ exactly like ``spark.sparkContext.setCheckpointDir`` semantics.
 from __future__ import annotations
 
 import itertools
+import os
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 __all__ = ["materialize"]
 
@@ -54,6 +56,7 @@ def materialize(
     checkpoint_dir: str | None = None,
     eager: bool = True,
     label: str = "step",
+    storage: str = "auto",
 ) -> DataFrame:
     """Truncate ``df``'s lineage.
 
@@ -62,8 +65,32 @@ def materialize(
     parquet under ``checkpoint_dir`` and read back — a RELIABLE
     checkpoint: recompute-after-executor-loss becomes a re-read from
     durable storage. The reliable path is always eager (a write is).
+
+    ``storage`` controls WHERE the local checkpoint's blocks live:
+
+    * ``"auto"`` — Spark's default (deserialized memory-and-disk).
+      Right for small waists that several downstream stages re-read.
+    * ``"disk"`` — ``StorageLevel.DISK_ONLY``. Right for waists that
+      SCALE WITH THE CORPUS and are consumed once or twice by
+      sequential scans (the DSIR doc-count waist, the winnowing
+      fingerprint index): caching them in storage memory buys almost
+      nothing but competes with execution memory — the measured cause
+      of the sf10 q66/q150 superlinear step (SCALING.md "Waist
+      storage at 100×"). Serialized-compact on local disk, the blocks
+      cost no heap and the re-read is sequential I/O.
+
+    Environment overrides (measurement knobs — no code edits needed):
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` supplies a durable directory when
+    the caller passed none; ``SPARK_GRAFT_WAIST_STORAGE`` =
+    ``disk``/``memory`` forces every local waist to that level.
     """
     if checkpoint_dir is None:
+        checkpoint_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None
+    if checkpoint_dir is None:
+        forced = os.environ.get("SPARK_GRAFT_WAIST_STORAGE", "").lower()
+        level = {"disk": "disk", "memory": "auto"}.get(forced, storage)
+        if level == "disk":
+            return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
         return df.localCheckpoint(eager=eager)
     path = f"{checkpoint_dir.rstrip('/')}/{label}-{_RUN}-{next(_step):06d}"
     df.write.mode("error").parquet(path)

@@ -219,7 +219,9 @@ def _pair_stats_from_rows(
     tokenize/shingle pipeline per reference — the same build-the-index
     choice as the winnowed path.
     """
-    sh = materialize(sh, checkpoint_dir, eager=False, label="pair-rows")
+    sh = materialize(
+        sh, checkpoint_dir, eager=False, label="pair-rows", storage="disk"
+    )  # corpus-sized, sequentially consumed -> DISK_ONLY (see prefix-rows)
     counts = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     if max_doc_freq is not None:
         rare = (
@@ -335,7 +337,14 @@ def _prefix_filtered_pair_stats(
     t = float(threshold)
     eps = 1e-9  # guards float rounding of t*n at the exact boundary:
     # only ever ADMITS borderline candidates, never drops a true pair
-    sh = materialize(sh, checkpoint_dir, eager=False, label="prefix-rows")
+    # DISK_ONLY: the fingerprint/shingle index scales with the corpus
+    # and is consumed by a handful of sequential scans — caching it in
+    # storage memory competes with the join's execution memory (the
+    # measured cause of q66's superlinear sf10 step, SCALING.md "Waist
+    # storage at 100x")
+    sh = materialize(
+        sh, checkpoint_dir, eager=False, label="prefix-rows", storage="disk"
+    )
     counts = sh.groupBy("id").agg(F.count("*").alias("n"))
     # document frequency via a window over the shingle partition (one
     # exchange of the big table, no separate dfreq materialize+join);

@@ -38,6 +38,7 @@ itself, which is why these are first-class here.
 
 from __future__ import annotations
 
+import json
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -224,6 +225,14 @@ def execute_compaction(
         ).parquet(str(staging / "out"))
         [part] = list((staging / "out").glob("part-*.parquet"))
         new_name = f"compact-{gid}-{uuid.uuid4().hex}.parquet"
+        # journal BEFORE the move: a crash between the move and the
+        # member unlinks would otherwise leave permanent duplicate rows
+        # with no artifact to detect them. The journal names the commit
+        # point (new_file present -> roll FORWARD by finishing the
+        # unlinks; absent -> roll BACK by dropping the journal) —
+        # :func:`recover_compaction` replays it on restart.
+        journal = src / f".compact-journal-{gid}-{uuid.uuid4().hex}.json"
+        journal.write_text(json.dumps({"members": names, "new_file": new_name}))
         # move the new file in BEFORE removing members: a reader racing
         # this sees duplicates at worst transiently; table-format logs
         # (Delta/Iceberg) make the swap properly atomic — this is the
@@ -239,6 +248,45 @@ def execute_compaction(
             if mcrc.exists():
                 mcrc.unlink()
             removed += 1
+        journal.unlink()
         shutil.rmtree(staging, ignore_errors=True)
     return {"groups": len(groups), "files_removed": removed,
             "files_written": written}
+
+
+def recover_compaction(path: str) -> dict:
+    """Finish or roll back half-committed :func:`execute_compaction`
+    groups after a crash — run BEFORE reading a directory that might
+    hold an interrupted compaction.
+
+    Each leftover ``.compact-journal-*.json`` names one group's
+    members and its compacted file. The move of the compacted file is
+    the commit point (an atomic rename): if it is present the group
+    rolls FORWARD (unlink any members still on disk — removing the
+    duplicate rows), otherwise it rolls BACK (members are intact and
+    complete; just drop the journal). Idempotent — safe to re-run.
+
+    Returns ``{"rolled_forward": n, "rolled_back": n,
+    "members_removed": n}``.
+    """
+    from pathlib import Path
+
+    src = Path(path)
+    fwd = back = dropped = 0
+    for j in sorted(src.glob(".compact-journal-*.json")):
+        entry = json.loads(j.read_text())
+        if (src / entry["new_file"]).exists():
+            for name in entry["members"]:
+                m = src / name
+                if m.exists():
+                    m.unlink()
+                    dropped += 1
+                mcrc = src / f".{name}.crc"
+                if mcrc.exists():
+                    mcrc.unlink()
+            fwd += 1
+        else:
+            back += 1
+        j.unlink()
+    return {"rolled_forward": fwd, "rolled_back": back,
+            "members_removed": dropped}

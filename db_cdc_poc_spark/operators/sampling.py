@@ -460,7 +460,8 @@ def dsir_log_weights(
     # per consumer (measured ~2x wall at sf1.0). localCheckpoint by
     # default; checkpoint_dir upgrades the cut to durable parquet.
     doc_counts = materialize(
-        doc_counts, checkpoint_dir, eager=False, label="dsir-doc-counts"
+        doc_counts, checkpoint_dir, eager=False, label="dsir-doc-counts",
+        storage="disk",  # corpus-sized waist, two sequential consumers
     )
     bstats = doc_counts.groupBy("__bucket").agg(
         F.sum("__c").alias("raw_c"),

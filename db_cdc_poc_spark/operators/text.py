@@ -1095,6 +1095,15 @@ def pack_examples(
     documents contributing tokens (EOS attributed to its document),
     the packing-quality number (examples spanning many tiny docs are
     a dedup/filter smell upstream).
+
+    ID CONTRACT — ``id_col`` must be UNIQUE and NON-NEGATIVE. The
+    two-level prefix sum equals the global id-ordered cumsum only
+    then: a negative id makes ``id div bucket_size`` non-monotonic
+    (div truncates toward zero, so -1 and +1 land in bucket 0 around
+    distinct buckets for -2^20 etc.), and a duplicate id collapses two
+    documents onto one offset — both silently misplace tokens.
+    Guarded below with one aggregate over the (already-materialized)
+    count waist: reject, don't degrade.
     """
     from pyspark.sql import Window
 
@@ -1109,6 +1118,18 @@ def pack_examples(
     # (ARCHITECTURE rule 12) instead of re-tokenizing the corpus per
     # consumer; the waist is |docs| rows of three numeric columns
     counts = materialize(counts, eager=False, label="pack-counts")
+    chk = counts.agg(
+        F.min("id").alias("mn"),
+        F.count("id").alias("c"),
+        F.count_distinct("id").alias("cd"),
+    ).first()
+    if chk is not None and chk.c > 0 and (chk.mn < 0 or chk.c != chk.cd):
+        raise ValueError(
+            f"pack_examples requires unique non-negative ids: got "
+            f"min(id)={chk.mn}, {chk.c} rows over {chk.cd} distinct ids "
+            f"in {id_col!r} — the bucketed prefix sum would silently "
+            "misplace tokens (see docstring ID CONTRACT)"
+        )
     wb = (
         Window.partitionBy("bucket")
         .orderBy("id")

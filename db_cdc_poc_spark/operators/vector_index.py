@@ -41,6 +41,35 @@ _MEAN_OFFSET = 1024.0
 _MEAN_SCALE = 1_000_000
 
 
+def _check_mean_range(df: DataFrame, vec_col: str, what: str) -> None:
+    """Reject training vectors whose elements reach ``_MEAN_OFFSET``.
+
+    The exact-integer Lloyd mean relies on ``val + _MEAN_OFFSET`` being
+    POSITIVE for every element so Spark's ``div`` (truncating) and
+    DuckDB's ``//`` (flooring) agree; an element <= -1024 flips that
+    silently and the engines diverge on the centroid. One max(abs)
+    aggregate over the parameter-bounded cohort — the same
+    reject-don't-degrade pattern as :func:`_validate_pq_params`.
+    """
+    row = df.select(
+        F.max(
+            F.array_max(
+                F.transform(
+                    F.col(vec_col).cast("array<double>"), lambda x: F.abs(x)
+                )
+            )
+        ).alias("mx")
+    ).first()
+    if row is not None and row.mx is not None and float(row.mx) >= _MEAN_OFFSET:
+        raise ValueError(
+            f"{what} contains an element with |x| = {row.mx} >= "
+            f"{_MEAN_OFFSET}: the exact-integer Lloyd mean's positive-"
+            "offset trick (Spark div vs DuckDB // equivalence) only "
+            f"holds for |element| < {_MEAN_OFFSET}. Rescale the "
+            "vectors before training."
+        )
+
+
 def _probe_dim(codebook_vectors: DataFrame, vec_col: str) -> int:
     """Vector dimensionality from a 1-row probe of the (parameter-
     bounded) codebook relation — the repo-allowed bounded-collect shape."""
@@ -164,6 +193,7 @@ def refine_centroids(
             F.col(id_col), F.col(vec_col).cast("array<double>")
         ).collect()
     )
+    _check_mean_range(train, vec_col, "refine_centroids training cohort")
     t = train.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
@@ -300,6 +330,9 @@ def pq_train(
             F.posexplode(pieces).alias("sub_id", "sv"),
         )
 
+    # the coarse pass guarded the raw cohort; the fine Lloyd runs in
+    # RESIDUAL space (bounded by |x| + |centroid|), so re-check there
+    _check_mean_range(rtrain, vec_col, "pq_train residual cohort")
     rsubs = _subs(rtrain, id_col, "__id")
     off = int(_MEAN_OFFSET) * _MEAN_SCALE
     fold = lambda a, b: F.aggregate(  # noqa: E731 - local fold shape
@@ -674,6 +707,151 @@ class IvfIndex:
             )
         )
 
+    # -- maintenance: partial re-cluster ------------------------------------
+
+    def recluster(
+        self,
+        spark: SparkSession,
+        list_ids: list[int] | None = None,
+        occupancy_ppm: int | None = None,
+        iters: int = 2,
+    ) -> dict:
+        """Close the drift loop: detect -> partial re-train -> re-assign
+        -> (caller re-measures recall). The compaction-loop mirror for
+        the vector index: :meth:`drift_report` is the signal, this is
+        the repair, and only the DRIFTED REGION pays — a 100 TB index
+        is maintained in place, never rebuilt per batch.
+
+        Selection: explicit ``list_ids``, else every list the report
+        flags — ``occupancy_ppm`` above the threshold (appends
+        following a shifted distribution bloat a few lists) or any
+        ``n_misassigned`` member (codebook changed under the lists).
+
+        Repair, touching ONLY the selected lists' partitions:
+
+        1. re-train the selected lists' centroids on their own members
+           (:func:`refine_centroids`, seeds = the stored centroids, so
+           an un-drifted selected list converges back to itself);
+        2. re-assign those members among the FULL updated codebook
+           (re-trained + unchanged centroids — so a bloated list can
+           evacuate toward untouched neighbors and a misassigned
+           member lands where probes will look for it; members of
+           untouched lists stay put — their centroid didn't move);
+        3. rewrite the selected list partitions (dynamic partition
+           overwrite; a selected list left empty is removed); members
+           that moved to an UNTOUCHED list are appended to its
+           partition — never overwritten, those partitions were not
+           fully read; swap the updated k-row codebook in whole
+           (parameter-bounded).
+
+        Cost: one partition-pruned scan of the selected lists per
+        Lloyd iteration plus one rewrite of those partitions —
+        O(drifted region), not O(index). Returns
+        ``{"lists_selected": n, "members": n, "moved": n}`` where
+        ``moved`` counts members whose list changed — the loop-closure
+        number the test asserts drops to 0 on a second pass.
+        """
+        cent_all = spark.read.parquet(f"{self.path}/centroids")
+        if list_ids is None:
+            rep = self.drift_report(spark)
+            cond = F.col("n_misassigned") > 0
+            if occupancy_ppm is not None:
+                cond = cond | (F.col("occupancy_ppm") > occupancy_ppm)
+            list_ids = sorted(
+                int(r.list_id) for r in rep.filter(cond).select("list_id").collect()
+            )
+        if not list_ids:
+            return {"lists_selected": 0, "members": 0, "moved": 0}
+        lists_path = f"{self.path}/lists"
+        members = spark.read.parquet(lists_path).filter(
+            F.col("list_id").isin(list_ids)
+        )
+        seeds = cent_all.filter(F.col("cid").isin(list_ids)).select(
+            F.col("cid").alias(self.id_col), F.col("ce").alias(self.vec_col)
+        )
+        train = members.select(
+            F.col("neighbor_id").alias(self.id_col),
+            F.col("cv").alias(self.vec_col),
+        )
+        refined = refine_centroids(
+            train, seeds, self.id_col, self.vec_col, iters=iters
+        )
+        new_cent = spark.createDataFrame(
+            refined, schema="cid long, ce array<double>"
+        ).withColumn("cen", norm("ce"))
+        # the updated codebook: re-trained centroids for the selected
+        # lists, stored centroids for the rest — nlist rows, collected
+        # once (parameter-bounded) so the swap below never reads the
+        # path it is about to overwrite
+        updated_rows = (
+            cent_all.filter(~F.col("cid").isin(list_ids))
+            .unionByName(new_cent)
+            .collect()
+        )
+        full_cent = spark.createDataFrame(
+            updated_rows, schema="cid long, ce array<double>, cen double"
+        )
+        # re-assign the touched members among the FULL updated codebook
+        reassigned = (
+            members.select("neighbor_id", "cv", "cn",
+                           F.col("list_id").alias("old_list"))
+            .crossJoin(F.broadcast(full_cent))
+            .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
+            .groupBy("neighbor_id", "cv", "cn", "old_list")
+            .agg(
+                F.max_by(
+                    "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc"))
+                ).alias("list_id")
+            )
+        )
+        reassigned = materialize(reassigned, label="recluster-assign")
+        stats = reassigned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("list_id") != F.col("old_list")).cast("long")).alias(
+                "moved"
+            ),
+        ).first()
+        sel = set(int(x) for x in list_ids)
+        stay = reassigned.filter(F.col("list_id").isin(list_ids))
+        leave = reassigned.filter(~F.col("list_id").isin(list_ids))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # selected partitions were fully read -> full rewrite is safe
+            stay.select("neighbor_id", "cv", "cn", "list_id").write.partitionBy(
+                "list_id"
+            ).mode("overwrite").parquet(lists_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # members that evacuated to an untouched list: APPEND — those
+        # partitions were not read, overwrite would drop their members
+        leave.select("neighbor_id", "cv", "cn", "list_id").write.partitionBy(
+            "list_id"
+        ).mode("append").parquet(lists_path)
+        # a selected list that ended up EMPTY is not in the rewrite, so
+        # dynamic overwrite left its stale partition behind — drop it
+        kept = {
+            int(r.list_id)
+            for r in stay.select("list_id").distinct().collect()
+        }
+        import shutil as _sh
+        from pathlib import Path as _P
+
+        for lid in sel - kept:
+            _sh.rmtree(_P(lists_path) / f"list_id={lid}", ignore_errors=True)
+        full_cent.write.mode("overwrite").parquet(f"{self.path}/centroids")
+        # both directories changed under any cached file listings —
+        # invalidate so a follow-up drift_report/probe re-lists
+        spark.catalog.refreshByPath(lists_path)
+        spark.catalog.refreshByPath(f"{self.path}/centroids")
+        return {
+            "lists_selected": len(list_ids),
+            "members": int(stats.n) if stats else 0,
+            "moved": int(stats.moved) if stats and stats.moved is not None else 0,
+        }
+
     # -- probe ------------------------------------------------------------
 
     def probe(
@@ -902,6 +1080,18 @@ def pq_adc_topk(
     query-residual build to the probed lists, which ``candidates``
     already bounds on the scoring side.
     """
+    if coarse_centroids is None and "list_id" in codes.columns:
+        # Residual-encoded codes (pq_codes' residual mode stamps
+        # list_id) scored against a flat LUT would be silently wrong —
+        # the converse direction already fails loudly on the missing
+        # list_id column, so mirror that here (reject, don't degrade).
+        raise ValueError(
+            "codes carry list_id (residual-encoded by pq_codes with "
+            "coarse_centroids) but pq_adc_topk was called without "
+            "coarse_centroids — flat LUT distances would be wrong for "
+            "residual codes. Pass the same coarse_centroids used to "
+            "encode, or drop('list_id') if the codes are truly flat."
+        )
     k = codebook_vectors.count()
     bits = _validate_pq_params(_probe_dim(codebook_vectors, vec_col), m, k)
     mask = (1 << bits) - 1

@@ -153,6 +153,26 @@ def registrable_domain(
 
     if rules is None:
         rules = suffix_rules(df.sparkSession)
+    # The four LEFT joins key on suffix alone, so the rule relation
+    # must be unique per suffix or corpus rows duplicate through the
+    # join. The vendored snapshot is unique, but the advertised
+    # full-PSL swap-in (or a caller-supplied table) can carry e.g. a
+    # wildcard-derived and a plain rule with the same key: collapse to
+    # one row per suffix with PSL prevailing-rule order (exception
+    # first, then most labels = max ps_len). Done DRIVER-side — the
+    # rule relation is parameter-bounded (the full PSL is ~10k rows
+    # and is broadcast regardless), and a groupBy here would put an
+    # Exchange into the otherwise shuffle-free corpus plan (gated by
+    # test_registrable_domain_plan_is_broadcast_join_only).
+    best: dict[str, tuple[bool, int]] = {}
+    for r in rules.select("suffix", "ps_len", "is_exc").collect():
+        key, cand = r.suffix, (bool(r.is_exc), int(r.ps_len))
+        if key not in best or cand > best[key]:
+            best[key] = cand
+    rules = rules.sparkSession.createDataFrame(
+        [(s, pl, ex) for s, (ex, pl) in sorted(best.items())],
+        "suffix string, ps_len int, is_exc boolean",
+    )
     ks = range(1, MAX_KEY_LABELS + 1)
     out = (
         df.withColumn("__ls", F.split(host_of(url_col), r"\."))

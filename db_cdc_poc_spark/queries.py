@@ -5825,16 +5825,26 @@ WITH v AS (
 ), cent AS (
     SELECT vec_id AS cid, e, nrm FROM v
     WHERE vec_id % 16 = 0 AND vec_id < 2048
+), pair AS MATERIALIZED (
+    -- materialized + argmax-by-join instead of a row_number window:
+    -- the window form re-evaluates the fold-dot CASE during the sort
+    -- and measured 35+ min at sf10 (200k x 128 pairs); this form
+    -- computes each dot once (13.9 s at sf3, ~1 min at sf10). The
+    -- float-equality join is exact: both sides are the SAME computed
+    -- value. Ties (equal max cos) -> min(cid), same rule as before.
+    SELECT c.vec_id AS neighbor_id, c.vec_id % 5 = 0 AS is_new, t.cid,
+           CASE WHEN c.nrm * t.nrm > 0
+                THEN list_dot_product(c.e, t.e) / (c.nrm * t.nrm)
+                ELSE 0.0 END AS cos_raw
+    FROM v c CROSS JOIN cent t
+), mx AS (
+    SELECT neighbor_id, max(cos_raw) AS cos_raw FROM pair GROUP BY 1
 ), assign AS (
-    SELECT neighbor_id, is_new, cid AS list_id, cos_raw FROM (
-        SELECT c.vec_id AS neighbor_id, c.vec_id % 5 = 0 AS is_new, t.cid,
-               CASE WHEN c.nrm * t.nrm > 0
-                    THEN list_dot_product(c.e, t.e) / (c.nrm * t.nrm)
-                    ELSE 0.0 END AS cos_raw,
-               row_number() OVER (PARTITION BY c.vec_id
-                                  ORDER BY CASE WHEN c.nrm * t.nrm > 0 THEN list_dot_product(c.e, t.e) / (c.nrm * t.nrm) ELSE 0.0 END DESC, t.cid) AS rn
-        FROM v c CROSS JOIN cent t)
-    WHERE rn = 1
+    SELECT p.neighbor_id, p.is_new, min(p.cid) AS list_id,
+           any_value(p.cos_raw) AS cos_raw
+    FROM pair p JOIN mx m
+      ON p.neighbor_id = m.neighbor_id AND p.cos_raw = m.cos_raw
+    GROUP BY 1, 2
 ), per_list AS (
     SELECT list_id,
            count(*) AS n_vectors,
@@ -7461,6 +7471,48 @@ def q168_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, text_col="pii_text", out_col="clean_text"
     ).drop(
         "pii_text"
+    )
+
+
+@_q(
+    "q169_token_proxy_ratio",
+    oracle=r"""
+SELECT source,
+       CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> ''))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS pretokens,
+       CAST(1000000 * sum(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+            // sum(len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> ''))) AS BIGINT) AS ratio_ppm
+FROM documents
+GROUP BY source
+""",
+)
+def q169_token_proxy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token-proxy calibration (ARCHITECTURE.md rule 14):
+    per source, total whitespace tokens vs total BPE-ish pretokens
+    (text.regex_token_count — the GPT-2-style letter/digit/punct
+    classes, the shared Java-regex/RE2 subset) and their ratio in ppm.
+    This ratio is the corpus-measured rescale factor for budgets
+    calibrated in BPE terms when the engine's whitespace-token proxy
+    feeds them (pack_examples seq_len, token_budget_fill budgets,
+    DSIR features): punctuation-/code-heavy sources push it up, plain
+    prose sits near 1.2e6. One scan, two codegen aggregates — the
+    calibration is free next to any real pass over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.sum(tx.whitespace_token_count("text")).cast("long")
+    pre = F.sum(tx.regex_token_count("text")).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(ws.alias("ws_tokens"), pre.alias("pretokens"))
+        .select(
+            "source",
+            "ws_tokens",
+            "pretokens",
+            F.expr("1000000 * pretokens div ws_tokens").alias("ratio_ppm"),
+        )
     )
 
 

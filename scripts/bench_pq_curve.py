@@ -1,0 +1,160 @@
+"""IVF-PQ operating curve: recall@5 vs scored-candidate count over
+(nprobe, shortlist) for the composed residual IVF-PQ + exact-rerank
+serving path (the q164/q165 shape).
+
+The round-8 verdict's open question: the path is oracle-correct and
+honestly measured at ONE operating point (nprobe=all-lists ADC top-32
+rerank -> recall@5 0.60 at 2k vectors), but a user can't pick an
+operating point without the curve. This sweeps the two knobs at fixed
+training (m=8, k=16 codewords, nlist=16, the q163-q166 budget) and
+reports, per (nprobe, shortlist):
+
+  * recall@5 against the exact squared-L2 top-5 (self excluded) —
+    the same truth leg as q166;
+  * scored_candidates — the number of (query, neighbor) pairs ADC
+    scores, the serving-cost proxy (each costs m LUT hits; the full
+    corpus would be |Q|x|C|).
+
+Run at two corpus sizes to show how the tradeoff moves with scale:
+
+  python scripts/bench_pq_curve.py /root/testdata/sf0.1 .benchdata/sf1.0
+
+Prints one JSON line per corpus: {"corpus": ..., "n": ...,
+"points": [{"nprobe": p, "shortlist": s, "recall5": r,
+"scored_candidates": c}, ...]}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+NPROBES = [1, 2, 4, 8, 16]
+SHORTLISTS = [5, 8, 16, 32, 64]
+N_QUERIES = 10
+M = 8
+
+
+def curve_for(spark, sf_dir: str) -> dict:
+    from db_cdc_poc_spark.checkpointing import materialize
+    from db_cdc_poc_spark.operators.similarity import norm, paired_cosine
+    from db_cdc_poc_spark.operators.vector_index import (
+        exact_rerank,
+        pq_adc_topk,
+        pq_codes,
+        pq_train,
+    )
+    from db_cdc_poc_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    # same training budget as q163-q166 (parameter-bounded cohort/seeds)
+    coarse, cb = pq_train(
+        emb.filter(F.col("vec_id") < 2048),
+        emb.filter((F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 256)),
+        emb.filter((F.col("vec_id") % 16 == 1) & (F.col("vec_id") < 256)),
+        m=M,
+        coarse_iters=2,
+        pq_iters=5,
+    )
+    coarse_df = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in coarse.collect()],
+        "list_id long, embedding array<double>",
+    )
+    cb_df = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in cb.collect()],
+        "vec_id long, embedding array<double>",
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES)
+    codes = materialize(
+        pq_codes(emb, cb_df, m=M, coarse_centroids=coarse_df),
+        label="curve-codes",
+    )
+
+    # exact truth: squared-L2 top-5 per query, self excluded (numpy —
+    # evidence script, not an engine path; the engine legs below are
+    # the real operators)
+    vecs = {
+        int(r.vec_id): np.array(r.embedding)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    ids = sorted(vecs)
+    pos = {i: p for p, i in enumerate(ids)}
+    mat = np.stack([vecs[i] for i in ids])
+    truth: dict[int, set[int]] = {}
+    for q in range(N_QUERIES):
+        d2 = ((mat - vecs[q][None, :]) ** 2).sum(axis=1)
+        order = sorted((i for i in ids if i != q), key=lambda i: (d2[pos[i]], i))
+        truth[q] = set(order[:5])
+
+    cent = coarse_df.select(
+        "list_id", F.col("embedding").alias("ce"), norm("embedding").alias("cen")
+    )
+    points = []
+    for nprobe in NPROBES:
+        wp = Window.partitionBy("query_id").orderBy(
+            F.col("cos_c").desc(), F.col("list_id").asc()
+        )
+        probes = (
+            qv.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                norm("embedding").alias("qn"),
+            )
+            .crossJoin(F.broadcast(cent))
+            .withColumn("cos_c", paired_cosine("qe", "ce", "qn", "cen"))
+            .withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") <= nprobe)
+            .select("query_id", "list_id")
+        )
+        cand = probes.join(
+            codes.select(F.col("vec_id").alias("neighbor_id"), "list_id"),
+            "list_id",
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
+        n_cand = cand.count()
+        adc = materialize(
+            pq_adc_topk(
+                codes, qv, cb_df, m=M, k_top=max(SHORTLISTS),
+                candidates=cand, coarse_centroids=coarse_df,
+            ),
+            label=f"curve-adc-{nprobe}",
+        )
+        for s in SHORTLISTS:
+            got = exact_rerank(
+                adc.filter(F.col("rank") <= s), qv, emb, k_top=5
+            ).collect()
+            hit = sum(
+                1 for r in got if int(r.neighbor_id) in truth[int(r.query_id)]
+            )
+            points.append(
+                {
+                    "nprobe": nprobe,
+                    "shortlist": s,
+                    "recall5": round(hit / (5 * N_QUERIES), 3),
+                    "scored_candidates": n_cand,
+                }
+            )
+            print(
+                json.dumps({"corpus": sf_dir, **points[-1]}), flush=True
+            )
+    return {"corpus": sf_dir, "n": n, "points": points}
+
+
+def main() -> None:
+    from db_cdc_poc_spark.session import get_spark
+
+    spark = get_spark()
+    out = [curve_for(spark, d) for d in sys.argv[1:] or ["/root/testdata/sf0.1"]]
+    for o in out:
+        print(json.dumps(o), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -213,10 +213,46 @@ def join_benches(spark, sdir: str, prefix: str, results: dict) -> dict:
     }
 
 
+def registry_skew_benches(spark, results: dict) -> dict:
+    """Round-6..8 operators under skew (VERDICT r9 ask #6): each
+    registry query runs against the UNIFORM sf1.0 tables and the
+    sf1.0-zipf tables (same row counts; 3 hot user keys, 1000-doc
+    boilerplate clique sharing near-identical text, hot-domain URLs).
+    The gate is skewed wall <= 2x uniform at the same SF — a hot key
+    that breaks an operator's partitioning shows up as a blown ratio,
+    not an absolute number (absolute walls on local[32] under-price
+    stragglers; the ratio at equal volume does not)."""
+    from db_cdc_poc_spark.queries import REGISTRY
+
+    uniform = os.environ.get("SPARK_GRAFT_UNIFORM_DIR", ".benchdata/sf1.0")
+    names = [
+        "q147_ivf_drift",
+        "q150_dsir_weights",
+        "q155_remove_dup_spans",
+        "q158_url_dedup",
+    ]
+    ratios = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        walls = {}
+        for label, sdir in (("uniform", uniform), ("zipf", SKEW_DIR)):
+            dt, n = _timed(lambda: fn(spark, sdir).count())
+            walls[label] = round(dt, 2)
+            results[f"{name}_{label}"] = walls[label]
+            print(f"[{name}] {label}: {dt:.2f}s ({n} rows)")
+        ratios[name] = round(walls["zipf"] / max(walls["uniform"], 0.01), 2)
+        print(f"[{name}] zipf/uniform ratio: {ratios[name]}x")
+    return ratios
+
+
 def main() -> None:
     spark = get_spark(app_name="bench-skew", cpus=CPUS)
     docs = spark.read.parquet(f"{SKEW_DIR}/documents.parquet")
     results: dict[str, float] = {}
+
+    # round-6..8 operators under skew, before the join benches (which
+    # flip broadcast/AQE confs around their own timings)
+    op_ratios = registry_skew_benches(spark, results)
 
     # moderate skew: sf1.0, 30% of 1M events over 3 hot keys (~100k each)
     skew_zipf3 = join_benches(spark, SKEW_DIR, "zipf3", results)
