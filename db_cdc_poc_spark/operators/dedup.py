@@ -219,9 +219,8 @@ def _pair_stats_from_rows(
     tokenize/shingle pipeline per reference — the same build-the-index
     choice as the winnowed path.
     """
-    sh = materialize(
-        sh, checkpoint_dir, eager=False, label="pair-rows", storage="disk"
-    )  # corpus-sized, sequentially consumed -> DISK_ONLY (see prefix-rows)
+    # corpus-sized waist: see prefix-rows for the measured 100x guidance
+    sh = materialize(sh, checkpoint_dir, eager=False, label="pair-rows")
     counts = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     if max_doc_freq is not None:
         rare = (
@@ -337,14 +336,14 @@ def _prefix_filtered_pair_stats(
     t = float(threshold)
     eps = 1e-9  # guards float rounding of t*n at the exact boundary:
     # only ever ADMITS borderline candidates, never drops a true pair
-    # DISK_ONLY: the fingerprint/shingle index scales with the corpus
-    # and is consumed by a handful of sequential scans — caching it in
-    # storage memory competes with the join's execution memory (the
-    # measured cause of q66's superlinear sf10 step, SCALING.md "Waist
-    # storage at 100x")
-    sh = materialize(
-        sh, checkpoint_dir, eager=False, label="prefix-rows", storage="disk"
-    )
+    # The shingle index scales with the corpus. At 100x single-box
+    # scale its localCheckpoint blocks compete with execution memory
+    # (q66's measured superlinear step); the measured fix is a DURABLE
+    # waist — pass checkpoint_dir or set SPARK_GRAFT_CHECKPOINT_DIR
+    # (columnar-compressed parquet, 11.0x -> 4.8x step at sf10;
+    # SCALING.md "Waist storage at 100x"). Memory stays the default:
+    # it measured fastest at <= sf3 and the knobs are zero-code.
+    sh = materialize(sh, checkpoint_dir, eager=False, label="prefix-rows")
     counts = sh.groupBy("id").agg(F.count("*").alias("n"))
     # document frequency via a window over the shingle partition (one
     # exchange of the big table, no separate dfreq materialize+join);

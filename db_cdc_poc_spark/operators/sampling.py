@@ -459,9 +459,12 @@ def dsir_log_weights(
     # per-doc join; un-cut, the explode + md5 + token shuffle runs once
     # per consumer (measured ~2x wall at sf1.0). localCheckpoint by
     # default; checkpoint_dir upgrades the cut to durable parquet.
+    # corpus-sized waist (two sequential consumers): at 100x single-box
+    # scale pass checkpoint_dir / set SPARK_GRAFT_CHECKPOINT_DIR — the
+    # durable parquet waist measured 2.1x faster than memory blocks at
+    # sf10 (SCALING.md "Waist storage at 100x")
     doc_counts = materialize(
-        doc_counts, checkpoint_dir, eager=False, label="dsir-doc-counts",
-        storage="disk",  # corpus-sized waist, two sequential consumers
+        doc_counts, checkpoint_dir, eager=False, label="dsir-doc-counts"
     )
     bstats = doc_counts.groupBy("__bucket").agg(
         F.sum("__c").alias("raw_c"),

@@ -157,6 +157,108 @@ def residualize(
     )
 
 
+def opq_rotation(
+    train: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+) -> list[list[float]]:
+    """Parametric OPQ rotation (Ge et al., CVPR'13 "Optimized Product
+    Quantization", the eigenvalue-allocation variant OPQ-P): an
+    orthonormal matrix R such that PQ in the rotated space x' = R·x
+    splits variance EVENLY across the m subspaces — correlated or
+    variance-skewed dimensions are PQ's worst case (one subspace
+    carries all the information and k codewords can't cover it), and
+    a data-independent subspace slice has no reason to be balanced.
+
+    Method (all driver-side numpy over the parameter-bounded training
+    cohort — the same bounded-collect shape as the Lloyd codebooks):
+
+    1. covariance of the centered cohort (d x d, d = 64 here);
+    2. eigendecomposition (deterministic up to sign; signs are fixed
+       by forcing each eigenvector's largest-|component| positive);
+    3. greedy balanced allocation: visit eigenvalues descending,
+       assign each eigenvector to the non-full subspace with the
+       smallest current log-variance product (the paper's balancing
+       objective);
+    4. R's rows are the allocated eigenvectors, so rows
+       [j*d/m, (j+1)*d/m) form subspace j.
+
+    R is orthonormal: distances and cosines are preserved exactly, so
+    IVF routing quality and :func:`exact_rerank` results are unchanged
+    — only the PQ cell shapes improve. Rotation derivation is linear
+    algebra the SQL oracle cannot replay, so OPQ ships as an operator
+    with pytest + measured-recall evidence (scripts/bench_pq_curve.py
+    --opq), not as a registry query; the rotated pipeline downstream
+    of R is the ordinary oracled PQ machinery.
+
+    Returns R as a plain list of rows (callers pass it to
+    :func:`rotate_vectors`).
+    """
+    import numpy as np
+
+    rows = train.select(F.col(vec_col).cast("array<double>")).collect()
+    if not rows:
+        raise ValueError("opq_rotation: empty training cohort")
+    x = np.array([r[0] for r in rows])
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"m={m} must divide d={d}")
+    cov = np.cov((x - x.mean(axis=0)).T)
+    w, u = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1]
+    w, u = w[order], u[:, order]
+    # deterministic signs
+    for j in range(d):
+        k = int(np.argmax(np.abs(u[:, j])))
+        if u[k, j] < 0:
+            u[:, j] = -u[:, j]
+    sub = d // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logprod = [0.0] * m
+    for j in range(d):                  # descending-eigenvalue greedy
+        cands = [b for b in range(m) if len(buckets[b]) < sub]
+        b = min(cands, key=lambda b: (logprod[b], b))
+        buckets[b].append(j)
+        logprod[b] += float(np.log(max(w[j], 1e-12)))
+    perm = [j for b in buckets for j in b]
+    r_mat = u[:, perm].T               # rows = allocated eigenvectors
+    return [[float(v) for v in row] for row in r_mat]
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply an orthonormal rotation to a vector column: one numpy
+    matmul per Arrow batch via ``mapInPandas`` (the sanctioned
+    vectorized-Python path — an expression-level fold would interpret
+    d^2 multiply-adds per row). Schema: (id_col, vec_col) preserved;
+    any other columns are dropped (rotate at the waist, join back by
+    id if needed)."""
+    import pandas as pd  # noqa: F401 - typing of the iterator
+
+    spark = df.sparkSession
+    src = df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+    bc = spark.sparkContext.broadcast(rotation)
+
+    def _rotate(batches):
+        import numpy as np
+        import pandas as pd
+
+        r = np.array(bc.value)
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy())
+            y = x @ r.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: list(map(list, y))}
+            )
+
+    return src.mapInPandas(_rotate, schema=src.schema)
+
+
 def refine_centroids(
     train: DataFrame,
     seeds: DataFrame,

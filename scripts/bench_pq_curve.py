@@ -42,18 +42,28 @@ N_QUERIES = 10
 M = 8
 
 
-def curve_for(spark, sf_dir: str) -> dict:
+def curve_for(spark, sf_dir: str, opq: bool = False) -> dict:
     from db_cdc_poc_spark.checkpointing import materialize
     from db_cdc_poc_spark.operators.similarity import norm, paired_cosine
     from db_cdc_poc_spark.operators.vector_index import (
         exact_rerank,
+        opq_rotation,
         pq_adc_topk,
         pq_codes,
         pq_train,
+        rotate_vectors,
     )
     from db_cdc_poc_spark.sources.testdata import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if opq:
+        # OPQ pre-rotation (Ge et al. OPQ-P): learned on the same
+        # parameter-bounded cohort as training; orthonormal, so the
+        # exact top-5 truth and the rerank leg are unchanged IN the
+        # rotated space — recall deltas below are purely PQ cell
+        # quality at the same bits
+        r = opq_rotation(emb.filter(F.col("vec_id") < 2048), m=M)
+        emb = rotate_vectors(emb, r)
     n = emb.count()
     # same training budget as q163-q166 (parameter-bounded cohort/seeds)
     coarse, cb = pq_train(
@@ -150,9 +160,15 @@ def curve_for(spark, sf_dir: str) -> dict:
 def main() -> None:
     from db_cdc_poc_spark.session import get_spark
 
+    args = [a for a in sys.argv[1:] if a != "--opq"]
+    opq = "--opq" in sys.argv[1:]
     spark = get_spark()
-    out = [curve_for(spark, d) for d in sys.argv[1:] or ["/root/testdata/sf0.1"]]
+    out = [
+        curve_for(spark, d, opq=opq)
+        for d in args or ["/root/testdata/sf0.1"]
+    ]
     for o in out:
+        o["opq"] = opq
         print(json.dumps(o), flush=True)
 
 

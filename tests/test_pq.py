@@ -293,3 +293,120 @@ def test_pq_train_deterministic_and_reduces_distortion(spark):
     res_err = pq_codes(emb, b1, m=8, coarse_centroids=c1).agg(
         F.sum("err_micro")).collect()[0][0]
     assert res_err < flat_err, (res_err, flat_err)
+
+
+def test_opq_rotation_is_orthonormal_and_distance_preserving(spark):
+    import numpy as np
+
+    from db_cdc_poc_spark.operators.vector_index import (
+        opq_rotation,
+        rotate_vectors,
+    )
+
+    rng = np.random.RandomState(3)
+    # anisotropic: variance concentrated in the first dims
+    scales = np.array([8, 6, 4, 3, 1, 0.5, 0.3, 0.1])
+    x = rng.randn(200, 8) * scales[None, :]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    r1 = opq_rotation(df, m=4)
+    r2 = opq_rotation(df, m=4)
+    assert r1 == r2  # deterministic (incl. eigenvector sign fixing)
+    r = np.array(r1)
+    assert np.allclose(r @ r.T, np.eye(8), atol=1e-9)  # orthonormal
+    rot = {
+        int(row.vec_id): np.array(row.embedding)
+        for row in rotate_vectors(df, r1).collect()
+    }
+    # distances preserved exactly (up to float noise)
+    for a, b in [(0, 1), (5, 9), (17, 3)]:
+        d_orig = np.linalg.norm(x[a] - x[b])
+        d_rot = np.linalg.norm(rot[a] - rot[b])
+        assert abs(d_orig - d_rot) < 1e-9
+    # balanced allocation: per-subspace variance products are far
+    # closer than the identity split (the OPQ-P objective)
+    y = np.stack([rot[i] for i in range(200)])
+
+    def spread(mat):
+        logs = [
+            float(np.sum(np.log(np.var(mat[:, j * 2:(j + 1) * 2], axis=0))))
+            for j in range(4)
+        ]
+        return max(logs) - min(logs)
+
+    assert spread(y) < spread(x) * 0.5
+
+
+def test_opq_rotation_improves_pq_recall_on_correlated_data(spark):
+    """The measured point of OPQ: same m/k budget, correlated input —
+    ADC recall@5 after rotation beats the unrotated baseline."""
+    import numpy as np
+
+    from db_cdc_poc_spark.operators.vector_index import (
+        opq_rotation,
+        pq_codes,
+        pq_adc_topk,
+        rotate_vectors,
+    )
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    n, d = 400, 8
+    # strongly correlated coordinates: a random low-condition mixing
+    # of an anisotropic source
+    a_mix = rng.randn(d, d) * 0.2 + np.diag([6, 5, 4, 3, 0.5, 0.4, 0.3, 0.2])
+    x = rng.randn(n, d) @ a_mix.T
+
+    def distortion_of(mat):
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in mat[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        cb = df.filter(F.col("vec_id") % 25 == 0)
+        return (
+            pq_codes(df, cb, m=4)
+            .agg(F.sum("err_micro").alias("s"))
+            .collect()[0].s
+        )
+
+    def recall_of(mat):
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in mat[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        cb = df.filter((F.col("vec_id") % 25 == 0))  # 16 codewords
+        codes = pq_codes(df, cb, m=4)
+        queries = df.filter(F.col("vec_id") < 10)
+        got = pq_adc_topk(codes, queries, cb, m=4, k_top=5).collect()
+        hits = 0
+        for q in range(10):
+            d2 = ((mat - mat[q][None, :]) ** 2).sum(axis=1)
+            order = sorted(
+                (i for i in range(n) if i != q), key=lambda i: (d2[i], i)
+            )
+            truth = set(order[:5])
+            hits += sum(
+                1 for r in got
+                if r.query_id == q and int(r.neighbor_id) in truth
+            )
+        return hits / 50.0
+
+    base = recall_of(x)
+    df_x = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    r = opq_rotation(df_x, m=4)
+    y = x @ np.array(r).T
+    rotated = recall_of(y)
+    # primary: OPQ's actual objective — total quantization distortion
+    # drops in the rotated space at the same bits (deterministic)
+    assert distortion_of(y) < distortion_of(x)
+    # recall at this corpus/bit budget must not degrade (it usually
+    # improves; strict improvement is left to the measured curve,
+    # scripts/bench_pq_curve.py --opq — recall@5 over 10 queries is
+    # too coarse an estimator to gate a unit test on)
+    assert rotated >= base, f"OPQ degraded recall: {rotated} < {base}"
