@@ -55,7 +55,14 @@ def curve_for(spark, sf_dir: str, opq: bool = False) -> dict:
     )
     from db_cdc_poc_spark.sources.testdata import load_table
 
+    import os
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # PQ_K overrides the fine-codebook size (default 16 = the q163-166
+    # budget, 32-bit codes). The capacity sweep: recall at 20k vectors
+    # needs more bits than at 2k — k=128 packs 7 bits x 8 subspaces =
+    # 56-bit codes, still one BIGINT.
+    k_env = os.environ.get("PQ_K")
     if opq:
         # OPQ pre-rotation (Ge et al. OPQ-P): learned on the same
         # parameter-bounded cohort as training; orthonormal, so the
@@ -66,10 +73,20 @@ def curve_for(spark, sf_dir: str, opq: bool = False) -> dict:
         emb = rotate_vectors(emb, r)
     n = emb.count()
     # same training budget as q163-q166 (parameter-bounded cohort/seeds)
+    if k_env is None:
+        cw_seeds = emb.filter(
+            (F.col("vec_id") % 16 == 1) & (F.col("vec_id") < 256)
+        )
+    else:
+        # k odd-id seeds below 2k — still parameter-bounded, disjoint
+        # from the coarse seeds (which are even)
+        cw_seeds = emb.filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 2 * int(k_env))
+        )
     coarse, cb = pq_train(
         emb.filter(F.col("vec_id") < 2048),
         emb.filter((F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 256)),
-        emb.filter((F.col("vec_id") % 16 == 1) & (F.col("vec_id") < 256)),
+        cw_seeds,
         m=M,
         coarse_iters=2,
         pq_iters=5,
