@@ -16,7 +16,21 @@ that shape:
 3. collisions are screened by signature-agreement Jaccard
    (`dedup.est_jaccard_col`), batch-internal near-dups are found the
    same way, and each document is ruled novel or duplicate;
-4. the batch's band rows (id, sig per band) are APPENDED to the index.
+4. the batch's band rows and signatures are APPENDED to the index.
+
+Storage is NORMALIZED into two tables (round 9, after the sf1 soak):
+band rows `(band_id, band_hash, id)` — 24 bytes/row — and signatures
+`(id, sig)` once per document. The original layout carried the
+~512-byte signature on every band row (bands× duplication), so the
+probe read bands× more bytes than it needed; at 100k docs the soak
+measured the index at 1.6 GB where the normalized form is ~90 MB.
+Appends go through `BucketedStateTable.append_batch` (LSM delta
+versions — O(batch) write) instead of `merge_batch` (which rewrites
+every touched bucket: O(index) write amplification per trigger, the
+measured cause of soak walls climbing 9 s -> 29 s). `compact()`
+(-> `BucketedStateTable.snapshot`) folds delta chains back into one
+version per bucket on a maintenance cadence — the same loop as
+parquet small-file compaction.
 
 Decision rule — and why every seen document (novel or not) enters the
 index: a document is a duplicate iff it matches ANY earlier-seen
@@ -77,6 +91,12 @@ class StreamingDedupIndex:
         self.state = BucketedStateTable(
             path, keys=["band_id", "band_hash"], num_buckets=num_buckets
         )
+        # signatures once per DOCUMENT (not per band row): the probe
+        # joins band collisions first (narrow), then fetches sig for
+        # the few candidates — see module docstring
+        self.sigs = BucketedStateTable(
+            f"{path.rstrip('/')}_sigs", keys=["id"], num_buckets=num_buckets
+        )
 
     # -- probe ------------------------------------------------------------
 
@@ -90,9 +110,20 @@ class StreamingDedupIndex:
             self.shingle_n,
         )
 
-    def _matches(self, probe: DataFrame, index: DataFrame | None) -> DataFrame:
-        """(id, match_id) for probe docs matching an indexed doc."""
-        if index is None:
+    def _matches(
+        self,
+        probe: DataFrame,
+        index_bands: DataFrame | None,
+        index_sigs: DataFrame | None,
+    ) -> DataFrame:
+        """(id, match_id) for probe docs matching an indexed doc.
+
+        ``probe`` carries (id, sig, band_id, band_hash); the index
+        side is the NARROW band relation plus the per-document sig
+        relation — the band join finds collisions cheaply, the sig
+        join reads full signatures only for the colliding candidates.
+        """
+        if index_bands is None or index_sigs is None:
             from pyspark.sql.types import StructField, StructType
 
             id_type = probe.schema["id"].dataType
@@ -108,7 +139,7 @@ class StreamingDedupIndex:
         cand = (
             probe.alias("p")
             .join(
-                index.alias("x"),
+                index_bands.select("band_id", "band_hash", "id").alias("x"),
                 (F.col("p.band_id") == F.col("x.band_id"))
                 & (F.col("p.band_hash") == F.col("x.band_hash"))
                 & (F.col("p.id") != F.col("x.id")),
@@ -117,12 +148,15 @@ class StreamingDedupIndex:
                 F.col("p.id").alias("id"),
                 F.col("x.id").alias("match_id"),
                 F.col("p.sig").alias("sig_a"),
-                F.col("x.sig").alias("sig_b"),
             )
             .dropDuplicates(["id", "match_id"])
         )
+        sigs = index_sigs.select(
+            F.col("id").alias("match_id"), F.col("sig").alias("sig_b")
+        )
         return (
-            cand.withColumn(
+            cand.join(sigs, "match_id")
+            .withColumn(
                 "est", est_jaccard_col("sig_a", "sig_b", self.num_hashes)
             )
             .filter(F.col("est") >= self.threshold)
@@ -159,8 +193,13 @@ class StreamingDedupIndex:
                 for r in banded.select(self.state.bucket_expr()).distinct().collect()
             )
             index = self.state.state_for(spark, touched) if touched else None
-            vs_index = self._matches(banded, index)
-            within = self._matches(banded, banded).filter(
+            batch_sigs = banded.select("id", "sig").dropDuplicates(["id"])
+            # index-side signatures: the full (narrow) sig relation —
+            # O(|docs|) rows of (id, sig); the candidate join below
+            # fetches rows only for colliding ids
+            index_sigs = self.sigs.state_for(spark) if index is not None else None
+            vs_index = self._matches(banded, index, index_sigs)
+            within = self._matches(banded, banded, batch_sigs).filter(
                 F.col("match_id") < F.col("id")
             )
             matches = vs_index.unionByName(within)
@@ -187,13 +226,24 @@ class StreamingDedupIndex:
             decisions = materialize(
                 decisions, self.checkpoint_dir, label="dedup-decisions"
             )
-            self.state.merge_batch(
-                banded.select("band_id", "band_hash", "id", "sig"),
-                lambda state, b: b if state is None else state.unionByName(b),
-            )
+            # LSM append: O(batch) writes — merge_batch here would
+            # re-read and rewrite the whole accumulated index every
+            # trigger (the measured soak defect; module docstring)
+            self.state.append_batch(banded.select("band_id", "band_hash", "id"))
+            self.sigs.append_batch(batch_sigs)
         finally:
             banded.unpersist()
         return decisions
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Fold both tables' delta chains into one snapshot version per
+        bucket (``BucketedStateTable.snapshot``) — run on a maintenance
+        cadence; decisions are unaffected (content-identical, asserted
+        in tests), read fan-in returns to one dir per bucket."""
+        return {
+            "bands_buckets": self.state.snapshot(spark),
+            "sig_buckets": self.sigs.snapshot(spark),
+        }
 
     def foreach_batch(self, sink: list | None = None, max_rows: int = 100_000):
         """Adapter for ``writeStream.foreachBatch``: processes each

@@ -86,12 +86,22 @@ def test_index_state_grows_and_probe_stays_keyed(spark):
     )
     idx.process_batch(b1)
     state1 = idx.state.state_for(spark)
+    n1 = state1.count()
     idx.process_batch(b2)
     state2 = idx.state.state_for(spark)
-    # append-only: every batch adds its band rows (bands per doc)
-    assert state1.count() == idx.bands
+    # append-only: every batch adds its band rows (bands per doc) to
+    # the NARROW band relation; signatures live once per doc
+    assert n1 == idx.bands
     assert state2.count() == 2 * idx.bands
-    assert set(state2.columns) == {"band_id", "band_hash", "id", "sig"}
+    assert set(state2.columns) == {"band_id", "band_hash", "id"}
+    sigs = idx.sigs.state_for(spark)
+    assert sigs.count() == 2
+    assert set(sigs.columns) == {"id", "sig"}
+    # LSM compaction: content identical, chains folded to one version
+    assert idx.compact(spark)["bands_buckets"] > 0
+    after = idx.state.state_for(spark)
+    assert after.count() == 2 * idx.bands
+    assert idx.compact(spark) == {"bands_buckets": 0, "sig_buckets": 0}
 
 
 def test_string_ids_work(spark):

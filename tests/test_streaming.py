@@ -524,3 +524,78 @@ def test_state_diff_sees_changes_in_evolved_columns(spark):
     diff = {r.k: r.change_kind for r in state_diff(target, spark, c1, c2).collect()}
     # the evolved column must participate in the comparison
     assert diff == {1: "changed"}
+
+
+def test_state_table_append_batch_equals_union_merge(spark):
+    """append_batch (LSM delta versions, O(batch) writes) must be
+    READ-identical to merge_batch with a union-all merge — same rows,
+    same time travel — while writing only the batch per trigger."""
+    from db_cdc_poc_spark.streaming.state import BucketedStateTable
+
+    appended = BucketedStateTable(
+        tempfile.mkdtemp(prefix="st_app_"), keys=["k"], num_buckets=4
+    )
+    merged = BucketedStateTable(
+        tempfile.mkdtemp(prefix="st_mrg_"), keys=["k"], num_buckets=4
+    )
+    batches = [
+        [(i, f"v{i}") for i in range(0, 40)],
+        [(i, f"v{i}") for i in range(40, 55)],
+        [(i, f"w{i}") for i in range(0, 10)],  # duplicate keys stay (append semantics)
+    ]
+    for rows in batches:
+        b = spark.createDataFrame(rows, "k long, v string")
+        appended.append_batch(b)
+        merged.merge_batch(
+            b, lambda s, bb: bb if s is None else s.unionByName(bb)
+        )
+        got = sorted(map(tuple, appended.state_for(spark).collect()))
+        want = sorted(map(tuple, merged.state_for(spark).collect()))
+        assert got == want
+    # delta chains: appends never rewrote a full bucket
+    assert any(
+        p.name.endswith(".d")
+        for b in range(4)
+        for p in appended._versions(b)
+    )
+    # time travel reads the chain up to each commit
+    commits = appended.commits()
+    assert len(commits) == 3
+    n_after = [40, 55, 65]
+    for c, n in zip(commits, n_after):
+        assert appended.state_at(spark, c).count() == n
+    # snapshot compacts chains; content and history contract unchanged
+    assert appended.snapshot(spark) == 4
+    assert sorted(map(tuple, appended.state_for(spark).collect())) == want
+    assert appended.snapshot(spark) == 0  # idempotent
+    # post-snapshot: exactly one live dir per bucket matters for reads
+    for b in range(4):
+        assert len(appended._chain_dirs(b)) == 1
+
+
+def test_state_table_append_then_merge_interleave(spark):
+    """A merge_batch AFTER appends must see the full delta chain as
+    its state input (the CDC-on-top-of-appends composition)."""
+    from db_cdc_poc_spark.operators.cdc import latest_by_key
+    from db_cdc_poc_spark.streaming.state import BucketedStateTable
+
+    t = BucketedStateTable(
+        tempfile.mkdtemp(prefix="st_mix_"), keys=["k"], num_buckets=2
+    )
+    t.append_batch(spark.createDataFrame([(1, "a", 10), (2, "b", 10)], "k long, v string, seq long"))
+    t.append_batch(spark.createDataFrame([(1, "a2", 20)], "k long, v string, seq long"))
+    # merge: collapse to latest per key. merge_batch only touches the
+    # BATCH's buckets, so include a stale k=1 row — its bucket's merge
+    # must see BOTH earlier deltas and keep seq=20's value
+    t.merge_batch(
+        spark.createDataFrame(
+            [(3, "c", 30), (1, "stale", 5)], "k long, v string, seq long"
+        ),
+        lambda s, b: latest_by_key(
+            b if s is None else s.unionByName(b), "k", "seq"
+        ),
+    )
+    got = sorted((r.k, r.v) for r in t.state_for(spark).collect())
+    # k=2's bucket may be untouched (then its single delta row is the
+    # state) — either way exactly one row per key with the right value
+    assert got == [(1, "a2"), (2, "b"), (3, "c")]
