@@ -75,6 +75,7 @@ class StreamingDedupIndex:
         num_buckets: int = 16,
         max_bucket_size: int | None = None,
         checkpoint_dir: str | None = None,
+        compact_every: int | None = 64,
     ) -> None:
         self.id_col = id_col
         self.text_col = text_col
@@ -88,6 +89,13 @@ class StreamingDedupIndex:
         # a continuous ingest losing one executor must re-read its
         # decisions, not die. None keeps the single-node default.
         self.checkpoint_dir = checkpoint_dir
+        # LSM maintenance cadence: every N processed batches, fold the
+        # delta chains back into one snapshot per bucket (None = the
+        # caller owns compaction via compact()). 64 bounds read fan-in
+        # at ~64 delta dirs/bucket worst case — each delta is a tiny
+        # parquet file, and the fold is one bucket-parallel job.
+        self.compact_every = compact_every
+        self._batches_since_compact = 0
         self.state = BucketedStateTable(
             path, keys=["band_id", "band_hash"], num_buckets=num_buckets
         )
@@ -231,6 +239,12 @@ class StreamingDedupIndex:
             # trigger (the measured soak defect; module docstring)
             self.state.append_batch(banded.select("band_id", "band_hash", "id"))
             self.sigs.append_batch(batch_sigs)
+            self._batches_since_compact += 1
+            if (
+                self.compact_every is not None
+                and self._batches_since_compact >= self.compact_every
+            ):
+                self.compact(spark)
         finally:
             banded.unpersist()
         return decisions
@@ -240,6 +254,7 @@ class StreamingDedupIndex:
         bucket (``BucketedStateTable.snapshot``) — run on a maintenance
         cadence; decisions are unaffected (content-identical, asserted
         in tests), read fan-in returns to one dir per bucket."""
+        self._batches_since_compact = 0
         return {
             "bands_buckets": self.state.snapshot(spark),
             "sig_buckets": self.sigs.snapshot(spark),
