@@ -194,18 +194,35 @@ def temperature_mix(
     """Temperature-based corpus mixing (T = 0.5): resample strata so the
     output mixture follows p_s ∝ √n_s — the standard flattening that
     upweights small domains without letting one giant crawl dominate a
-    training mix. Rows are kept per-stratum with probability
-    ``min(1, target_rows · p_s / n_s)`` via the deterministic md5
-    bucket, so the draw is repeatable and oracle-replayable.
+    training mix.
+
+    The per-stratum row allocation is the WATER-FILLING solution, not
+    the naive clamp: ``min(1, target·p_s/n_s)`` silently under-fills
+    whenever a small stratum clamps at 1.0 (its unspent share of the
+    target just evaporates — hypothesis found the 5-row counterexample
+    where ``target ≥ corpus`` still drops rows). Instead the target is
+    allocated by :func:`token_budget_fill` with tokens = row counts:
+    clamped strata keep everything and their surplus is redistributed
+    across the unclamped strata at the exact re-normalized water level
+    (the capped set is a prefix of the n_s/w_s ordering, so one window
+    pass over the |strata|-row aggregate solves it in closed form).
+    ``target ≥ Σn_s`` now provably keeps every row (all strata capped
+    ⇒ threshold = buckets ⇒ the hash compare is always true).
 
     Determinism discipline: √n_s is IEEE-exact (sqrt is correctly
-    rounded, unlike pow(x, α)); the weight is then FLOOR-quantized to
-    an integer so the cross-strata normalizer is an exact long sum —
-    no float accumulation whose order could wobble the thresholds.
+    rounded, unlike pow(x, α)); the weight is FLOOR-quantized to a
+    long, the allocation is exact integer arithmetic, and the keep
+    threshold is ``(alloc_s · buckets) div n_s`` — no float anywhere a
+    rounding seam could diverge from the oracle. Rows are kept by the
+    deterministic md5 bucket, so the draw is repeatable and
+    engine-replayable.
 
-    One tiny aggregate (|strata| rows) broadcast back onto the fact;
-    the per-row filter is a map-only hash compare.
+    One tiny aggregate (|strata| rows, lineage-cut so the corpus is
+    scanned once for it) broadcast back onto the fact; the per-row
+    filter is a map-only hash compare.
     """
+    from db_cdc_poc_spark.checkpointing import materialize
+
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_s"))
     counts = counts.withColumn(
         "w",
@@ -214,16 +231,20 @@ def temperature_mix(
         ),
         # NB: not "W" — Spark resolves column names case-insensitively,
         # so a "W" would silently REPLACE "w".
-    ).withColumn("w_tot", F.sum("w").over(Window.partitionBy()))
-    frac = F.least(
-        F.lit(1.0),
-        F.lit(float(target_rows))
-        * (F.col("w").cast("double") / F.col("w_tot").cast("double"))
-        / F.col("n_s").cast("double"),
     )
-    thr = counts.select(
-        stratum_col,
-        F.floor(frac * F.lit(float(buckets))).cast("long").alias("__thr"),
+    # |strata| rows: materialize so token_budget_fill's validity-bound
+    # probe and the broadcast below don't each re-aggregate the corpus
+    counts = materialize(counts, label="tmix-counts")
+    alloc = token_budget_fill(
+        counts, stratum_col, "n_s", "w", budget=target_rows
+    )
+    # exact-integer threshold; a capped stratum has alloc == n, so the
+    # expression lands on `buckets` exactly and keeps every row.
+    # Overflow-safe: alloc ≤ n and token_budget_fill's guard already
+    # enforces max(n)·Σw < 2^63 with Σw ≥ buckets.
+    thr = alloc.select(
+        F.col(stratum_col),
+        F.expr(f"(alloc_tokens * {int(buckets)}L) div n_tokens").alias("__thr"),
     )
     return (
         df.join(F.broadcast(thr), stratum_col)

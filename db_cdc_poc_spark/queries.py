@@ -3648,20 +3648,37 @@ def q101_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q102_temperature_mix",
     oracle="""
-WITH c AS (
-    SELECT source, count(*) AS n_s FROM documents GROUP BY 1
-), w AS (
-    SELECT source, n_s,
-           CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+WITH d AS (
+    SELECT source AS src, CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+    FROM documents GROUP BY 1
+), r AS (
+    SELECT src, n, w, CAST(n AS DOUBLE) / CAST(w AS DOUBLE) AS ratio FROM d
+), c AS (
+    SELECT src, n, w,
+           sum(n) OVER (ORDER BY ratio, src
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+           sum(w) OVER (ORDER BY ratio, src
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+           sum(w) OVER () AS tot_w
+    FROM r
+), k AS (
+    SELECT src, n, w, tot_w,
+           n * (tot_w - (cum_w - w)) <= (300 - (cum_n - n)) * w AS capped
     FROM c
-), t AS (
-    SELECT source, n_s, w, sum(w) OVER () AS tw FROM w
+), lvl AS (
+    SELECT src, n, w, capped,
+           300 - sum(CASE WHEN capped THEN n ELSE 0 END) OVER () AS num,
+           tot_w - sum(CASE WHEN capped THEN w ELSE 0 END) OVER () AS den
+    FROM k
+), alloc AS (
+    SELECT src, n,
+           CAST(CASE WHEN capped THEN n
+                     ELSE greatest(0, least(n, (num * w) // den)) END AS BIGINT)
+               AS a
+    FROM lvl
 ), thr AS (
-    SELECT source,
-           CAST(floor(least(1.0,
-                300.0 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
-                      / CAST(n_s AS DOUBLE)) * 1000000.0) AS BIGINT) AS thr
-    FROM t
+    SELECT src AS source, (a * 1000000) // n AS thr FROM alloc
 )
 SELECT d.doc_id, d.source
 FROM documents d JOIN thr ON d.source = thr.source
@@ -3672,9 +3689,14 @@ WHERE (('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGIN
 def q102_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based corpus mixing (sampling.temperature_mix,
     T = 0.5): resample sources toward p_s ∝ √n_s so small domains are
-    upweighted in the training mix — the dataset-mixture op. sqrt is
-    IEEE-correctly-rounded (unlike pow) and the weights are
-    floor-quantized to longs before the cross-strata sum, so every
+    upweighted in the training mix — the dataset-mixture op. The
+    per-source allocation is the WATER-FILLING solution (clamped
+    strata keep everything, their surplus is re-spread over unclamped
+    strata at the exact re-normalized level), replayed here CTE-for-CTE
+    from q153's closed form with tokens = row counts and budget = 300;
+    the keep threshold is the all-integer ``(alloc·1e6) // n``. sqrt
+    is IEEE-correctly-rounded (unlike pow) and the weights are
+    floor-quantized to longs before the cross-strata sums, so every
     threshold is engine-identical and the md5 draw replays in the
     oracle."""
     from db_cdc_poc_spark.operators.sampling import temperature_mix

@@ -4,6 +4,8 @@ containment vs a set-arithmetic model."""
 
 from __future__ import annotations
 
+import os
+
 import hashlib
 
 from hypothesis import HealthCheck, given, settings
@@ -14,7 +16,7 @@ from db_cdc_poc_spark.operators.sampling import _MASK63, stratified_sample
 from db_cdc_poc_spark.operators.text import pack_sequences
 
 _SETTINGS = settings(
-    max_examples=8,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -8,6 +8,8 @@ the quadratic join with no semantic change."""
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -18,7 +20,7 @@ from db_cdc_poc_spark.operators.dedup import (
 )
 
 _SETTINGS = settings(
-    max_examples=6,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "6")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -3,6 +3,8 @@ this round, against pure-Python models over randomized inputs."""
 
 from __future__ import annotations
 
+import os
+
 import math
 from collections import Counter
 
@@ -15,7 +17,7 @@ VALS = st.lists(
 )
 
 _settings = settings(
-    max_examples=12,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
