@@ -39,6 +39,7 @@ itself, which is why these are first-class here.
 from __future__ import annotations
 
 import json
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -232,7 +233,14 @@ def execute_compaction(
         # unlinks; absent -> roll BACK by dropping the journal) —
         # :func:`recover_compaction` replays it on restart.
         journal = src / f".compact-journal-{gid}-{uuid.uuid4().hex}.json"
-        journal.write_text(json.dumps({"members": names, "new_file": new_name}))
+        # write-then-rename: a crash mid-write must leave a torn TEMP
+        # file (never matched by recovery's *.json glob), not a torn
+        # journal that aborts recovery of every remaining group
+        journal_tmp = journal.with_suffix(".json.tmp")
+        journal_tmp.write_text(
+            json.dumps({"members": names, "new_file": new_name})
+        )
+        os.replace(journal_tmp, journal)
         # move the new file in BEFORE removing members: a reader racing
         # this sees duplicates at worst transiently; table-format logs
         # (Delta/Iceberg) make the swap properly atomic — this is the
@@ -273,8 +281,22 @@ def recover_compaction(path: str) -> dict:
 
     src = Path(path)
     fwd = back = dropped = 0
+    # temp journals are pre-commit by construction (the rename into the
+    # *.json name IS the journal's commit): sweep them as rollbacks
+    for t in sorted(src.glob(".compact-journal-*.json.tmp")):
+        t.unlink()
+        back += 1
     for j in sorted(src.glob(".compact-journal-*.json")):
-        entry = json.loads(j.read_text())
+        try:
+            entry = json.loads(j.read_text())
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            # torn journal (pre-rename crash on a writer without the
+            # write-then-rename fix): the group's move provably hasn't
+            # happened — the journal is written before the move — so
+            # this is the rollback case, not a recovery abort
+            j.unlink()
+            back += 1
+            continue
         if (src / entry["new_file"]).exists():
             for name in entry["members"]:
                 m = src / name

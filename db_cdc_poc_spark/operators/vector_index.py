@@ -894,16 +894,23 @@ class IvfIndex:
             updated_rows, schema="cid long, ce array<double>, cen double"
         )
         # re-assign the touched members among the FULL updated codebook
+        # grouped by MEMBER (not member × old_list): copies of one
+        # vector across several selected lists — the transient state a
+        # crash between this method's two writes leaves behind —
+        # collapse to a single re-assigned row, so a recluster that
+        # selects the duplicate-holding lists is the dedup repair.
+        # old_list survives as min() purely for the `moved` stat.
         reassigned = (
             members.select("neighbor_id", "cv", "cn",
                            F.col("list_id").alias("old_list"))
             .crossJoin(F.broadcast(full_cent))
             .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
-            .groupBy("neighbor_id", "cv", "cn", "old_list")
+            .groupBy("neighbor_id", "cv", "cn")
             .agg(
                 F.max_by(
                     "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc"))
-                ).alias("list_id")
+                ).alias("list_id"),
+                F.min("old_list").alias("old_list"),
             )
         )
         reassigned = materialize(reassigned, label="recluster-assign")
@@ -916,22 +923,53 @@ class IvfIndex:
         sel = set(int(x) for x in list_ids)
         stay = reassigned.filter(F.col("list_id").isin(list_ids))
         leave = reassigned.filter(~F.col("list_id").isin(list_ids))
+        # WRITE ORDER is the crash contract: the two writes commit
+        # independently, so the failure window between them must leave
+        # transient DUPLICATES (an evacuee present in both its old
+        # selected partition and its new home — probe sees it twice
+        # until repair), never LOSS (the old two-step overwrote the
+        # selected partitions first; a crash then dropped every not-
+        # yet-appended evacuee from the index permanently and
+        # silently). Re-running the same recluster IS the repair: the
+        # anti-join below makes the append idempotent (evacuees already
+        # sitting in their target partition are not appended twice) and
+        # the overwrite then clears the stale copies from the selected
+        # lists. Cost of the idempotence: one partition-pruned read of
+        # the target lists — O(evacuation region), not O(index).
+        # 1) APPEND evacuees to their untouched target lists (those
+        #    partitions were not read, overwrite would drop them)
+        target_ids = sorted(
+            int(r.list_id) for r in leave.select("list_id").distinct().collect()
+        )
+        if target_ids:
+            already = (
+                spark.read.parquet(lists_path)
+                .filter(F.col("list_id").isin(target_ids))
+                .select("neighbor_id", "list_id")
+            )
+            # materialize: the anti-join plan reads the very path the
+            # append writes — cut lineage so the write can't race its
+            # own input
+            leave_new = materialize(
+                leave.join(already, ["neighbor_id", "list_id"], "left_anti"),
+                label="recluster-leave",
+            )
+            leave_new.select("neighbor_id", "cv", "cn", "list_id").write.partitionBy(
+                "list_id"
+            ).mode("append").parquet(lists_path)
         prev = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            # selected partitions were fully read -> full rewrite is safe
+            # 2) selected partitions were fully read (and `reassigned`
+            #    is materialized, so this does not re-read the path) ->
+            #    full rewrite removes the evacuees from their old lists
             stay.select("neighbor_id", "cv", "cn", "list_id").write.partitionBy(
                 "list_id"
             ).mode("overwrite").parquet(lists_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        # members that evacuated to an untouched list: APPEND — those
-        # partitions were not read, overwrite would drop their members
-        leave.select("neighbor_id", "cv", "cn", "list_id").write.partitionBy(
-            "list_id"
-        ).mode("append").parquet(lists_path)
         # a selected list that ended up EMPTY is not in the rewrite, so
         # dynamic overwrite left its stale partition behind — drop it
         kept = {

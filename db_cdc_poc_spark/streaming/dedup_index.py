@@ -171,6 +171,81 @@ class StreamingDedupIndex:
             .select("id", "match_id")
         )
 
+    # -- layout guard / migration ------------------------------------------
+
+    def _check_layout(
+        self, index_bands: DataFrame | None, index_sigs: DataFrame | None
+    ) -> None:
+        """Refuse to probe an index written by the pre-round-9 layout.
+
+        The original layout carried the signature ON every band row and
+        had no ``_sigs`` table. Reopened with the normalized code path,
+        such an index would yield ``index_bands`` non-None but
+        ``index_sigs`` None — ``_matches``'s inner sig join then returns
+        nothing and every previously indexed document silently stops
+        matching (all re-sent docs judged novel, no error). Detect both
+        tells — a ``sig`` column on band rows, or band chains with no
+        sig table — and raise with the migration path instead.
+        """
+        if index_bands is None:
+            return
+        if "sig" in index_bands.columns:
+            raise RuntimeError(
+                f"dedup index at {self.state.path} uses the legacy "
+                "denormalized layout (signatures stored on band rows); "
+                "probing it with the normalized reader would silently "
+                "match nothing. Run StreamingDedupIndex.migrate_legacy("
+                "spark) once to split signatures into the _sigs table."
+            )
+        if index_sigs is None:
+            raise RuntimeError(
+                f"dedup index at {self.state.path} has band state but "
+                f"no signature table at {self.sigs.path}; the sig join "
+                "would silently drop every candidate. If this index "
+                "predates the normalized layout, run "
+                "StreamingDedupIndex.migrate_legacy(spark); otherwise "
+                "the sig table was lost and the index must be rebuilt."
+            )
+
+    def migrate_legacy(self, spark: SparkSession) -> int:
+        """One-time migration from the legacy denormalized layout:
+        split ``(id, sig)`` out of the band rows into the ``_sigs``
+        table, then rewrite the band chains without the ``sig`` column.
+
+        Crash-safe in the same orphan-direction as ``process_batch``:
+        signatures are appended FIRST (idempotently — ids already in
+        the sig table are anti-joined away, so a re-run after a crash
+        between the two steps appends nothing twice), and only then are
+        the band buckets rewritten narrow. Returns the number of
+        migrated signature rows.
+        """
+        bands = self.state.state_for(spark)
+        if bands is None or "sig" not in bands.columns:
+            return 0
+        legacy_sigs = bands.select("id", "sig").dropDuplicates(["id"])
+        existing = self.sigs.state_for(spark)
+        if existing is not None:
+            legacy_sigs = legacy_sigs.join(
+                existing.select("id"), "id", "left_anti"
+            )
+        # the anti-join output is consumed twice (count + append):
+        # pin it so the second pass can't see a half-appended sig table
+        legacy_sigs = materialize(
+            legacy_sigs, self.checkpoint_dir, label="dedup-migrate-sigs"
+        )
+        n = legacy_sigs.count()
+        if n:
+            self.sigs.append_batch(legacy_sigs)
+        # rewrite every populated band bucket without the sig column;
+        # merge_batch versions each chain (rename-commit), so a crash
+        # mid-rewrite leaves some chains migrated and some legacy —
+        # the layout check re-triggers and this method re-runs cleanly
+        self.state.merge_batch(
+            bands.select("band_id", "band_hash", "id"),
+            lambda state, _batch: state.drop("sig"),
+        )
+        return int(n)
+
     # -- per-batch step ---------------------------------------------------
 
     def process_batch(self, docs: DataFrame) -> DataFrame:
@@ -206,6 +281,7 @@ class StreamingDedupIndex:
             # O(|docs|) rows of (id, sig); the candidate join below
             # fetches rows only for colliding ids
             index_sigs = self.sigs.state_for(spark) if index is not None else None
+            self._check_layout(index, index_sigs)
             vs_index = self._matches(banded, index, index_sigs)
             within = self._matches(banded, banded, batch_sigs).filter(
                 F.col("match_id") < F.col("id")
@@ -236,9 +312,15 @@ class StreamingDedupIndex:
             )
             # LSM append: O(batch) writes — merge_batch here would
             # re-read and rewrite the whole accumulated index every
-            # trigger (the measured soak defect; module docstring)
-            self.state.append_batch(banded.select("band_id", "band_hash", "id"))
+            # trigger (the measured soak defect; module docstring).
+            # SIGS FIRST: the two tables commit independently, so a
+            # crash between the appends must leave the harmless orphan
+            # (a sig row no band row points at — never a candidate)
+            # rather than the silent one (a band row whose id has no
+            # sig: the inner sig join would drop that candidate
+            # forever, a permanent missed duplicate).
             self.sigs.append_batch(batch_sigs)
+            self.state.append_batch(banded.select("band_id", "band_hash", "id"))
             self._batches_since_compact += 1
             if (
                 self.compact_every is not None

@@ -201,3 +201,62 @@ def test_auto_compaction_cadence_preserves_decisions(spark):
     assert auto == want
     # cadence ran: chains were folded at least once mid-stream
     assert compacting._batches_since_compact < 4
+
+
+def test_legacy_layout_detected_and_migrated(spark):
+    """An index written by the pre-normalization layout (sig column ON
+    band rows, no _sigs table) must refuse to probe — silently judging
+    every re-sent doc novel is the failure mode — and migrate_legacy
+    must restore matching."""
+    import pytest
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different first-batch content with many words here")],
+        "doc_id long, text string",
+    )
+    # steal correctly-shaped band rows from a modern index, then lay
+    # them down in the LEGACY shape: sig carried on every band row
+    modern = _index("mig_src")
+    modern.process_batch(b1)
+    legacy_rows = (
+        modern.state.state_for(spark)
+        .join(modern.sigs.state_for(spark), "id")
+        .select("band_id", "band_hash", "id", "sig")
+    )
+    legacy_path = tempfile.mkdtemp(prefix="lshidx_legacy_")
+    seed = StreamingDedupIndex(legacy_path, threshold=0.5, num_buckets=8)
+    seed.state.append_batch(legacy_rows)
+
+    reopened = StreamingDedupIndex(legacy_path, threshold=0.5, num_buckets=8)
+    dup = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="legacy"):
+        reopened.process_batch(dup)
+
+    assert reopened.migrate_legacy(spark) == 2  # one sig per document
+    dec = {r.id: r.is_novel for r in reopened.process_batch(dup).collect()}
+    assert dec[10] is False  # the planted duplicate matches again
+    assert reopened.migrate_legacy(spark) == 0  # idempotent
+    assert "sig" not in reopened.state.state_for(spark).columns
+
+
+def test_bands_without_sigs_raises(spark):
+    """Band chains with an empty signature table (e.g. the pre-fix
+    bands-first crash window) must raise, not silently drop every
+    candidate in the inner sig join."""
+    import pytest
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    src = _index("orphan_src")
+    src.process_batch(
+        spark.createDataFrame([(1, base)], "doc_id long, text string")
+    )
+    path = tempfile.mkdtemp(prefix="lshidx_orphan_")
+    torn = StreamingDedupIndex(path, threshold=0.5, num_buckets=8)
+    torn.state.append_batch(
+        src.state.state_for(spark).select("band_id", "band_hash", "id")
+    )
+    with pytest.raises(RuntimeError, match="no signature table"):
+        torn.process_batch(
+            spark.createDataFrame([(10, base)], "doc_id long, text string")
+        )

@@ -124,3 +124,130 @@ def test_temperature_mix_subset_and_deterministic(spark):
     assert k1 == k2  # deterministic draw
     assert k1 <= {i for i, _ in rows}
     assert k1 == _model_kept(rows, 10)
+
+
+# ---------------------------------------------------------------------------
+# round-9 ADVICE: crash windows in the two-step index/journal writes
+# ---------------------------------------------------------------------------
+
+
+def test_recluster_crash_between_writes_duplicates_not_loss(spark, monkeypatch):
+    """ADVICE (vector_index.recluster): the evacuee append now precedes
+    the selected-partition overwrite, so a crash between the two writes
+    leaves transient duplicates — never silently dropped vectors — and
+    re-running the same recluster converges (idempotent anti-joined
+    append + overwrite clears the stale copies)."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from db_cdc_poc_spark.operators.similarity import norm
+    from db_cdc_poc_spark.operators.vector_index import IvfIndex
+
+    rng = np.random.RandomState(7)
+    d = 4
+    e = np.eye(d)
+
+    def blob(center, n, start_id):
+        pts = center[None, :] + rng.randn(n, d) * 0.1
+        return [(start_id + i, [float(x) for x in pts[i]]) for i in range(n)]
+
+    rows = blob(2 * e[0], 8, 0) + blob(2 * e[1], 8, 100) + blob(2 * e[2], 8, 200)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in 2 * e[i]]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ivfcrash_") + "/index"
+    idx = IvfIndex.build(corpus, centroids=cents, path=path)
+    all_ids = {i for i, _ in rows}
+
+    # external codebook swap of centroids 1<->2: list 1's members (B,
+    # at e1) now argmax to centroid 2 — an UNTOUCHED list when only
+    # list 1 is selected, so the repair must evacuate-by-append
+    swapped = spark.createDataFrame(
+        [(0, [float(x) for x in 2 * e[0]]),
+         (1, [float(x) for x in 2 * e[2]]),
+         (2, [float(x) for x in 2 * e[1]])],
+        "cid long, ce array<double>",
+    ).withColumn("cen", norm("ce"))
+    swapped.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.catalog.refreshByPath(f"{path}/centroids")
+
+    # crash injection: the dynamic-overwrite conf flip sits exactly
+    # between the append and the overwrite
+    real_set = type(spark.conf).set
+
+    def boom(self, key, value=None):
+        if (
+            key == "spark.sql.sources.partitionOverwriteMode"
+            and value == "dynamic"
+        ):
+            raise RuntimeError("injected crash between append and overwrite")
+        return real_set(self, key, value)
+
+    monkeypatch.setattr(type(spark.conf), "set", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.recluster(spark, list_ids=[1], iters=0)
+    monkeypatch.undo()
+    spark.catalog.refreshByPath(f"{path}/lists")
+
+    lists = spark.read.parquet(f"{path}/lists").select("neighbor_id", "list_id")
+    got = lists.collect()
+    # NO LOSS: every vector still findable (the old code's failure mode
+    # dropped all of B here); B duplicated across lists 1 and 2 is the
+    # accepted transient
+    assert {r.neighbor_id for r in got} == all_ids
+    assert len(got) == len(all_ids) + 8  # B present twice
+
+    # re-run of the SAME repair converges: anti-join skips the already-
+    # appended copies, the overwrite clears list 1's stale ones
+    res = idx.recluster(spark, list_ids=[1], iters=0)
+    assert res["lists_selected"] == 1
+    final = spark.read.parquet(f"{path}/lists").select("neighbor_id", "list_id").collect()
+    assert {r.neighbor_id for r in final} == all_ids
+    assert len(final) == len(all_ids)  # duplicates gone
+    by_id = {r.neighbor_id: r.list_id for r in final}
+    assert all(by_id[i] == 2 for i in range(100, 108))  # B landed in list 2
+
+
+def test_recover_compaction_tolerates_torn_journal(spark, tmp_path):
+    """ADVICE (maintenance journal): a torn/garbage journal means the
+    pre-move crash case — recovery must roll it back, not abort every
+    remaining group with JSONDecodeError; leftover *.json.tmp staging
+    files sweep the same way."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from db_cdc_poc_spark.operators.maintenance import recover_compaction
+
+    path = tmp_path / "tbl"
+    spark.range(50).selectExpr("id", "id % 5 AS v").repartition(2).write.parquet(
+        str(path)
+    )
+    files = sorted(p.name for p in path.glob("*.parquet"))
+
+    # torn journal (crash mid-write on the pre-fix writer)
+    (path / ".compact-journal-0-aa.json").write_text('{"members": ["x", ')
+    # pre-commit temp journal (crash before the rename on the fixed writer)
+    (path / ".compact-journal-1-bb.json.tmp").write_text("{}")
+    # a healthy forward journal BEHIND them alphabetically — the old
+    # code never reached it (JSONDecodeError aborted the loop)
+    members = files[:2]
+    new_name = "compact-2-cc.parquet"
+    spark.read.parquet(*[str(path / m) for m in members]).coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    [part] = list((tmp_path / "stage").glob("part-*.parquet"))
+    part.rename(path / new_name)
+    (path / ".compact-journal-2-cc.json").write_text(
+        json.dumps({"members": members, "new_file": new_name})
+    )
+
+    res = recover_compaction(str(path))
+    assert res == {"rolled_forward": 1, "rolled_back": 2, "members_removed": 2}
+    assert spark.read.parquet(str(path)).count() == 50
+    assert list(path.glob(".compact-journal-*")) == []
