@@ -32,6 +32,19 @@ measured cause of soak walls climbing 9 s -> 29 s). `compact()`
 version per bucket on a maintenance cadence — the same loop as
 parquet small-file compaction.
 
+PROBE reads are amortized two ways (round 10, after the round-9 soak
+showed per-trigger probe walls still creeping O(index bytes)):
+
+* a per-version-dir Bloom front over the band hashes
+  (`streaming/bloom.py`): only version dirs whose Bloom might hold one
+  of the batch's band hashes are read — probe I/O follows the
+  collision-bearing dirs, not the accumulated index. Compaction ORs
+  the source Blooms into the new snapshot's (exact, no re-scan).
+* a candidate-driven signature fetch: band collisions are computed
+  first and their match_ids name the sig buckets (and, via the sig
+  Bloom front, version dirs) to read — the old path read the ENTIRE
+  sig table every trigger; a mostly-novel batch now fetches ~nothing.
+
 Decision rule — and why every seen document (novel or not) enters the
 index: a document is a duplicate iff it matches ANY earlier-seen
 document. Because the predicate only references the pair graph (not
@@ -52,12 +65,21 @@ buckets (boilerplate) are the same skew the batch path caps with
 
 from __future__ import annotations
 
+from pathlib import Path
+
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from db_cdc_poc_spark.checkpointing import materialize
 from db_cdc_poc_spark.operators.dedup import est_jaccard_col, minhash_bands
+from db_cdc_poc_spark.streaming.bloom import BloomFront
 from db_cdc_poc_spark.streaming.state import BucketedStateTable
+
+
+def _bucket_of(d: Path) -> int:
+    """Bucket id of a version dir (``.../bucket_0007/v_...``)."""
+    return int(d.parent.name.split("_")[1])
 
 
 class StreamingDedupIndex:
@@ -76,6 +98,7 @@ class StreamingDedupIndex:
         max_bucket_size: int | None = None,
         checkpoint_dir: str | None = None,
         compact_every: int | None = 64,
+        bloom_bits: int = 1 << 21,
     ) -> None:
         self.id_col = id_col
         self.text_col = text_col
@@ -105,6 +128,13 @@ class StreamingDedupIndex:
         self.sigs = BucketedStateTable(
             f"{path.rstrip('/')}_sigs", keys=["id"], num_buckets=num_buckets
         )
+        # per-version-dir Bloom fronts (streaming/bloom.py): the probe
+        # reads only dirs that might hold a colliding key, so probe
+        # I/O tracks the collision-bearing region, not the index size.
+        # Size bloom_bits ~10x the expected keys per bucket; an
+        # overfull bucket saturates to always-read (graceful).
+        self._band_bloom = BloomFront("_band_bloom.npz", bloom_bits)
+        self._sig_bloom = BloomFront("_sig_bloom.npz", bloom_bits)
 
     # -- probe ------------------------------------------------------------
 
@@ -116,6 +146,53 @@ class StreamingDedupIndex:
             self.num_hashes,
             self.bands,
             self.shingle_n,
+        )
+
+    def _empty_pairs(self, probe: DataFrame) -> DataFrame:
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = probe.schema["id"].dataType
+        return probe.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id", id_type),
+                    StructField("match_id", id_type),
+                ]
+            ),
+        )
+
+    def _candidates(self, probe: DataFrame, index_bands: DataFrame) -> DataFrame:
+        """Distinct (id, match_id, sig_a) band collisions — the cheap
+        narrow join; signatures are fetched only for these afterwards."""
+        return (
+            probe.alias("p")
+            .join(
+                index_bands.select("band_id", "band_hash", "id").alias("x"),
+                (F.col("p.band_id") == F.col("x.band_id"))
+                & (F.col("p.band_hash") == F.col("x.band_hash"))
+                & (F.col("p.id") != F.col("x.id")),
+            )
+            .select(
+                F.col("p.id").alias("id"),
+                F.col("x.id").alias("match_id"),
+                F.col("p.sig").alias("sig_a"),
+            )
+            .dropDuplicates(["id", "match_id"])
+        )
+
+    def _screen(self, cand: DataFrame, sigs_rel: DataFrame) -> DataFrame:
+        """Signature-agreement screen over candidate pairs."""
+        sigs = sigs_rel.select(
+            F.col("id").alias("match_id"), F.col("sig").alias("sig_b")
+        )
+        return (
+            cand.join(sigs, "match_id")
+            .withColumn(
+                "est", est_jaccard_col("sig_a", "sig_b", self.num_hashes)
+            )
+            .filter(F.col("est") >= self.threshold)
+            .select("id", "match_id")
         )
 
     def _matches(
@@ -132,60 +209,21 @@ class StreamingDedupIndex:
         join reads full signatures only for the colliding candidates.
         """
         if index_bands is None or index_sigs is None:
-            from pyspark.sql.types import StructField, StructType
-
-            id_type = probe.schema["id"].dataType
-            return probe.sparkSession.createDataFrame(
-                [],
-                StructType(
-                    [
-                        StructField("id", id_type),
-                        StructField("match_id", id_type),
-                    ]
-                ),
-            )
-        cand = (
-            probe.alias("p")
-            .join(
-                index_bands.select("band_id", "band_hash", "id").alias("x"),
-                (F.col("p.band_id") == F.col("x.band_id"))
-                & (F.col("p.band_hash") == F.col("x.band_hash"))
-                & (F.col("p.id") != F.col("x.id")),
-            )
-            .select(
-                F.col("p.id").alias("id"),
-                F.col("x.id").alias("match_id"),
-                F.col("p.sig").alias("sig_a"),
-            )
-            .dropDuplicates(["id", "match_id"])
-        )
-        sigs = index_sigs.select(
-            F.col("id").alias("match_id"), F.col("sig").alias("sig_b")
-        )
-        return (
-            cand.join(sigs, "match_id")
-            .withColumn(
-                "est", est_jaccard_col("sig_a", "sig_b", self.num_hashes)
-            )
-            .filter(F.col("est") >= self.threshold)
-            .select("id", "match_id")
-        )
+            return self._empty_pairs(probe)
+        return self._screen(self._candidates(probe, index_bands), index_sigs)
 
     # -- layout guard / migration ------------------------------------------
 
-    def _check_layout(
-        self, index_bands: DataFrame | None, index_sigs: DataFrame | None
-    ) -> None:
+    def _check_layout(self, index_bands: DataFrame | None) -> None:
         """Refuse to probe an index written by the pre-round-9 layout.
 
         The original layout carried the signature ON every band row and
         had no ``_sigs`` table. Reopened with the normalized code path,
-        such an index would yield ``index_bands`` non-None but
-        ``index_sigs`` None — ``_matches``'s inner sig join then returns
-        nothing and every previously indexed document silently stops
-        matching (all re-sent docs judged novel, no error). Detect both
-        tells — a ``sig`` column on band rows, or band chains with no
-        sig table — and raise with the migration path instead.
+        such an index would silently match nothing (the sig join finds
+        no rows) — every re-sent doc judged novel, no error. Detect the
+        band-row tell here; the companion tell (band candidates whose
+        ids have no sig rows at all) raises inside the candidate-driven
+        sig fetch in :meth:`_index_matches`.
         """
         if index_bands is None:
             return
@@ -196,15 +234,6 @@ class StreamingDedupIndex:
                 "probing it with the normalized reader would silently "
                 "match nothing. Run StreamingDedupIndex.migrate_legacy("
                 "spark) once to split signatures into the _sigs table."
-            )
-        if index_sigs is None:
-            raise RuntimeError(
-                f"dedup index at {self.state.path} has band state but "
-                f"no signature table at {self.sigs.path}; the sig join "
-                "would silently drop every candidate. If this index "
-                "predates the normalized layout, run "
-                "StreamingDedupIndex.migrate_legacy(spark); otherwise "
-                "the sig table was lost and the index must be rebuilt."
             )
 
     def migrate_legacy(self, spark: SparkSession) -> int:
@@ -246,6 +275,58 @@ class StreamingDedupIndex:
         )
         return int(n)
 
+    def _index_matches(
+        self, spark: SparkSession, banded: DataFrame, index: DataFrame | None
+    ) -> DataFrame:
+        """vs-index matches with a CANDIDATE-DRIVEN sig fetch: the band
+        collisions are materialized first, their match_ids name the sig
+        buckets — and the sig Bloom front names the version dirs — that
+        must be read. A mostly-novel batch fetches almost no signature
+        bytes; the old path read the whole sig table every trigger."""
+        if index is None:
+            return self._empty_pairs(banded)
+        cand = materialize(
+            self._candidates(banded, index), self.checkpoint_dir,
+            label="dedup-cand",
+        )
+        # candidate ids -> sig buckets + key hashes; driver rows are
+        # bounded by the candidate count (itself batch-bounded)
+        keys: dict[int, list[int]] = {}
+        for r in (
+            cand.select(F.col("match_id").alias("id"))
+            .distinct()
+            .select(
+                self.sigs.bucket_expr().alias("bk"),
+                F.xxhash64("id").alias("kh"),
+            )
+            .collect()
+        ):
+            keys.setdefault(int(r["bk"]), []).append(int(r["kh"]))
+        if not keys:
+            return self._empty_pairs(banded)
+        sdirs = self.sigs.chain_dirs_for(sorted(keys))
+        slive = [
+            d
+            for d in sdirs
+            if self._sig_bloom.might_contain_any(
+                d, np.asarray(keys[_bucket_of(d)], dtype=np.int64)
+            )
+        ]
+        index_sigs = self.sigs.read_dirs(spark, slive)
+        if index_sigs is None:
+            # candidates exist, so their sigs were committed first
+            # (the crash contract) and Blooms have no false negatives:
+            # an empty fetch means the rows genuinely aren't there
+            raise RuntimeError(
+                f"dedup index at {self.state.path} has band state but "
+                f"no signature table at {self.sigs.path}; the sig join "
+                "would silently drop every candidate. If this index "
+                "predates the normalized layout, run "
+                "StreamingDedupIndex.migrate_legacy(spark); otherwise "
+                "the sig table was lost and the index must be rebuilt."
+            )
+        return self._screen(cand, index_sigs)
+
     # -- per-batch step ---------------------------------------------------
 
     def process_batch(self, docs: DataFrame) -> DataFrame:
@@ -271,18 +352,37 @@ class StreamingDedupIndex:
         # batch) and appended afterwards.
         banded = banded.persist()
         try:
-            touched = sorted(
-                r[0]
-                for r in banded.select(self.state.bucket_expr()).distinct().collect()
+            # ONE batch-bounded collect of the distinct (bucket,
+            # band_hash) pairs: it drives BOTH the Bloom-pruned probe
+            # and the appended delta's Bloom build. Driver traffic is
+            # O(bands x |batch|) longs — bounded by the batch, never
+            # by the index or corpus.
+            by_bucket: dict[int, list[int]] = {}
+            for r in (
+                banded.select(self.state.bucket_expr().alias("bk"), "band_hash")
+                .distinct()
+                .collect()
+            ):
+                by_bucket.setdefault(int(r["bk"]), []).append(int(r["band_hash"]))
+            hash_arrs = {
+                b: np.asarray(v, dtype=np.int64) for b, v in by_bucket.items()
+            }
+            # probe reads: touched buckets, then ONLY the version dirs
+            # whose Bloom might hold one of the batch's band hashes —
+            # probe I/O follows the collision-bearing dirs, not the
+            # accumulated index (the round-9 soak's residual creep)
+            dirs = (
+                self.state.chain_dirs_for(sorted(by_bucket)) if by_bucket else []
             )
-            index = self.state.state_for(spark, touched) if touched else None
+            live = [
+                d
+                for d in dirs
+                if self._band_bloom.might_contain_any(d, hash_arrs[_bucket_of(d)])
+            ]
+            index = self.state.read_dirs(spark, live)
+            self._check_layout(index)
             batch_sigs = banded.select("id", "sig").dropDuplicates(["id"])
-            # index-side signatures: the full (narrow) sig relation —
-            # O(|docs|) rows of (id, sig); the candidate join below
-            # fetches rows only for colliding ids
-            index_sigs = self.sigs.state_for(spark) if index is not None else None
-            self._check_layout(index, index_sigs)
-            vs_index = self._matches(banded, index, index_sigs)
+            vs_index = self._index_matches(spark, banded, index)
             within = self._matches(banded, banded, batch_sigs).filter(
                 F.col("match_id") < F.col("id")
             )
@@ -305,8 +405,9 @@ class StreamingDedupIndex:
             # durable parquet when checkpoint_dir is set) and cuts
             # lineage, so the append below can't leak into the returned
             # plan — and decision data stays distributed instead of
-            # round-tripping through the driver (driver traffic is the
-            # touched-bucket id list only, bounded by num_buckets).
+            # round-tripping through the driver (driver traffic per
+            # trigger is the batch's distinct band hashes and candidate
+            # key hashes — batch-bounded, never index-bounded).
             decisions = materialize(
                 decisions, self.checkpoint_dir, label="dedup-decisions"
             )
@@ -318,9 +419,30 @@ class StreamingDedupIndex:
             # (a sig row no band row points at — never a candidate)
             # rather than the silent one (a band row whose id has no
             # sig: the inner sig join would drop that candidate
-            # forever, a permanent missed duplicate).
-            self.sigs.append_batch(batch_sigs)
-            self.state.append_batch(banded.select("band_id", "band_hash", "id"))
+            # forever, a permanent missed duplicate). Each created
+            # delta dir gets its Bloom summary (batch-bounded driver
+            # work; a crash before the Bloom write just leaves that
+            # dir unprunable, never wrong).
+            sig_keys: dict[int, list[int]] = {}
+            for r in (
+                batch_sigs.select(
+                    self.sigs.bucket_expr().alias("bk"),
+                    F.xxhash64("id").alias("kh"),
+                )
+                .collect()
+            ):
+                sig_keys.setdefault(int(r["bk"]), []).append(int(r["kh"]))
+            for d in self.sigs.append_batch(batch_sigs):
+                self._sig_bloom.write(
+                    d, np.asarray(sig_keys.get(_bucket_of(d), []), dtype=np.int64)
+                )
+            for d in self.state.append_batch(
+                banded.select("band_id", "band_hash", "id")
+            ):
+                self._band_bloom.write(
+                    d,
+                    hash_arrs.get(_bucket_of(d), np.empty(0, dtype=np.int64)),
+                )
             self._batches_since_compact += 1
             if (
                 self.compact_every is not None
@@ -335,12 +457,40 @@ class StreamingDedupIndex:
         """Fold both tables' delta chains into one snapshot version per
         bucket (``BucketedStateTable.snapshot``) — run on a maintenance
         cadence; decisions are unaffected (content-identical, asserted
-        in tests), read fan-in returns to one dir per bucket."""
+        in tests), read fan-in returns to one dir per bucket. The new
+        snapshot's Bloom is the OR of its source versions' Blooms
+        (exact: a snapshot holds precisely the union of its sources'
+        rows) — no key re-scan, no corpus-sized driver traffic."""
         self._batches_since_compact = 0
         return {
-            "bands_buckets": self.state.snapshot(spark),
-            "sig_buckets": self.sigs.snapshot(spark),
+            "bands_buckets": self._compact_table(spark, self.state, self._band_bloom),
+            "sig_buckets": self._compact_table(spark, self.sigs, self._sig_bloom),
         }
+
+    @staticmethod
+    def _compact_table(spark: SparkSession, table: BucketedStateTable, bloom: BloomFront) -> int:
+        # record each to-be-folded chain and pull its Blooms into the
+        # cache BEFORE snapshot prunes the source dirs off disk
+        pre = {
+            b: table.chain_dirs_for([b]) for b in range(table.num_buckets)
+        }
+        todo = {
+            b: chain
+            for b, chain in pre.items()
+            if len(chain) > 1 or any(p.name.endswith(".d") for p in chain)
+        }
+        unionable = {
+            b: all(bloom.loadable(d) for d in chain)
+            for b, chain in todo.items()
+        }
+        n = table.snapshot(spark)
+        for b, chain in todo.items():
+            if not unionable[b]:
+                continue  # a source lacked a Bloom: snapshot stays unprunable
+            new = table.chain_dirs_for([b])
+            if len(new) == 1:
+                bloom.union_write(new[0], chain)
+        return n
 
     def foreach_batch(self, sink: list | None = None, max_rows: int = 100_000):
         """Adapter for ``writeStream.foreachBatch``: processes each

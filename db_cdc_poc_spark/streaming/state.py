@@ -151,6 +151,24 @@ class BucketedStateTable:
             out.extend(self._chain_dirs(b))
         return out
 
+    def chain_dirs_for(self, buckets: Sequence[int] | None = None) -> list[Path]:
+        """Public view of the readable version-dir set (latest full
+        snapshot + later deltas per bucket) — for callers that prune
+        dirs with their own side metadata (e.g. the dedup index's
+        per-version Bloom front) before handing a subset to
+        :meth:`read_dirs`. Version dirs are immutable once committed,
+        so per-dir metadata and caches keyed on them stay valid."""
+        return self._latest_paths(buckets)
+
+    def read_dirs(self, spark: SparkSession, dirs: Sequence[Path]) -> DataFrame | None:
+        """Read an explicit subset of version dirs (from
+        :meth:`chain_dirs_for`) under one reconciled schema; ``None``
+        for an empty subset. Safe only for APPEND-ONLY state, where
+        skipping a version dir skips whole rows, never an update."""
+        if not dirs:
+            return None
+        return self._read_chains(spark, list(dirs))
+
     # -- commit log / time travel -----------------------------------------
 
     def _commits_dir(self) -> Path:
@@ -296,10 +314,12 @@ class BucketedStateTable:
             if old.name < cutoff:
                 shutil.rmtree(old, ignore_errors=True)
 
-    def append_batch(self, batch: DataFrame) -> None:
+    def append_batch(self, batch: DataFrame) -> list[Path]:
         """LSM-style APPEND: write only the batch's rows, as one DELTA
         version (``v_N.d``) per touched bucket — I/O is O(batch), vs
         :meth:`merge_batch`'s O(touched state) read-union-rewrite.
+        Returns the created version dirs (immutable once committed) so
+        callers can attach side metadata (e.g. Bloom summaries).
 
         For append-only state (the streaming dedup index: every seen
         row stays forever) merge_batch's rewrite is pure write
@@ -316,6 +336,7 @@ class BucketedStateTable:
         spark = batch.sparkSession  # noqa: F841 - parity with merge_batch
         batch = batch.withColumn(BUCKET_COL, self.bucket_expr())
         staging = Path(tempfile.mkdtemp(prefix="state_staging_", dir=self.path))
+        created: list[Path] = []
         try:
             batch.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
                 str(staging)
@@ -325,10 +346,13 @@ class BucketedStateTable:
                 versions = self._versions(b)
                 next_n = self._vnum(versions[-1]) + 1 if versions else 0
                 self._bucket_dir(b).mkdir(exist_ok=True)
-                src.rename(self._bucket_dir(b) / f"v_{next_n:08d}.d")
+                dst = self._bucket_dir(b) / f"v_{next_n:08d}.d"
+                src.rename(dst)
+                created.append(dst)
             self._record_commit()
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+        return created
 
     def snapshot(self, spark: SparkSession) -> int:
         """Compact every bucket whose chain holds deltas into one full

@@ -120,9 +120,10 @@ def test_string_ids_work(spark):
 
 
 def test_decisions_never_materialize_on_driver(spark, monkeypatch):
-    """The per-batch decision path must stay distributed: the only
-    driver collect inside process_batch is the touched-bucket id list
-    (bounded by num_buckets), never decision- or doc-shaped rows."""
+    """The per-batch decision path must stay distributed: every driver
+    collect inside process_batch is batch-bounded routing metadata —
+    (bucket, key-hash) pairs for Bloom pruning and bucket routing —
+    never decision rows, document text, or signature payloads."""
     # patch the concrete class (pyspark.sql.DataFrame is an ABC in 4.x)
     from pyspark.sql.classic.dataframe import DataFrame
 
@@ -136,21 +137,24 @@ def test_decisions_never_materialize_on_driver(spark, monkeypatch):
 
     monkeypatch.setattr(DataFrame, "collect", spy)
     idx = _index("m")
+    n_docs = 20
     b = spark.createDataFrame(
-        [(i, f"document number {i} with enough distinct words to shingle nicely") for i in range(20)],
+        [(i, f"document number {i} with enough distinct words to shingle nicely") for i in range(n_docs)],
         "doc_id long, text string",
     )
     result = idx.process_batch(b)
-    # every driver collect is a bucket-id list (process_batch's probe
-    # routing + merge_batch's touched-bucket routing), single int
-    # column, bounded by num_buckets — never doc/decision rows
-    assert 1 <= len(collected) <= 2
+    # collects: band (bucket, hash) routing + sig (bucket, hash)
+    # routing (+ candidate key routing on later batches) — each
+    # bounded by bands x |batch| rows of at most 2 integer columns
+    assert 1 <= len(collected) <= 4
     for rows in collected:
-        assert len(rows) <= idx.state.num_buckets
-        assert all(len(r) == 1 for r in rows)
+        assert len(rows) <= n_docs * idx.bands
+        for r in rows:
+            assert len(r) <= 2
+            assert all(isinstance(v, int) for v in r)  # no text/sig payloads
     # decisions come back as a distributed (checkpointed) DataFrame
     monkeypatch.undo()
-    assert result.count() == 20
+    assert result.count() == n_docs
 
 
 def test_index_survives_restart(spark, tmp_path):
