@@ -21,8 +21,10 @@ of a ranking window:
   shuffling roughly the key space.
 
 Ties on the sequence column are broken by ``tie_breakers`` (appended to
-the ordering struct); DLT leaves ties unspecified, we make them
-deterministic so results are oracle-comparable.
+the ordering struct), and the ordering is then made TOTAL with the
+remaining payload columns; DLT leaves ties unspecified, we make every
+outcome deterministic so results are oracle-comparable even on
+changelogs that carry conflicting rows at one sequence value.
 """
 
 from __future__ import annotations
@@ -45,17 +47,37 @@ def latest_by_key(
 ) -> DataFrame:
     """One row per key: the row with the greatest (sequence, tie_breakers).
 
-    Columns and their order are preserved. Deterministic iff
-    (sequence_by + tie_breakers) is unique per key.
+    Columns and their order are preserved. The ordering is made TOTAL
+    by appending the remaining non-key columns (in DataFrame column
+    order) behind the caller's ordering columns: two DIFFERENT rows
+    sharing a key and identical (sequence, tie_breakers) would
+    otherwise resolve by partition/arrival order — nondeterministic
+    across runs and engines (the round-10 property sweep found exactly
+    that: an upsert and a delete tied on (seq, tiebreak) flipped the
+    key's survival). A full tie can now only occur between identical
+    rows, where the choice is immaterial. NULL fields order smallest
+    in Spark's struct comparison — replay the same rule in oracles if
+    tied NULL payloads are possible.
+
+    Implementation: max over ONE struct (ordering columns first, the
+    remaining columns behind) rather than ``max_by(payload, ordering)``
+    — the same aggregate shape with a map-side partial, but the row is
+    not duplicated into two structs, so the per-key candidates carried
+    by the shuffle stay ~row-width.
     """
     keys = _as_list(keys)
-    order_cols = _as_list(sequence_by) + _as_list(tie_breakers)
-    payload = F.struct(*[F.col(c) for c in df.columns])
-    ordering = F.struct(*[F.col(c) for c in order_cols])
+    order_cols = list(dict.fromkeys(_as_list(sequence_by) + _as_list(tie_breakers)))
+    rest = [c for c in df.columns if c not in set(order_cols) | set(keys)]
+    m = F.max(F.struct(*[F.col(c) for c in [*order_cols, *rest]]))
     return (
         df.groupBy(*keys)
-        .agg(F.max_by(payload, ordering).alias("__row"))
-        .select("__row.*")
+        .agg(m.alias("__m"))
+        .select(
+            *[
+                F.col(c) if c in keys else F.col("__m").getField(c).alias(c)
+                for c in df.columns
+            ]
+        )
     )
 
 
@@ -116,14 +138,21 @@ def apply_changes_scd2(
     possible: the OUTPUT is the history, so every change row must reach
     its key's partition — one window shuffle on the keys, state per
     key = one lookahead row (lead), memory-flat however long the
-    history. Ties on the sequence are made total with ``tie_breakers``
-    so intervals are deterministic and oracle-comparable.
+    history. Ties on the sequence are broken by ``tie_breakers`` and
+    then made TOTAL with the remaining payload columns (same rule as
+    :func:`latest_by_key`) so intervals are deterministic and
+    oracle-comparable.
     """
     from pyspark.sql import Window
 
     keys = _as_list(keys)
-    order_cols = [sequence_by, *_as_list(tie_breakers)]
-    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    order_cols = list(
+        dict.fromkeys([sequence_by, *_as_list(tie_breakers)])
+    )
+    rest = [
+        c for c in source.columns if c not in set(order_cols) | set(keys)
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order_cols, *rest)
     ended = source.withColumn(end_col, F.lead(sequence_by).over(w))
     if apply_as_deletes is not None:
         cond = (

@@ -20,16 +20,20 @@ ROW = st.tuples(
 
 
 def _model(rows):
-    """latest row per key by (seq, tiebreak=payload); drop keys whose
-    latest row is a delete."""
+    """latest row per key by the engine's TOTAL order — (sequence_by,
+    tie_breakers, remaining columns in DataFrame order): here
+    (seq, val, op). Drop keys whose latest row is a delete. The total
+    order matters: the round-10 sweep found an upsert and a delete
+    tied on (seq, val), where any partial order flips the key's
+    survival run-to-run."""
     latest = {}
     for key, seq, op, val in rows:
         cur = latest.get(key)
-        if cur is None or (seq, val) > (cur[0], cur[2]):
-            latest[key] = (seq, op, val)
+        if cur is None or (seq, val, op) > cur[:3]:
+            latest[key] = (seq, val, op)
     return {
         key: (seq, val)
-        for key, (seq, op, val) in latest.items()
+        for key, (seq, val, op) in latest.items()
         if op != "d"
     }
 

@@ -251,3 +251,30 @@ def test_recover_compaction_tolerates_torn_journal(spark, tmp_path):
     assert res == {"rolled_forward": 1, "rolled_back": 2, "members_removed": 2}
     assert spark.read.parquet(str(path)).count() == 50
     assert list(path.glob(".compact-journal-*")) == []
+
+
+def test_apply_changes_full_tie_is_deterministic(spark):
+    """The round-10 property sweep's counterexample, pinned explicitly:
+    an upsert and a delete on one key with IDENTICAL (sequence,
+    tie_breaker) values. The old ordering was partial, so max_by
+    resolved the tie by partition/arrival order — the key's survival
+    flipped run-to-run. The ordering is now total (remaining payload
+    columns appended: here `op`, where 'u' > 'd'), so the upsert wins,
+    deterministically."""
+    from db_cdc_poc_spark.operators.cdc import apply_changes
+
+    rows = [(0, 0, "u", 0), (0, 0, "d", 0)]
+    for _ in range(3):  # stable across repeated plans
+        df = spark.createDataFrame(rows, "key long, seq long, op string, val long")
+        got = {
+            r.key: (r.seq, r.val)
+            for r in apply_changes(
+                df,
+                keys="key",
+                sequence_by="seq",
+                apply_as_deletes="op = 'd'",
+                except_columns=["op"],
+                tie_breakers="val",
+            ).collect()
+        }
+        assert got == {0: (0, 0)}
