@@ -18,6 +18,7 @@ shuffle, no state; they pipeline with the scan and prune to the single
 from __future__ import annotations
 
 import re
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1221,3 +1222,166 @@ def redact_pii_by_kind(
         )
         cur = F.regexp_replace(cur, pat, f"<|{kind}|>")
     return out.withColumn(out_col, cur)
+
+
+# --------------------------------------------------------------------------
+# corpus-trained deterministic BPE (the "real tokenizer" leg behind the
+# whitespace seam — ARCHITECTURE.md rule 14)
+# --------------------------------------------------------------------------
+
+
+class BpeModel:
+    """A deterministic byte-pair-encoding model trained on the corpus.
+
+    Carries ``merges`` (ranked pair list) and ``token_counts`` (word ->
+    BPE token count for every trained vocab word). Both are PARAMETERS
+    (bounded by ``vocab_cap`` / ``num_merges``), never corpus fractions
+    — rule 13: at 100 TB the model is still a few thousand rows,
+    broadcastable everywhere.
+    """
+
+    def __init__(
+        self,
+        merges: list[tuple[str, str]],
+        token_counts: dict[str, int],
+        vocab_cap: int,
+        num_merges: int,
+    ) -> None:
+        self.merges = merges
+        self.token_counts = token_counts
+        self.vocab_cap = vocab_cap
+        self.num_merges = num_merges
+
+
+def _bpe_apply_merge(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    """Apply one merge exhaustively, leftmost-first."""
+    out: list[str] = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+            out.append(sym[i] + sym[i + 1])
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_tokenize(word: str, merges: list[tuple[str, str]]) -> tuple[str, ...]:
+    """Tokenize one word under the model's application rule: merges
+    applied sequentially IN RANK ORDER, each exhaustively leftmost-
+    first. (GPT-2 re-selects the lowest-rank applicable merge after
+    every step; on corpus-trained merge tables the two rules rarely
+    differ and ours replays identically in any engine — determinism is
+    the contract here, byte-compatibility with GPT-2 is not.)"""
+    sym = tuple(word)
+    for pair in merges:
+        if len(sym) == 1:
+            break
+        sym = _bpe_apply_merge(sym, pair)
+    return sym
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    vocab_cap: int = 10_000,
+) -> BpeModel:
+    """Train a deterministic BPE merge table from the corpus itself.
+
+    The public GPT-2 artifacts are the obvious vendoring choice, but
+    this environment is network-isolated, so the verdict's fallback is
+    implemented: classic Sennrich-style training over the corpus's own
+    word-frequency table (the q79 pair-count loop is the inner step),
+    with every choice made total so re-training replays bit-for-bit:
+
+    1. ONE distributed pass: whitespace word counts (map-side combine).
+    2. The head of the vocabulary — ``vocab_cap`` words by
+       (count DESC, word ASC) — is collected: a PARAMETER-sized table
+       (rule 13), not a corpus fraction. Zipf's law makes this head
+       carry almost all token mass; everything else is OOV fallback.
+    3. ``num_merges`` driver-side iterations over the capped vocab:
+       count adjacent symbol pairs weighted by word frequency, merge
+       the (count DESC, pair ASC) winner, re-symbolize. Fixed
+       iteration budget, deterministic tie-breaks, early stop when no
+       pair repeats.
+
+    Returns the merge table plus the word -> token-count lookup the
+    Spark-side counter broadcasts.
+    """
+    words = (
+        df.select(F.explode(whitespace_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(vocab_cap)
+        .collect()
+    )
+    freq: dict[str, int] = {r.w: int(r.n) for r in words}
+    syms: dict[str, tuple[str, ...]] = {w: tuple(w) for w in freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, sym in syms.items():
+            n = freq[w]
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break  # nothing repeats: further merges are memorization
+        merges.append(pair)
+        syms = {w: _bpe_apply_merge(s, pair) for w, s in syms.items()}
+    return BpeModel(
+        merges,
+        {w: len(s) for w, s in syms.items()},
+        vocab_cap,
+        num_merges,
+    )
+
+
+def bpe_token_count_table(spark, model: BpeModel) -> DataFrame:
+    """(word, bpe_tokens) lookup DataFrame from a trained model —
+    parameter-sized, intended for ``F.broadcast``."""
+    rows = sorted(model.token_counts.items())
+    return spark.createDataFrame(rows, "word string, bpe_tokens long")
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    model: BpeModel,
+    text_col: str = "text",
+    group_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Per-group BPE token counts at corpus scale, JVM-side.
+
+    Words explode once, the parameter-sized lookup broadcast-joins,
+    and counts re-aggregate per group — no Python in the hot path.
+    Out-of-vocabulary words fall back to their character count (the
+    exact BPE count when no trained merge applies — a documented UPPER
+    bound otherwise) and are reported per group (``oov_words``), so a
+    budget consumer can SEE the coverage seam instead of silently
+    absorbing it. With a Zipf head of 10k words, OOV mass is small;
+    the honest fix for a production tokenizer is a bigger ``vocab_cap``
+    — still a parameter, never a corpus fraction.
+
+    Output: group_cols + (ws_tokens, bpe_tokens, oov_words).
+    """
+    lut = F.broadcast(bpe_token_count_table(df.sparkSession, model))
+    toks = df.select(
+        *group_cols, F.explode(whitespace_tokens(text_col)).alias("word")
+    )
+    per = toks.join(lut, "word", "left").select(
+        *group_cols,
+        F.coalesce(F.col("bpe_tokens"), F.length("word").cast("long")).alias(
+            "t"
+        ),
+        F.col("bpe_tokens").isNull().cast("long").alias("oov"),
+    )
+    return per.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("ws_tokens"),
+        F.sum("t").cast("long").alias("bpe_tokens"),
+        F.sum("oov").cast("long").alias("oov_words"),
+    )

@@ -7538,5 +7538,50 @@ def q169_token_proxy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# memoized per sf_dir like _PQ_TRAINED: training is deterministic, so
+# re-running a session never retrains for the same corpus
+_BPE_TRAINED: dict[str, "tx.BpeModel"] = {}
+
+
+@_q("q170_bpe_calibration")
+def q170_bpe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-vs-BPE calibration with a REAL tokenizer leg
+    (ARCHITECTURE.md rule 14's missing piece): a deterministic BPE is
+    trained from the corpus itself (text.bpe_train — network-isolated
+    stand-in for vendored GPT-2 merges; Sennrich loop over the capped
+    word-frequency head, every tie-break total), then each source
+    reports whitespace tokens, true BPE tokens under that model, OOV
+    coverage, and the ppm rescale ratio budget consumers apply.
+
+    NO SQL ORACLE by design: BPE training is an iterative algorithm
+    with data-dependent merge choices — the documented rows-only-check
+    category (like the streaming ops). Value correctness is pinned by
+    tests/test_bpe.py: a pure-Python reference implementation must
+    match the Spark path word-for-word, including the OOV fallback.
+
+    Scale shape: training collects only the vocab_cap-row frequency
+    head (a parameter, rule 13); application explodes words once,
+    broadcast-joins the lookup, re-aggregates per source — no Python
+    in the hot path."""
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _BPE_TRAINED:
+        _BPE_TRAINED[sf_dir] = tx.bpe_train(
+            docs, num_merges=200, vocab_cap=10_000
+        )
+    model = _BPE_TRAINED[sf_dir]
+    return (
+        tx.bpe_token_counts(docs, model, group_cols=("source",))
+        .select(
+            "source",
+            "ws_tokens",
+            "bpe_tokens",
+            "oov_words",
+            F.expr("1000000 * bpe_tokens div ws_tokens").alias(
+                "bpe_per_ws_ppm"
+            ),
+        )
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
