@@ -162,6 +162,7 @@ def opq_rotation(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 8,
+    residual_centroids: DataFrame | None = None,
 ) -> list[list[float]]:
     """Parametric OPQ rotation (Ge et al., CVPR'13 "Optimized Product
     Quantization", the eigenvalue-allocation variant OPQ-P): an
@@ -177,10 +178,12 @@ def opq_rotation(
     1. covariance of the centered cohort (d x d, d = 64 here);
     2. eigendecomposition (deterministic up to sign; signs are fixed
        by forcing each eigenvector's largest-|component| positive);
-    3. greedy balanced allocation: visit eigenvalues descending,
-       assign each eigenvector to the non-full subspace with the
-       smallest current log-variance product (the paper's balancing
-       objective);
+    3. balanced allocation: the descending spectrum is dealt to the m
+       subspaces in boustrophedon (snake) order, pairing strong
+       directions with weak ones — the paper's balanced-product
+       objective via a scale-free positional rule (see the inline
+       note for why the literal greedy-min-product anti-balances
+       when all eigenvalues sit below 1);
     4. R's rows are the allocated eigenvectors, so rows
        [j*d/m, (j+1)*d/m) form subspace j.
 
@@ -192,6 +195,17 @@ def opq_rotation(
     --opq), not as a registry query; the rotated pipeline downstream
     of R is the ordinary oracled PQ machinery.
 
+    ``residual_centroids`` (a (list_id/vec_id, vector) frame, e.g. the
+    coarse codebook of a preliminary unrotated IVF pass) switches the
+    covariance to RESIDUALS: each training vector's nearest-cosine
+    centroid is subtracted first. For residual-encoded IVF-PQ this is
+    the right training target — the coarse quantizer absorbs most of
+    the raw covariance's leading directions, so an R learned on raw
+    vectors aligns subspaces to structure the PQ stage never sees
+    (measured on the anisotropic fixture: raw-trained OPQ DEGRADES
+    recall vs identity, residual-trained restores it — SCALING.md
+    "OPQ on anisotropic data").
+
     Returns R as a plain list of rows (callers pass it to
     :func:`rotate_vectors`).
     """
@@ -201,6 +215,19 @@ def opq_rotation(
     if not rows:
         raise ValueError("opq_rotation: empty training cohort")
     x = np.array([r[0] for r in rows])
+    if residual_centroids is not None:
+        cvec = (
+            vec_col
+            if vec_col in residual_centroids.columns
+            else residual_centroids.columns[-1]
+        )
+        cc = residual_centroids.select(
+            F.col(cvec).cast("array<double>")
+        ).collect()
+        c = np.array([r[0] for r in cc])
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        x = x - c[np.argmax(xn @ cn.T, axis=1)]
     d = x.shape[1]
     if d % m != 0:
         raise ValueError(f"m={m} must divide d={d}")
@@ -215,12 +242,22 @@ def opq_rotation(
             u[:, j] = -u[:, j]
     sub = d // m
     buckets: list[list[int]] = [[] for _ in range(m)]
-    logprod = [0.0] * m
-    for j in range(d):                  # descending-eigenvalue greedy
-        cands = [b for b in range(m) if len(buckets[b]) < sub]
-        b = min(cands, key=lambda b: (logprod[b], b))
+    # Boustrophedon (snake) allocation of the DESCENDING spectrum:
+    # round r hands eigenvectors to buckets left-to-right, then
+    # right-to-left, so every bucket pairs large eigenvalues with
+    # small ones — the balanced-product objective met with a rule
+    # that is scale- and shift-free (purely positional). The paper's
+    # greedy-min-product is scale-DEPENDENT: with every eigenvalue
+    # below 1 each assignment makes a bucket's log-product MORE
+    # negative, so the fullest bucket keeps attracting — on the
+    # anisotropic fixture that packed all 8 strong directions into
+    # ONE subspace (measured residual-variance imbalance 63x vs
+    # identity's 1.4x) and collapsed recall instead of lifting it.
+    # The isotropic r9 null could not see this; the fixture run did.
+    for j in range(d):
+        rnd, pos = divmod(j, m)
+        b = pos if rnd % 2 == 0 else m - 1 - pos
         buckets[b].append(j)
-        logprod[b] += float(np.log(max(w[j], 1e-12)))
     perm = [j for b in buckets for j in b]
     r_mat = u[:, perm].T               # rows = allocated eigenvectors
     return [[float(v) for v in row] for row in r_mat]

@@ -42,7 +42,7 @@ N_QUERIES = 10
 M = 8
 
 
-def curve_for(spark, sf_dir: str, opq: bool = False) -> dict:
+def curve_for(spark, sf_dir: str, opq: str | bool = False) -> dict:
     from db_cdc_poc_spark.checkpointing import materialize
     from db_cdc_poc_spark.operators.similarity import norm, paired_cosine
     from db_cdc_poc_spark.operators.vector_index import (
@@ -63,13 +63,33 @@ def curve_for(spark, sf_dir: str, opq: bool = False) -> dict:
     # needs more bits than at 2k — k=128 packs 7 bits x 8 subspaces =
     # 56-bit codes, still one BIGINT.
     k_env = os.environ.get("PQ_K")
+    subspace_var = None
     if opq:
         # OPQ pre-rotation (Ge et al. OPQ-P): learned on the same
         # parameter-bounded cohort as training; orthonormal, so the
         # exact top-5 truth and the rerank leg are unchanged IN the
         # rotated space — recall deltas below are purely PQ cell
-        # quality at the same bits
-        r = opq_rotation(emb.filter(F.col("vec_id") < 2048), m=M)
+        # quality at the same bits.
+        # opq == "residual": learn R on RESIDUALS of a preliminary
+        # unrotated coarse pass — the distribution the residual-encoded
+        # PQ stage actually quantizes (raw-trained R aligns subspaces
+        # to structure the coarse quantizer already absorbed).
+        cohort = emb.filter(F.col("vec_id") < 2048)
+        rc = None
+        if opq == "residual":
+            c0, _ = pq_train(
+                cohort,
+                emb.filter((F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 256)),
+                emb.filter((F.col("vec_id") % 16 == 1) & (F.col("vec_id") < 256)),
+                m=M,
+                coarse_iters=2,
+                pq_iters=0,
+            )
+            rc = spark.createDataFrame(
+                [(int(r[0]), [float(x) for x in r[1]]) for r in c0.collect()],
+                "list_id long, embedding array<double>",
+            )
+        r = opq_rotation(cohort, m=M, residual_centroids=rc)
         emb = rotate_vectors(emb, r)
     n = emb.count()
     # same training budget as q163-q166 (parameter-bounded cohort/seeds)
@@ -104,6 +124,25 @@ def curve_for(spark, sf_dir: str, opq: bool = False) -> dict:
         pq_codes(emb, cb_df, m=M, coarse_centroids=coarse_df),
         label="curve-codes",
     )
+
+    # diagnostic: per-subspace variance of the FINAL residuals (the
+    # distribution the PQ codewords quantize) — the balance OPQ's
+    # allocation objective targets; a lopsided split is PQ's worst case
+    xs = np.array(
+        [r[0] for r in emb.filter(F.col("vec_id") < 2048)
+         .select(F.col("embedding").cast("array<double>")).collect()]
+    )
+    cs = np.array([r[1] for r in coarse_df.orderBy("list_id").collect()])
+    xn_ = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+    cn_ = cs / np.maximum(np.linalg.norm(cs, axis=1, keepdims=True), 1e-12)
+    res = xs - cs[np.argmax(xn_ @ cn_.T, axis=1)]
+    dim = res.shape[1]
+    sv = res.var(axis=0).reshape(M, dim // M).sum(axis=1)
+    subspace_var = {
+        "min": float(sv.min()),
+        "max": float(sv.max()),
+        "imbalance": float(sv.max() / max(sv.min(), 1e-12)),
+    }
 
     # exact truth: squared-L2 top-5 per query, self excluded (numpy —
     # evidence script, not an engine path; the engine legs below are
@@ -171,14 +210,23 @@ def curve_for(spark, sf_dir: str, opq: bool = False) -> dict:
             print(
                 json.dumps({"corpus": sf_dir, **points[-1]}), flush=True
             )
-    return {"corpus": sf_dir, "n": n, "points": points}
+    return {
+        "corpus": sf_dir,
+        "n": n,
+        "subspace_var": subspace_var,
+        "points": points,
+    }
 
 
 def main() -> None:
     from db_cdc_poc_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if a != "--opq"]
-    opq = "--opq" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--opq")]
+    opq: str | bool = False
+    if "--opq-residual" in sys.argv[1:]:
+        opq = "residual"
+    elif "--opq" in sys.argv[1:]:
+        opq = "raw"
     spark = get_spark()
     out = [
         curve_for(spark, d, opq=opq)
