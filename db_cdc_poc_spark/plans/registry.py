@@ -189,8 +189,27 @@ class TableRegistry:
     # -- introspection ----------------------------------------------------
 
     def topological_order(self) -> list[str]:
-        """Dependency-first ordering (builds everything to learn edges)."""
+        """Dependency-first ordering (builds everything to learn edges).
+
+        Building is how edges are DISCOVERED (deps are recorded by
+        ``read()`` calls inside builders), so this is only safe where a
+        build is safe. The pipeline runner must NOT use it: builders
+        can carry side effects (a streaming dedup index append, a CDC
+        upsert), and running them once in ``due()`` and again in
+        ``materialize()`` double-applies the trigger — the sf1 composed
+        soak caught exactly that (trigger 0's batch probed against its
+        own just-appended index rows flags BOTH endpoints of every
+        near-dup pair). Order-only callers use :meth:`known_order`.
+        """
         self.build_all()
+        return self.known_order()
+
+    def known_order(self) -> list[str]:
+        """Dependency-first ordering over the edges known so far —
+        never executes a builder. Before any build, edges are unknown
+        and this degrades to registration order; execution order stays
+        correct regardless because ``build()`` resolves dependencies
+        recursively via ``read()``."""
         seen: list[str] = []
 
         def visit(n: str) -> None:
@@ -235,7 +254,12 @@ class TableRegistry:
         date); high-cardinality partitioning produces a small-files
         explosion.
         """
-        order = self.topological_order()
+        # known_order, not topological_order: materialize must execute
+        # each wanted builder exactly ONCE (side-effectful builders —
+        # index appends, upserts — are legal under the runner contract).
+        # build() recursion already guarantees dependency-first
+        # EXECUTION; this order only affects write sequence.
+        order = self.known_order()
         wanted = set(tables) if tables is not None else set(order)
         for name in order:
             if name in wanted:

@@ -55,7 +55,13 @@ class PipelineRunner:
         """Tables whose interval has elapsed, in dependency order."""
         now = self.clock()
         out = []
-        for name in self.registry.topological_order():
+        # known_order: due() must be a pure clock check — the building
+        # variant (topological_order) would execute side-effectful
+        # builders a first time here and materialize() would run them
+        # AGAIN after the memo clear, double-applying every trigger
+        # (double index-append + upsert; caught by the sf1 composed
+        # pipeline soak as a permanent 163-row silver divergence).
+        for name in self.registry.known_order():
             period = parse_trigger(self.registry.definition(name).trigger)
             last = self._last_run.get(name)
             if last is None or now - last >= period:

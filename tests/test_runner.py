@@ -66,3 +66,62 @@ def test_runner_materializes_dependency_order(spark):
     assert {r.x for r in spark.read.parquet(f"{root}/derived").collect()} == {
         0, 10, 20, 30,
     }
+
+
+def test_run_cycle_executes_each_builder_exactly_once(spark):
+    """Builders may carry side effects (dedup-index appends, CDC
+    upserts), so one trigger must execute each due builder exactly
+    once. The pre-fix runner built everything in due() (dependency
+    discovery), cleared the memo, and built AGAIN in materialize() —
+    double-applying every side effect on the first cycle. Caught by
+    the sf1 composed pipeline soak (PIPELINE_SOAK_sf1.txt)."""
+    reg = TableRegistry(spark)
+    calls = {"base": 0, "derived": 0}
+
+    @reg.table(trigger="continuous")
+    def base():
+        calls["base"] += 1
+        return spark.range(3)
+
+    @reg.table(trigger="continuous")
+    def derived():
+        calls["derived"] += 1
+        return reg.read("base").selectExpr("id + 1 AS y")
+
+    root = tempfile.mkdtemp(prefix="runner_once_")
+    runner = PipelineRunner(reg, root, clock=lambda: 0.0)
+    runner.run_cycle()
+    assert calls == {"base": 1, "derived": 1}
+    runner.run_cycle()
+    assert calls == {"base": 2, "derived": 2}
+
+
+def test_run_cycle_materialized_output_matches_side_effect(spark):
+    """The parquet a cycle materializes must be the SAME evaluation the
+    cycle's side effects consumed: a builder whose output depends on
+    its own prior side effect (the streaming dedup shape — decisions
+    differ if the batch is probed again post-append) must not diverge
+    between the sink write and the state write."""
+    reg = TableRegistry(spark)
+    journal: list[int] = []  # stand-in for an external state table
+
+    @reg.table(trigger="continuous")
+    def effectful():
+        # like process_batch: the result depends on how often it ran
+        journal.append(len(journal))
+        return spark.range(len(journal)).selectExpr("id AS n")
+
+    @reg.table(trigger="continuous")
+    def consumer():
+        rows = reg.read("effectful").collect()  # upsert stand-in
+        journal.append(100 + len(rows))
+        return reg.read("effectful")
+
+    root = tempfile.mkdtemp(prefix="runner_diverge_")
+    runner = PipelineRunner(reg, root, clock=lambda: 0.0)
+    runner.run_cycle()
+    # one execution -> effectful ran once -> its table has exactly 1 row
+    # and the consumer saw that same 1-row evaluation
+    assert journal == [0, 101]
+    assert spark.read.parquet(f"{root}/effectful").count() == 1
+    assert spark.read.parquet(f"{root}/consumer").count() == 1
