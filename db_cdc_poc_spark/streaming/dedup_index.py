@@ -337,8 +337,30 @@ class StreamingDedupIndex:
         same batch. The batch's band rows are appended to the index
         afterwards, duplicates included (see module docstring for why
         that keeps decisions batch-size-invariant).
+
+        Crash-window layout (the crash soak's contract,
+        ``scripts/crash_soak.py``): maintenance compaction runs FIRST,
+        before this batch probes or appends anything — a compaction
+        crash then provably loses none of this trigger's work, and the
+        re-fired trigger starts clean (readers union each table's
+        snapshot+deltas independently, so a half-compacted index stays
+        correct; the next cadence completes the fold). The residual
+        unrecoverable window is append-to-sink: a crash AFTER the band
+        append but BEFORE the caller commits the decisions makes the
+        re-fired probe match the batch against its own indexed copy,
+        so within-batch near-dup SURVIVORS are dropped on replay —
+        bounded, duplicate-leak-free loss (every lost doc has a
+        near-dup partner), in the safe direction for dedup. Callers
+        needing exact-once survivor ingest must set ``checkpoint_dir``
+        (decisions are then durable parquet written BEFORE the append)
+        and resume from the decisions file instead of re-probing.
         """
         spark = docs.sparkSession
+        if self.compact_every is not None and (
+            self._batches_since_compact >= self.compact_every
+            or self._max_delta_chain() >= self.compact_every
+        ):
+            self.compact(spark)
         banded = self._bands(docs)
         if self.max_bucket_size is not None:
             small = (
@@ -443,15 +465,32 @@ class StreamingDedupIndex:
                     d,
                     hash_arrs.get(_bucket_of(d), np.empty(0, dtype=np.int64)),
                 )
+            # cadence bookkeeping only — the compaction itself runs at
+            # the START of the next batch (see docstring: keeps the
+            # maintenance fold out of the append-to-sink crash window)
             self._batches_since_compact += 1
-            if (
-                self.compact_every is not None
-                and self._batches_since_compact >= self.compact_every
-            ):
-                self.compact(spark)
         finally:
             banded.unpersist()
         return decisions
+
+    def _max_delta_chain(self) -> int:
+        """Longest un-compacted delta chain across both tables' buckets
+        (directory listings only — no data read). The compaction
+        cadence keys off THIS, not just the in-memory batch counter:
+        the counter dies with the process, so a crash-looping ingester
+        restarting every few triggers would defer compaction forever,
+        and crashed-and-re-fired triggers append deltas the counter
+        never saw. Disk-derived cadence is restart-proof and
+        self-heals crash-inflated chains on the next batch."""
+        n = 0
+        for table in (self.state, self.sigs):
+            for b in range(table.num_buckets):
+                chain = table.chain_dirs_for([b])
+                if not chain:
+                    continue
+                deltas = len(chain) - (0 if chain[0].name.endswith(".d") else 1)
+                n = max(n, deltas)
+        return n
 
     def compact(self, spark: SparkSession) -> dict:
         """Fold both tables' delta chains into one snapshot version per

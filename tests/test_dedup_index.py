@@ -264,3 +264,41 @@ def test_bands_without_sigs_raises(spark):
         torn.process_batch(
             spark.createDataFrame([(10, base)], "doc_id long, text string")
         )
+
+
+def test_compaction_cadence_survives_restart(spark):
+    """The cadence keys off the DISK delta-chain length, not just the
+    in-memory batch counter: a crash-looping ingester restarting every
+    few triggers would otherwise defer compaction forever (the counter
+    dies with the process), and crashed-and-re-fired triggers append
+    deltas the counter never saw. A fresh instance over long chains
+    must compact on its next batch."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[i::4] for i in range(4)]
+    path = tempfile.mkdtemp(prefix="lshidx_restart_")
+    # "process 1": compact_every=None -> pure appends, chains grow
+    p1 = StreamingDedupIndex(path, threshold=0.5, num_buckets=8, compact_every=None)
+    want = {}
+    for c in cuts[:3]:
+        for r in p1.process_batch(
+            docs.filter(F.col("doc_id").isin(sorted(c)))
+        ).collect():
+            want[r.id] = (r.is_novel, r.n_matches)
+    assert p1._max_delta_chain() >= 3
+    # "restarted process": fresh instance, counter back at 0, cadence 3
+    p2 = StreamingDedupIndex(path, threshold=0.5, num_buckets=8, compact_every=3)
+    assert p2._batches_since_compact == 0
+    for r in p2.process_batch(
+        docs.filter(F.col("doc_id").isin(sorted(cuts[3])))
+    ).collect():
+        want[r.id] = (r.is_novel, r.n_matches)
+    # disk-derived cadence fired at the batch head: chains folded back
+    # to one snapshot plus the new batch's single delta
+    assert p2._max_delta_chain() <= 1
+    # and decisions match a never-compacted same-cut run
+    plain = _index("restart_plain")
+    got = _decide(
+        plain, [docs.filter(F.col("doc_id").isin(sorted(c))) for c in cuts]
+    )
+    assert got == want
