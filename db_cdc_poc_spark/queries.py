@@ -7583,5 +7583,84 @@ def q170_bpe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q171_cdc_changelog",
+    oracle="""
+WITH applied1 AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 3 = 0)
+  WHERE rn = 1 AND event_type <> 'error'),
+applied2 AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1 AND event_type <> 'error')
+SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'c'
+            WHEN n.user_id IS NULL THEN 'd'
+            ELSE 'u' END AS op,
+       o.event_id AS before_event_id,
+       o.value    AS before_value,
+       n.event_id AS after_event_id,
+       n.value    AS after_value
+FROM applied2 n FULL OUTER JOIN applied1 o ON n.user_id = o.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR o.event_id IS DISTINCT FROM n.event_id
+   OR o.ts IS DISTINCT FROM n.ts
+   OR o.event_type IS DISTINCT FROM n.event_type
+   OR o.value IS DISTINCT FROM n.value
+""",
+)
+def q171_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog extraction (round 10): ``CdcTarget.changes_since``
+    — the applied-state delta between a committed watermark and now,
+    one (key, op, before, after) row per key whose applied row changed.
+
+    This is the changelog an incremental aggregate folds to stay
+    EXACTLY-ONCE across re-fired triggers (CRASH_SOAK_sf1.txt /
+    SCALING.md: a batch-derived changelog permanently misses rows a
+    crashed attempt committed, and double-folds replays; the state
+    delta against the last FOLDED commit does neither — a replayed
+    identical upsert yields an empty delta). The two-upsert split here
+    (event_id mod 3) deliberately mixes timestamps across batches, so
+    the delta must also stay silent for late rows that LOSE the
+    sequence race — the oracle replays the diff of the two applied
+    views. All three ops occur organically: new keys ('c'), newer rows
+    ('u'), and keys whose corpus-wide latest is a delete marker ('d').
+
+    Scale shape: a key-level full-outer diff of two applied views —
+    shuffle on the key, no driver traffic; pass ``keys_filter`` (the
+    trigger's batch keys, broadcast) to make it batch-bounded in the
+    per-trigger fold path."""
+    import tempfile
+
+    from db_cdc_poc_spark.streaming.cdc import CdcTarget
+
+    ev = _t(spark, sf_dir, "events")
+    target = CdcTarget(
+        tempfile.mkdtemp(prefix="cdc_changelog_"),
+        keys="user_id",
+        sequence_by="ts",
+        apply_as_deletes="event_type = 'error'",
+        except_columns=["props"],
+        tie_breakers="event_id",
+        keep_versions=4,
+    )
+    target.upsert_batch(ev.filter(F.col("event_id") % 3 == 0))
+    wm = target.state.commits()[-1]
+    target.upsert_batch(ev.filter(F.col("event_id") % 3 != 0))
+    return target.changes_since(spark, wm).select(
+        "user_id",
+        "op",
+        F.col("before.event_id").alias("before_event_id"),
+        F.col("before.value").alias("before_value"),
+        F.col("after.event_id").alias("after_event_id"),
+        F.col("after.value").alias("after_value"),
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

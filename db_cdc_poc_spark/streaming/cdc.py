@@ -140,6 +140,80 @@ class CdcTarget:
         drop = [c for c in self.except_columns if c in state.columns]
         return state.drop(*drop) if drop else state
 
+    def changes_since(
+        self,
+        spark: SparkSession,
+        commit: int | None,
+        keys_filter: DataFrame | None = None,
+    ) -> DataFrame:
+        """Applied-state delta between a committed watermark and now:
+        one ``(keys..., op, before, after)`` row per key whose applied
+        row changed — ``op`` 'c' (new key), 'u' (payload changed), 'd'
+        (delete applied); ``before``/``after`` are structs of the
+        applied view's non-key columns (NULL on the missing side).
+
+        This is the changelog a downstream incremental aggregate must
+        fold to stay EXACTLY-ONCE across re-fired triggers (the crash
+        soak's finding, ``scripts/crash_soak.py`` / SCALING.md): after
+        a crash between the state commit and the fold, a changelog
+        derived from the trigger's own batch permanently misses rows
+        the crashed attempt committed — upstream operators (e.g. the
+        streaming dedup index) legitimately re-decide on replay. The
+        state delta against the last FOLDED commit covers the
+        trigger's whole effect no matter which attempt wrote it, and a
+        replayed identical upsert yields an empty delta (fold is a
+        no-op). Retention: ``keep_versions`` must cover the fold's
+        watermark lag plus crash slack.
+
+        ``commit=None`` means "everything" (every applied row as 'c').
+        ``keys_filter`` (a DataFrame of key columns) prunes the diff to
+        those keys — pass the trigger's batch keys to keep the work
+        batch-bounded instead of state-bounded.
+        """
+        new = self.current(spark)
+        payload = [c for c in new.columns if c not in self.keys]
+        if keys_filter is not None:
+            new = new.join(
+                F.broadcast(keys_filter.select(*self.keys).distinct()), self.keys
+            )
+        if commit is None:
+            return new.select(
+                *self.keys,
+                F.lit("c").alias("op"),
+                F.lit(None).cast(
+                    "struct<" + ",".join(
+                        f"{f.name}:{f.dataType.simpleString()}"
+                        for f in new.schema.fields
+                        if f.name in payload
+                    ) + ">"
+                ).alias("before"),
+                F.struct(*payload).alias("after"),
+            )
+        old = self.current_at(spark, commit)
+        if keys_filter is not None:
+            old = old.join(
+                F.broadcast(keys_filter.select(*self.keys).distinct()), self.keys
+            )
+        n = new.select(*self.keys, F.struct(*payload).alias("after"))
+        o = old.select(*self.keys, F.struct(*payload).alias("before"))
+        joined = n.join(o, self.keys, "full_outer")
+        return (
+            joined.withColumn(
+                "op",
+                F.when(F.col("before").isNull(), F.lit("c"))
+                .when(F.col("after").isNull(), F.lit("d"))
+                .otherwise(F.lit("u")),
+            )
+            # unchanged keys produce no row: a replayed identical
+            # upsert must yield an EMPTY delta
+            .filter(
+                F.col("before").isNull()
+                | F.col("after").isNull()
+                | (F.col("before") != F.col("after"))
+            )
+            .select(*self.keys, "op", "before", "after")
+        )
+
 
 def stream_apply_changes(
     spark: SparkSession,

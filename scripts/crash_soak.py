@@ -199,43 +199,25 @@ def main() -> None:
     @reg.table(tier="gold", trigger="continuous")
     def gold():
         # Exactly-once incremental gold across the re-fire recovery:
-        # fold the STATE DELTA between the last commit gold folded
-        # (the watermark) and the state now, key-pruned to the
-        # trigger's keys. Batch-derived changelogs break here — the
-        # re-fired trigger's dedup decisions legitimately differ once
-        # the index has seen the batch, so rows the crashed attempt
-        # upserted would never appear in any batch's novel set again.
+        # fold CdcTarget.changes_since(fold watermark) — the applied-
+        # state delta, key-pruned to the trigger's keys. Batch-derived
+        # changelogs break here: the re-fired trigger's dedup decisions
+        # legitimately differ once the index has seen the batch, so
+        # rows the crashed attempt upserted would never appear in any
+        # batch's novel set again; and a replayed identical upsert
+        # yields an EMPTY delta, so the fold never double-applies.
         reg.read("silver")  # ordering: the upsert has happened
         batch_keys = reg.read("bronze").select("doc_id").distinct()
-        after = {
-            r.doc_id: r
-            for r in target.current(spark).join(batch_keys, "doc_id").collect()
-        }  # batch-bounded
         wm = state.get("gold_watermark")
-        if wm is None:
-            before = {}
-        else:
-            prev_state = target.state.state_at(spark, wm)
-            before = {
-                r.doc_id: r
-                for r in prev_state.join(batch_keys, "doc_id").collect()
-            }  # batch-bounded
-        rows = []
-        for k, a in after.items():
-            b = before.get(k)
-            if b is not None and (b.source, b.n_chars) == (a.source, a.n_chars):
-                continue  # unchanged (e.g. replayed by a re-fire)
-            rows.append(
-                (
-                    "u" if b is not None else "c",
-                    (b.source, int(b.n_chars)) if b is not None else None,
-                    (a.source, int(a.n_chars)),
-                )
-            )
-        changes = spark.createDataFrame(
-            rows,
-            "op string, before struct<source:string,n_chars:long>, "
-            "after struct<source:string,n_chars:long>",
+        delta = target.changes_since(spark, wm, keys_filter=batch_keys)
+        dims = lambda side: F.struct(  # noqa: E731 - tiny local reshape
+            F.col(f"{side}.source").alias("source"),
+            F.col(f"{side}.n_chars").cast("long").alias("n_chars"),
+        )
+        changes = delta.select(
+            "op",
+            F.when(F.col("before").isNotNull(), dims("before")).alias("before"),
+            F.when(F.col("after").isNotNull(), dims("after")).alias("after"),
         )
         base = state["gold"]
         if base is None:

@@ -599,3 +599,72 @@ def test_state_table_append_then_merge_interleave(spark):
     # k=2's bucket may be untouched (then its single delta row is the
     # state) — either way exactly one row per key with the right value
     assert got == [(1, "a2"), (2, "b"), (3, "c")]
+
+
+def test_cdc_changes_since_classifies_c_u_d(spark):
+    """changes_since(commit) is the applied-state delta: creates,
+    payload updates, applied deletes; unchanged keys yield NO row."""
+    target = CdcTarget(
+        tempfile.mkdtemp(prefix="cdc_cs_"),
+        keys="k", sequence_by="seq", apply_as_deletes="op = 'd'",
+        except_columns=["op", "seq"], keep_versions=4,
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", "u", 10), (2, "b", "u", 10), (3, "c", "u", 10)],
+        "k long, v string, op string, seq long",
+    )
+    target.upsert_batch(b1)
+    wm = target.state.commits()[-1]
+    # all-'c' bootstrap form
+    boot = {(r.k, r.op) for r in target.changes_since(spark, None).collect()}
+    assert boot == {(1, "c"), (2, "c"), (3, "c")}
+    b2 = spark.createDataFrame(
+        [(2, "B", "u", 20), (3, "c", "d", 20), (4, "d", "u", 20)],
+        "k long, v string, op string, seq long",
+    )
+    target.upsert_batch(b2)
+    got = {
+        (r.k, r.op, r.before.v if r.before else None, r.after.v if r.after else None)
+        for r in target.changes_since(spark, wm).collect()
+    }
+    # key 1 unchanged -> absent; 2 updated; 3 deleted; 4 created
+    assert got == {
+        (2, "u", "b", "B"),
+        (3, "d", "c", None),
+        (4, "c", None, "d"),
+    }
+
+
+def test_cdc_changes_since_replay_yields_empty_delta(spark):
+    """A re-fired trigger re-upserting the same rows must produce an
+    EMPTY delta against the post-commit watermark — the exactly-once
+    property the crash soak's gold fold relies on."""
+    target = CdcTarget(
+        tempfile.mkdtemp(prefix="cdc_cs_r_"),
+        keys="k", sequence_by="seq", keep_versions=4,
+    )
+    b = spark.createDataFrame([(1, "a", 10), (2, "b", 10)],
+                              "k long, v string, seq long")
+    target.upsert_batch(b)
+    wm = target.state.commits()[-1]
+    target.upsert_batch(b)  # the replay
+    assert target.changes_since(spark, wm).count() == 0
+
+
+def test_cdc_changes_since_keys_filter_prunes(spark):
+    target = CdcTarget(
+        tempfile.mkdtemp(prefix="cdc_cs_k_"),
+        keys="k", sequence_by="seq", keep_versions=4,
+    )
+    target.upsert_batch(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 10)],
+                              "k long, v string, seq long")
+    )
+    wm = target.state.commits()[-1]
+    target.upsert_batch(
+        spark.createDataFrame([(1, "A", 20), (2, "B", 20)],
+                              "k long, v string, seq long")
+    )
+    keys = spark.createDataFrame([(1,)], "k long")
+    got = {(r.k, r.op) for r in target.changes_since(spark, wm, keys).collect()}
+    assert got == {(1, "u")}
