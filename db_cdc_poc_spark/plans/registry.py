@@ -211,12 +211,22 @@ class TableRegistry:
         correct regardless because ``build()`` resolves dependencies
         recursively via ``read()``."""
         seen: list[str] = []
+        # in-progress guard: read() records a dep edge BEFORE build()
+        # raises on a cycle, so after one failed cyclic build the deps
+        # sets contain both back-edges — without this, every later
+        # known_order() (due(), materialize()) would recurse forever
+        # instead of repeating the clear cycle error.
+        in_progress: set[str] = set()
 
         def visit(n: str) -> None:
             if n in seen:
                 return
+            if n in in_progress:
+                raise ValueError(f"dependency cycle: {n}")
+            in_progress.add(n)
             for d in sorted(self._defs[n].deps):
                 visit(d)
+            in_progress.discard(n)
             seen.append(n)
 
         for n in self._defs:

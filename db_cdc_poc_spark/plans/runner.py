@@ -75,6 +75,20 @@ class PipelineRunner:
         if refreshed:
             # drop memoized builds so due tables re-read their sources
             self.registry._built.clear()
+            # NON-due tables must not re-execute their builders just
+            # because a downstream is due: builders are side-effectful
+            # under the runner contract (index appends, upserts), and a
+            # slow-trigger upstream firing every cycle would defeat its
+            # cadence. Serve them from their last materialized parquet
+            # instead — any table that has ever been skipped by due()
+            # was materialized on a prior cycle (first sight is always
+            # due), so the snapshot exists.
+            due_set = set(refreshed)
+            for name in self._last_run:
+                if name not in due_set:
+                    self.registry._built[name] = self.registry.spark.read.parquet(
+                        f"{self.root}/{name}"
+                    )
             self.registry.materialize(self.root, tables=refreshed)
             now = self.clock()
             for name in refreshed:

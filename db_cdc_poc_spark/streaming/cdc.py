@@ -30,7 +30,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from db_cdc_poc_spark.operators.cdc import latest_by_key
-from db_cdc_poc_spark.streaming.state import BucketedStateTable, wider_type
+from db_cdc_poc_spark.streaming.state import (
+    BucketedStateTable,
+    unify_schemas,
+    wider_type,
+)
 
 
 class CdcTarget:
@@ -170,32 +174,52 @@ class CdcTarget:
         those keys — pass the trigger's batch keys to keep the work
         batch-bounded instead of state-bounded.
         """
+        from pyspark.sql import types as T
+
         new = self.current(spark)
-        payload = [c for c in new.columns if c not in self.keys]
         if keys_filter is not None:
             new = new.join(
                 F.broadcast(keys_filter.select(*self.keys).distinct()), self.keys
             )
         if commit is None:
+            payload_fields = [
+                f for f in new.schema.fields if f.name not in self.keys
+            ]
             return new.select(
                 *self.keys,
                 F.lit("c").alias("op"),
-                F.lit(None).cast(
-                    "struct<" + ",".join(
-                        f"{f.name}:{f.dataType.simpleString()}"
-                        for f in new.schema.fields
-                        if f.name in payload
-                    ) + ">"
-                ).alias("before"),
-                F.struct(*payload).alias("after"),
+                F.lit(None)
+                .cast(T.StructType(payload_fields))
+                .alias("before"),
+                F.struct(*[f.name for f in payload_fields]).alias("after"),
             )
         old = self.current_at(spark, commit)
         if keys_filter is not None:
             old = old.join(
                 F.broadcast(keys_filter.select(*self.keys).distinct()), self.keys
             )
-        n = new.select(*self.keys, F.struct(*payload).alias("after"))
-        o = old.select(*self.keys, F.struct(*payload).alias("before"))
+        # payload = UNION of both snapshots' columns, numerics widened:
+        # upsert_batch supports additive evolution, so a column added
+        # (or int->long widened) between the watermark commit and now
+        # must appear NULL/widened on the old side, not blow up the
+        # time-travel select — same contract as state_diff below.
+        unified = unify_schemas([old.schema, new.schema])
+        val_fields = [f for f in unified.fields if f.name not in self.keys]
+
+        def _payload_struct(df: DataFrame) -> Column:
+            return F.struct(
+                *[
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in df.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in val_fields
+                ]
+            )
+
+        n = new.select(*self.keys, _payload_struct(new).alias("after"))
+        o = old.select(*self.keys, _payload_struct(old).alias("before"))
         joined = n.join(o, self.keys, "full_outer")
         return (
             joined.withColumn(

@@ -99,6 +99,7 @@ class StreamingDedupIndex:
         checkpoint_dir: str | None = None,
         compact_every: int | None = 64,
         bloom_bits: int = 1 << 21,
+        bloom_cache_entries: int | None = None,
     ) -> None:
         self.id_col = id_col
         self.text_col = text_col
@@ -133,8 +134,22 @@ class StreamingDedupIndex:
         # I/O tracks the collision-bearing region, not the index size.
         # Size bloom_bits ~10x the expected keys per bucket; an
         # overfull bucket saturates to always-read (graceful).
-        self._band_bloom = BloomFront("_band_bloom.npz", bloom_bits)
-        self._sig_bloom = BloomFront("_sig_bloom.npz", bloom_bits)
+        # Driver-cache bound: enough packed bitsets for every LIVE dir
+        # at the worst point of the compaction cycle (keep_versions
+        # full snapshots + up to compact_every deltas per bucket), so
+        # the steady-state probe never thrashes; beyond that, LRU
+        # eviction caps residency at entries * bloom_bits/8 bytes —
+        # filters are reloadable, eviction is always safe.
+        if bloom_cache_entries is None:
+            bloom_cache_entries = self.state.num_buckets * (
+                self.state.keep_versions + (compact_every or 64)
+            )
+        self._band_bloom = BloomFront(
+            "_band_bloom.npz", bloom_bits, max_entries=bloom_cache_entries
+        )
+        self._sig_bloom = BloomFront(
+            "_sig_bloom.npz", bloom_bits, max_entries=bloom_cache_entries
+        )
 
     # -- probe ------------------------------------------------------------
 
