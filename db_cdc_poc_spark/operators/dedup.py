@@ -388,8 +388,6 @@ def _prefix_filtered_pair_stats(
             .select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
-                F.col("a.n").alias("sz_a"),
-                F.col("b.n").alias("sz_b"),
             )
             .distinct()
         )
@@ -416,23 +414,39 @@ def _prefix_filtered_pair_stats(
             .select(
                 F.least("a.id", "b.id").alias("id_a"),
                 F.greatest("a.id", "b.id").alias("id_b"),
-                F.when(F.col("a.id") < F.col("b.id"), F.col("a.n"))
-                .otherwise(F.col("b.n"))
-                .alias("sz_a"),
-                F.when(F.col("a.id") < F.col("b.id"), F.col("b.n"))
-                .otherwise(F.col("a.n"))
-                .alias("sz_b"),
             )
             .distinct()
         )
-    common = (
+    # Verify by per-pair set intersection over PACKED per-doc arrays,
+    # not by re-exploding the shingle rows: the row form (cand x all of
+    # doc_a's shingles -> shuffle by (id_b, shingle) -> join -> groupBy)
+    # moves |cand| x |doc| ROWS through two exchanges and a hash
+    # aggregate — the waist that grew 9.9x at sf10 (q66, 178.9 s).
+    # Packing each doc's (distinct) shingles into one sorted array row
+    # moves the same bytes as |cand| compact rows, drops the per-pair
+    # groupBy entirely, and counts the overlap in-row with
+    # array_intersect (set semantics — shingle rows are distinct per
+    # doc, so the count is the exact common). Sizes come free from the
+    # arrays, which also removes the final join back to `cand`.
+    arrs = sh.groupBy("id").agg(F.array_sort(F.collect_list("shingle")).alias("__arr"))
+    return (
         cand.select("id_a", "id_b")
-        .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
+        .join(
+            arrs.select(F.col("id").alias("id_a"), F.col("__arr").alias("__arr_a")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("id").alias("id_b"), F.col("__arr").alias("__arr_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__arr_a", "__arr_b")).alias("common"),
+            F.size("__arr_a").alias("sz_a"),
+            F.size("__arr_b").alias("sz_b"),
+        )
     )
-    return common.join(cand, ["id_a", "id_b"])
 
 
 def ngram_jaccard_pairs(

@@ -70,6 +70,26 @@ def _check_mean_range(df: DataFrame, vec_col: str, what: str) -> None:
         )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition the streamed side of a broadcast fan-out pass up to
+    cluster width when the scan under it yields fewer partitions.
+
+    Every corpus x codebook pass here multiplies per-row work by nlist,
+    but its parallelism is inherited from the SCAN — and a compact
+    parquet corpus (one or two row groups) plans 1-2 partitions, which
+    serializes millions of cosine folds onto as many cores. Measured at
+    sf1 (20k x 128 centroids): 14.4 s on the 2 scan partitions, 1.21 s
+    repartitioned to 32 — identical checksums. The round-robin shuffle
+    moves only the corpus bytes (tiny next to the fan-out compute); on
+    a real cluster where the scan already exceeds core count this is a
+    no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _probe_dim(codebook_vectors: DataFrame, vec_col: str) -> int:
     """Vector dimensionality from a 1-row probe of the (parameter-
     bounded) codebook relation — the repo-allowed bounded-collect shape."""
@@ -644,8 +664,15 @@ def ivf_assignment_stats(
         norm(vec_col).alias("cn"),
         (cohort if cohort is not None else F.lit(False)).alias("is_new"),
     )
+    # SPREAD the corpus before the x nlist fan-out: the pair pass
+    # inherits the parquet scan's partition count, and a compact
+    # corpus file (sf10: 200k rows in 2 splits) serializes the whole
+    # n x nlist assignment onto 2 cores — the measured r10 sf10 cost
+    # (134.9 s; repartition to cluster width = 12x on the same pass,
+    # SCALING.md round-11 entry; the unrolled-dot alternative measured
+    # SLOWER and is documented there as a negative)
     assign = (
-        c.crossJoin(F.broadcast(cent))
+        _spread(c).crossJoin(F.broadcast(cent))
         .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
         .groupBy("neighbor_id", "is_new")
         .agg(
@@ -720,7 +747,7 @@ class IvfIndex:
             norm(vec_col).alias("cn"),
         )
         assign = (
-            c.crossJoin(F.broadcast(cent))
+            _spread(c).crossJoin(F.broadcast(cent))
             .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
             .groupBy("neighbor_id")
             .agg(
@@ -734,7 +761,9 @@ class IvfIndex:
         c.join(assign, "neighbor_id").write.partitionBy("list_id").mode(
             "overwrite"
         ).parquet(f"{out}/lists")
-        return IvfIndex(out, id_col, vec_col)
+        idx = IvfIndex(out, id_col, vec_col)
+        idx.refresh_drift_stats(corpus.sparkSession)
+        return idx
 
     # -- incremental maintenance ------------------------------------------
 
@@ -754,7 +783,7 @@ class IvfIndex:
             norm(self.vec_col).alias("cn"),
         )
         assign = (
-            c.crossJoin(F.broadcast(cent))
+            _spread(c).crossJoin(F.broadcast(cent))
             .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
             .groupBy("neighbor_id")
             .agg(
@@ -763,9 +792,116 @@ class IvfIndex:
                 ).alias("list_id")
             )
         )
-        c.join(assign, "neighbor_id").write.partitionBy("list_id").mode(
-            "append"
-        ).parquet(f"{self.path}/lists")
+        routed = materialize(
+            c.join(assign, "neighbor_id"), label="ivf-append-routed"
+        )
+        routed.write.partitionBy("list_id").mode("append").parquet(
+            f"{self.path}/lists"
+        )
+        # fold the batch's per-list drift partials into the sketch
+        # (mergeable: per-list integer sums append; the report sums
+        # them). Ordering lists-first: a crash here leaves the sketch
+        # short and the row-count guard falls back to the full scan.
+        self._write_drift_partial(spark, routed, cent, mode="append")
+
+    # -- drift sketch -------------------------------------------------------
+
+    def _codebook_fingerprint(self, spark: SparkSession) -> int:
+        """Order-independent content hash of the stored codebook — the
+        sketch validity token: per-list partials are argmax-vs-THIS-
+        codebook facts, so any codebook change (recluster, external
+        retrain) must invalidate them."""
+        cent = spark.read.parquet(f"{self.path}/centroids")
+        row = cent.agg(
+            F.bit_xor(F.xxhash64(F.struct("cid", "ce", "cen"))).alias("h")
+        ).first()
+        return int(row.h) if row is not None and row.h is not None else 0
+
+    def _write_drift_partial(
+        self,
+        spark: SparkSession,
+        members: DataFrame,
+        cent: DataFrame,
+        mode: str,
+    ) -> None:
+        """One (list_id, n_vectors, cos_sum, codebook_fp) row per
+        touched list for ``members`` (cv, cn, list_id rows): the
+        member-to-OWN-centroid cosine partials — an O(|members|)
+        equi-join against the k-bounded codebook, one dot per row."""
+        fp = self._codebook_fingerprint(spark)
+        own = members.join(
+            F.broadcast(cent), members["list_id"] == cent["cid"]
+        ).withColumn("own_cos", paired_cosine("cv", "ce", "cn", "cen"))
+        stats = (
+            # normalize the key type: `list_id` arrives as LONG from an
+            # append's assignment but as INT when re-read through the
+            # hive-partitioned lists layout — mixed physical types in
+            # one parquet dir break the vectorized reader
+            own.groupBy(F.col("list_id").cast("long").alias("list_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.sum(
+                    F.round((F.col("own_cos") + 1) * 1_000_000, 0).cast("long")
+                ).alias("cos_sum"),
+            )
+            .withColumn("codebook_fp", F.lit(fp))
+        )
+        stats.write.mode(mode).parquet(f"{self.path}/drift_stats")
+
+    def refresh_drift_stats(self, spark: SparkSession) -> None:
+        """(Re)seed the sketch from the persisted lists: one O(index)
+        pass with ONE dot per row (own-centroid equi-join, not the
+        nlist-wide argmax). Call after build (done automatically) or
+        after any codebook change once the lists are consistent."""
+        cent = spark.read.parquet(f"{self.path}/centroids")
+        lists = spark.read.parquet(f"{self.path}/lists")
+        self._write_drift_partial(spark, lists, cent, mode="overwrite")
+
+    def _drift_finish(self, per_list: DataFrame) -> DataFrame:
+        """(list_id, n_vectors, __cos_sum, n_misassigned) partials ->
+        the report schema (shared by sketch and full-scan paths)."""
+        total = per_list.agg(F.sum("n_vectors").alias("__n_tot"))
+        return per_list.crossJoin(F.broadcast(total)).select(
+            # stable LONG key whichever path produced the partials (the
+            # hive-partitioned lists read infers int, appends carry long)
+            F.col("list_id").cast("long").alias("list_id"),
+            "n_vectors",
+            F.expr("1000000 * n_vectors div __n_tot").alias("occupancy_ppm"),
+            (F.expr("__cos_sum div n_vectors") - F.lit(1_000_000)).alias(
+                "avg_cos_ppm"
+            ),
+            "n_misassigned",
+        )
+
+    def _drift_report_from_sketch(
+        self, spark: SparkSession, lists: DataFrame
+    ) -> DataFrame | None:
+        """The sketch fast path, or None when the sketch can't prove
+        itself current (missing, foreign codebook_fp, or row total !=
+        lists row count)."""
+        try:
+            sk = spark.read.parquet(f"{self.path}/drift_stats")
+        except Exception:
+            return None
+        fps = [r.codebook_fp for r in sk.select("codebook_fp").distinct().collect()]
+        if len(fps) != 1 or fps[0] != self._codebook_fingerprint(spark):
+            return None
+        # row-count guard: parquet metadata count on both sides — a
+        # crash between the lists append and the sketch append leaves
+        # the sketch short; fall back rather than under-report
+        per_list = materialize(
+            sk.groupBy("list_id").agg(
+                F.sum("n_vectors").alias("n_vectors"),
+                F.sum("cos_sum").alias("__cos_sum"),
+            ),
+            label="drift-sketch",
+        )
+        sk_total = per_list.agg(F.sum("n_vectors").alias("n")).first().n
+        if sk_total != lists.count():
+            return None
+        return self._drift_finish(
+            per_list.withColumn("n_misassigned", F.lit(0).cast("long"))
+        )
 
     # -- maintenance diagnostics -------------------------------------------
 
@@ -794,14 +930,26 @@ class IvfIndex:
           lists (external re-train, partial rebuild) and probes are
           losing recall NOW — re-cluster.
 
-        Plan: lists scan -> broadcast codebook cross join (build side
-        = nlist rows, an algorithm parameter) -> one groupBy(list_id).
-        No corpus self-join, no collect.
+        Plan, fast path: the per-list drift SKETCH maintained at
+        build/append time (``drift_stats``: mergeable integer partials
+        of the own-centroid cosine) makes this a |partials|-row scan
+        plus a metadata row count — O(lists), no corpus pass. Valid
+        only while every partial's ``codebook_fp`` matches the current
+        codebook (then assignments are argmax-by-construction and
+        ``n_misassigned`` is provably 0) and the partials' row total
+        equals the lists' (a torn append leaves the sketch short).
+        Otherwise — recluster, external retrain, torn write — the full
+        scan below answers: lists scan -> broadcast codebook cross
+        join (build side = nlist rows, an algorithm parameter) -> one
+        groupBy(list_id). No corpus self-join, no collect.
         """
         cent = spark.read.parquet(f"{self.path}/centroids")
         lists = spark.read.parquet(f"{self.path}/lists")
+        fast = self._drift_report_from_sketch(spark, lists)
+        if fast is not None:
+            return fast
         best = (
-            lists.crossJoin(F.broadcast(cent))
+            _spread(lists).crossJoin(F.broadcast(cent))
             .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
             .groupBy("neighbor_id", "list_id")
             .agg(
@@ -832,19 +980,7 @@ class IvfIndex:
                 (F.col("best_cid") != F.col("list_id")).cast("long")
             ).alias("n_misassigned"),
         )
-        total = per_list.agg(F.sum("n_vectors").alias("__n_tot"))
-        return (
-            per_list.crossJoin(F.broadcast(total))
-            .select(
-                "list_id",
-                "n_vectors",
-                F.expr("1000000 * n_vectors div __n_tot").alias("occupancy_ppm"),
-                (F.expr("__cos_sum div n_vectors") - F.lit(1_000_000)).alias(
-                    "avg_cos_ppm"
-                ),
-                "n_misassigned",
-            )
-        )
+        return self._drift_finish(per_list)
 
     # -- maintenance: partial re-cluster ------------------------------------
 
@@ -1019,6 +1155,12 @@ class IvfIndex:
         for lid in sel - kept:
             _sh.rmtree(_P(lists_path) / f"list_id={lid}", ignore_errors=True)
         full_cent.write.mode("overwrite").parquet(f"{self.path}/centroids")
+        # the codebook changed: every drift-sketch partial is stale
+        # (argmax-vs-OLD-codebook facts). Drop the sketch — the fp
+        # guard would fall back anyway, this just stops the stale file
+        # from growing; refresh_drift_stats() re-seeds when wanted.
+        # Deletion is crash-safe at any point (absence => full scan).
+        _sh.rmtree(_P(self.path) / "drift_stats", ignore_errors=True)
         # both directories changed under any cached file listings —
         # invalidate so a follow-up drift_report/probe re-lists
         spark.catalog.refreshByPath(lists_path)

@@ -121,6 +121,125 @@ class IncrementalGold:
         ).orderBy(F.col("date_time").desc())
 
 
+class ChangelogFoldedAggregate:
+    """Exactly-once incremental aggregate over a ``CdcTarget``, fed by
+    the target's OWN applied-state delta (``CdcTarget.changes_since``)
+    instead of a changelog derived from the trigger's batch.
+
+    Why not fold the batch? The crash soak (``scripts/crash_soak.py``,
+    CRASH_SOAK_sf1.txt) showed a batch-derived changelog breaks
+    exactly-once under re-fired triggers: upstream operators (e.g. the
+    streaming dedup index) legitimately re-decide on replay, so rows
+    the crashed attempt committed never reappear in any batch's novel
+    set — the fold misses them forever; and a replayed identical
+    upsert double-folds. The state delta against the last FOLDED
+    commit covers the trigger's whole effect no matter which attempt
+    wrote it, and an identical replay yields an EMPTY delta.
+
+    Per trigger, AFTER the target's upsert, call
+    ``fold_trigger(spark, batch_keys)``:
+
+    * ``batch_keys`` (a DataFrame of the trigger's key values) keeps
+      the diff BATCH-bounded via ``changes_since``'s broadcast
+      ``keys_filter`` — without it the diff is state-bounded. Safe
+      because a key's applied row can only change in a trigger whose
+      batch contains that key; pass ``None`` after a recovery gap
+      whose batches are unknown (one state-bounded catch-up diff).
+    * the fold advances the watermark to the target's latest commit;
+      folding twice without an upsert in between is a no-op.
+
+    Retention contract: the target's ``keep_versions`` must cover the
+    fold's watermark lag plus crash slack — if the watermark commit
+    has been vacuumed, ``changes_since`` raises
+    ``StateVersionVacuumedError`` LOUDLY (propagated, never swallowed:
+    silently refolding from scratch would double-count every key).
+
+    The aggregate itself is ``delta_aggregate`` (operators/ivm.py):
+    (group_keys..., n, sum of each measure), pinned to a tiny local
+    DataFrame per trigger so each fold's plan is O(delta), not a
+    growing plan-tree over every trigger so far.
+    """
+
+    def __init__(
+        self,
+        target,
+        group_keys: Sequence[str],
+        measures: Sequence[str],
+        count_col: str = "n",
+        schema: str | None = None,
+    ) -> None:
+        self.target = target
+        self.group_keys = list(group_keys)
+        self.measures = list(measures)
+        self.count_col = count_col
+        # aggregate schema (DDL). Default: string group keys + long
+        # sums; pass explicitly for non-string keys or wider sums.
+        self._schema = schema or self._schema_ddl()
+        self._agg: DataFrame | None = None
+        self._watermark: int | None = None
+
+    @property
+    def watermark(self) -> int | None:
+        """Last folded commit (None until the first fold)."""
+        return self._watermark
+
+    def _schema_ddl(self) -> str:
+        cols = ", ".join(
+            [f"`{k}` string" for k in self.group_keys]
+            + [f"`{self.count_col}` long"]
+            + [f"`{m}` long" for m in self.measures]
+        )
+        return cols
+
+    def fold_trigger(
+        self, spark: SparkSession, batch_keys: DataFrame | None = None
+    ) -> DataFrame:
+        """Fold everything the target applied since the watermark;
+        returns (and pins) the refreshed aggregate."""
+        from db_cdc_poc_spark.operators.ivm import delta_aggregate
+
+        delta = self.target.changes_since(
+            spark, self._watermark, keys_filter=batch_keys
+        )
+
+        def _dims(side: str):
+            return F.struct(
+                *[F.col(f"{side}.{k}").alias(k) for k in self.group_keys],
+                *[
+                    F.col(f"{side}.{m}").cast("long").alias(m)
+                    for m in self.measures
+                ],
+            )
+
+        changes = delta.select(
+            "op",
+            F.when(F.col("before").isNotNull(), _dims("before")).alias("before"),
+            F.when(F.col("after").isNotNull(), _dims("after")).alias("after"),
+        )
+        base = self._agg
+        if base is None:
+            base = spark.createDataFrame([], self._schema)
+        new_agg = delta_aggregate(
+            base,
+            changes,
+            keys=self.group_keys,
+            measures=self.measures,
+            count_col=self.count_col,
+        )
+        # pin: the fold result is |groups|-sized (tiny); re-deriving it
+        # lazily next trigger would chain every fold's plan
+        self._agg = spark.createDataFrame(new_agg.collect(), new_agg.schema)
+        commits = self.target.state.commits()
+        if commits:
+            self._watermark = commits[-1]
+        return self._agg
+
+    def current(self, spark: SparkSession) -> DataFrame:
+        if self._agg is None:
+            raise ValueError("no fold has run yet")
+        return self._agg
+
+
 def stream_gold_inventory(
     spark: SparkSession,
     changes_path: str,

@@ -30,9 +30,11 @@ gold — the engine's @dlt.table graph):
   dedup_novel  StreamingDedupIndex.process_batch decisions joined
                back; duplicates dropped
   silver       CdcTarget.upsert_batch(novel); current() view
-  gold         delta_aggregate folded with the trigger's insert/update
-               changelog (before-images fetched key-pruned from the
-               pre-upsert silver)
+  gold         ChangelogFoldedAggregate: delta_aggregate folded with
+               the CdcTarget's OWN applied-state delta (changes_since
+               against the last folded commit, keys_filter = the
+               trigger's batch keys) — the crash-safe default feed; an
+               injected re-fire at trigger 7 must leave gold identical
 
 Writes PIPELINE_SOAK_sf1.txt.
 
@@ -67,12 +69,12 @@ def dir_stats(path: Path) -> tuple[int, int]:
 
 def main() -> None:
     from db_cdc_poc_spark.operators.cdc import apply_changes
-    from db_cdc_poc_spark.operators.ivm import delta_aggregate
     from db_cdc_poc_spark.operators.text import whitespace_token_count
     from db_cdc_poc_spark.plans.registry import Expectation, TableRegistry
     from db_cdc_poc_spark.plans.runner import PipelineRunner
     from db_cdc_poc_spark.streaming.cdc import CdcTarget
     from db_cdc_poc_spark.streaming.dedup_index import StreamingDedupIndex
+    from db_cdc_poc_spark.streaming.gold import ChangelogFoldedAggregate
 
     spark = get_spark(app_name="pipeline-soak")
     lines: list[str] = [f"composed pipeline soak over {SF_DIR}, {N_TRIGGERS} triggers"]
@@ -156,59 +158,30 @@ def main() -> None:
     @reg.table(tier="silver", trigger="continuous")
     def silver():
         novel = reg.read("dedup_novel")
-        # before-images for the gold changelog: key-pruned lookup of
-        # the batch's doc_ids in the PRE-upsert state
-        try:
-            prev = target.current(spark)
-        except ValueError:
-            prev = None
-        if prev is not None:
-            before = novel.select("doc_id").join(prev, "doc_id")
-        else:
-            before = None
-        state["before"] = (
-            before.collect() if before is not None else []
-        )  # batch-bounded: only the trigger's keys
-        state["novel_rows"] = novel.collect()  # batch-bounded
         target.upsert_batch(novel)
         return target.current(spark)
+
+    # gold fold feed = the CdcTarget's OWN applied-state delta
+    # (changes_since), NOT a batch-derived changelog — the crash-safe
+    # default (VERDICT r10 ask #2; scripts/crash_soak.py proved the
+    # operator, this soak proves the composed PRODUCTION path)
+    gold_fold = ChangelogFoldedAggregate(
+        target, group_keys=["source"], measures=["n_chars"]
+    )
 
     @reg.table(tier="gold", trigger="continuous")
     def gold():
         reg.read("silver")  # ordering: upsert must have happened
-        before_by_id = {r.doc_id: r for r in state["before"]}
-        rows = []
-        for r in state["novel_rows"]:
-            b = before_by_id.get(r.doc_id)
-            rows.append(
-                (
-                    "u" if b is not None else "c",
-                    (b.source, int(b.n_chars)) if b is not None else None,
-                    (r.source, int(r.n_chars)),
-                )
-            )
-        changes = spark.createDataFrame(
-            rows,
-            "op string, before struct<source:string,n_chars:long>, "
-            "after struct<source:string,n_chars:long>",
-        )
-        base = state["gold"]
-        if base is None:
-            base = spark.createDataFrame(
-                [], "source string, n long, n_chars long"
-            )
-        new_gold = delta_aggregate(
-            base, changes, keys=["source"], measures=["n_chars"]
-        )
-        # pin the tiny (|sources|-row) aggregate so next cycle's fold
-        # doesn't re-derive this one's plan
-        new_gold = spark.createDataFrame(
-            new_gold.collect(), "source string, n long, n_chars long"
-        )
+        # keys_filter = the trigger's batch keys: keeps the state diff
+        # batch-bounded (broadcast semi-prune), never state-bounded
+        batch_keys = reg.read("bronze").select("doc_id").distinct()
+        new_gold = gold_fold.fold_trigger(spark, batch_keys)
         state["gold"] = new_gold
         return new_gold
 
     runner = PipelineRunner(reg, root=str(work / "tables"))
+
+    REFIRE_TRIGGER = 7  # injected re-fire: same cycle runs twice
 
     seen_dirs: list[str] = []
     all_pass = True
@@ -227,6 +200,29 @@ def main() -> None:
         seen_dirs.append(str(d))
 
         checks = []
+
+        if t == REFIRE_TRIGGER:
+            # injected re-fire: the SAME trigger runs again (the crash-
+            # recovery shape — an orchestrator re-delivers a batch).
+            # The index re-decides (everything now duplicates), the
+            # upsert is empty/idempotent, changes_since yields an EMPTY
+            # delta, and gold must come out byte-identical.
+            gold_before = {
+                (r.source, r.n, r.n_chars) for r in state["gold"].collect()
+            }
+            runner.run_cycle()
+            d2 = work / f"deduped_{t:02d}_refire"
+            spark.read.parquet(
+                str(work / "tables" / "dedup_novel")
+            ).write.mode("overwrite").parquet(str(d2))
+            seen_dirs.append(str(d2))
+            gold_after = {
+                (r.source, r.n, r.n_chars) for r in state["gold"].collect()
+            }
+            checks.append(
+                ("refire_noop", gold_before == gold_after,
+                 f"gold_rows={len(gold_after)}")
+            )
 
         # 1. dedup: no re-sent (id >= 50M) doc may reach silver-input
         leaked = (
