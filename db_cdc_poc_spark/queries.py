@@ -7662,5 +7662,83 @@ def q171_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q172_kafka_wire_replay",
+    oracle="""
+WITH h AS (
+  SELECT event_id, user_id, event_type,
+         CAST(user_id % 4 AS INT) AS partition
+  FROM events ORDER BY event_id LIMIT 500
+)
+SELECT partition,
+       CAST(row_number() OVER (PARTITION BY partition
+                               ORDER BY event_id) - 1 AS BIGINT) AS offset,
+       user_id, event_type
+FROM h
+""",
+)
+def q172_kafka_wire_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka option semantics over the wire-shaped file source
+    (sources/kafka_wire.py; S3/S4 behavioral parity, round 11): a
+    deterministic 500-event head (parameter-bounded) is produced into
+    a 4-partition file log keyed by ``user_id % 4`` — offsets are
+    append order, i.e. event_id order within a partition — then
+    consumed back through ``readStream.format("kafka_wire")`` with
+    ``startingOffsets=earliest`` and ``maxOffsetsPerTrigger=64`` (so
+    the drain spans multiple rate-limited micro-batches, the T4
+    contract). The oracle replays partition/offset assignment
+    relationally; any dropped, duplicated, or mis-ordered offset
+    breaks the value hash.
+
+    Scale shape: the log is the parallelism unit (one InputPartition
+    per Kafka partition per micro-batch — a 1000-executor cluster fans
+    out like the real connector); the 500-row head is a fixed
+    parameter, never a corpus fraction."""
+    import tempfile
+    import uuid
+
+    from db_cdc_poc_spark.sources.kafka_wire import append_records, register
+
+    ev = _t(spark, sf_dir, "events")
+    head = (
+        ev.select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .limit(500)
+        .collect()  # parameter-bounded: fixed 500-row head
+    )
+    log = tempfile.mkdtemp(prefix="kwire_q172_")
+    by_p: dict[int, list] = {}
+    for r in head:
+        by_p.setdefault(int(r.user_id) % 4, []).append(
+            (str(r.user_id), r.event_type, int(r.event_id))
+        )
+    for p, recs in sorted(by_p.items()):
+        append_records(log, p, recs)
+    register(spark)
+    sink = f"q172_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("kafka_wire")
+        .option("path", log)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", "64")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(processingTime="50 milliseconds")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_q172_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink).select(
+        "partition",
+        "offset",
+        F.col("key").cast("bigint").alias("user_id"),
+        F.col("value").alias("event_type"),
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)
