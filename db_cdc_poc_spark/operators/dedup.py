@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from db_cdc_poc_spark.checkpointing import materialize
+from db_cdc_poc_spark.partitioning import spread_scan
 from db_cdc_poc_spark.operators.cdc import latest_by_key
 
 # --------------------------------------------------------------------------
@@ -138,8 +139,14 @@ def hashed_shingle_rows(
     """(id, shingle) rows with 64-bit HASHED shingles — the drop-in
     fast form of ``shingle_rows`` for every consumer that joins,
     aggregates, or orders on shingles without exposing their values
-    (the pair-join family, MinHash, decontamination)."""
-    return df.select(
+    (the pair-join family, MinHash, decontamination).
+
+    The input is SPREAD to cluster width first (``partitioning.
+    spread_scan``): the explode multiplies 73 MB of sf10 documents
+    into gigabytes of rows inside the scan's own stage, and that scan
+    plans <= 3 partitions (row-group bound) — without the spread the
+    whole corpus tokenization runs on 3 of 32 cores."""
+    return spread_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_ngram_hashes_col(text_col, n))).alias(
             "shingle"
@@ -157,7 +164,7 @@ def shingle_rows(
     string rows. This is the shared candidate-generation base for the
     Jaccard and MinHash paths.
     """
-    return df.select(
+    return spread_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles_col(text_col, n)).alias("shingle"),
     )
@@ -573,7 +580,7 @@ def winnowed_fingerprints(
     """
     from pyspark.sql import Window as W
 
-    grams = df.select(
+    grams = spread_scan(df).select(
         F.col(id_col).alias("id"), word_ngrams_col(text_col, k).alias("g")
     ).select("id", F.size("g").alias("n"), F.posexplode("g").alias("pos", "gram"))
     h = token_hash64("gram", hash_fn).bitwiseAND(F.lit((1 << 63) - 1))
@@ -1223,6 +1230,7 @@ def span_hash_rows(
     n-long slice) — the default scale path. 'md5'/'xxhash64' hash the
     gram string; md5 stays available for cross-engine value replay.
     """
+    df = spread_scan(df)
     if hash_fn == "fast":
         return df.select(
             F.col(id_col).alias("id"),
@@ -1328,6 +1336,7 @@ def remove_duplicate_spans(
     single spaces; fully-duplicated docs yield ``''`` — filter on
     ``dup_tokens < n_tokens`` to drop them).
     """
+    df = spread_scan(df)
     grams = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(word_ngram_hashes_col(text_col, window)).alias(

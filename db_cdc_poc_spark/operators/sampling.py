@@ -462,7 +462,9 @@ def dsir_log_weights(
         F.slice(toks, 2, cnt),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    feat = df.select(
+    from db_cdc_poc_spark.partitioning import spread_scan
+
+    feat = spread_scan(df).select(
         F.col(id_col).alias("__id"),
         target.alias("__tgt"),
         F.explode(F.concat(toks, bigrams)).alias("__gram"),

@@ -119,12 +119,17 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken
     by neighbor_id for determinism.
     """
+    from db_cdc_poc_spark.partitioning import spread_scan
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm(vec_col).alias("qn"),
     )
-    c = corpus.select(
+    # spread: the corpus side carries the |Q| fan-out, and a compact
+    # embeddings file plans ONE scan partition (single row group at
+    # sf10) — see partitioning.spread_scan
+    c = spread_scan(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(vec_col).alias("cn"),

@@ -137,6 +137,11 @@ def quality_features(
     sw_ok = F.least(sw / F.lit(0.2), F.lit(1.0))
     punct_ok = F.greatest(F.lit(1.0) - pr * 4, F.lit(0.0))
     score = F.round((length_ok + sw_ok + punct_ok) / 3, 6)
+    # spread: map-only but regex-heavy per row, and a compact corpus
+    # file plans <= 3 scan partitions (see partitioning.spread_scan)
+    from db_cdc_poc_spark.partitioning import spread_scan
+
+    df = spread_scan(df)
     return df.select(
         F.col(id_col).alias("id"),
         F.length(t).alias("n_chars"),
@@ -309,7 +314,9 @@ def repetition_features(
     before the join, so the join shuffles |docs| rows, not |tokens|.
     """
     from db_cdc_poc_spark.operators.dedup import word_ngrams_col
+    from db_cdc_poc_spark.partitioning import spread_scan
 
+    df = spread_scan(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(whitespace_tokens(text_col)).alias("g"),
@@ -437,7 +444,9 @@ def chunk_documents(
 
     Output: (id, chunk_id, n_tokens, chunk_text), chunk_id 0-based.
     """
-    toks = df.select(
+    from db_cdc_poc_spark.partitioning import spread_scan
+
+    toks = spread_scan(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(whitespace_tokens(text_col)).alias("pos", "tok"),
     )
@@ -558,7 +567,9 @@ def strip_boilerplate(
     ``n_boiler_chunks``, ``clean_text`` ('' when everything was
     boilerplate).
     """
-    toks = df.select(
+    from db_cdc_poc_spark.partitioning import spread_scan
+
+    toks = spread_scan(df).select(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),
         F.posexplode(whitespace_tokens(text_col)).alias("pos", "tok"),
@@ -949,8 +960,10 @@ def bm25_topk(
     repeating a term in ``query_terms`` does not double its weight
     (qtf weighting is a BM25 variant this operator does not implement).
     """
+    from db_cdc_poc_spark.partitioning import spread_scan
+
     terms = sorted({t.lower() for t in query_terms})
-    toks = df.select(
+    toks = spread_scan(df).select(
         F.col(id_col).alias("id"),
         F.transform(whitespace_tokens(text_col), lambda t: F.lower(t)).alias(
             "toks"

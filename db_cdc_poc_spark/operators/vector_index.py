@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from db_cdc_poc_spark.checkpointing import materialize
+from db_cdc_poc_spark.partitioning import spread_scan as _spread
 from db_cdc_poc_spark.operators.similarity import norm, paired_cosine
 
 # Offset added to every vector element before floor-micro-scaling in
@@ -68,26 +69,6 @@ def _check_mean_range(df: DataFrame, vec_col: str, what: str) -> None:
             f"holds for |element| < {_MEAN_OFFSET}. Rescale the "
             "vectors before training."
         )
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition the streamed side of a broadcast fan-out pass up to
-    cluster width when the scan under it yields fewer partitions.
-
-    Every corpus x codebook pass here multiplies per-row work by nlist,
-    but its parallelism is inherited from the SCAN — and a compact
-    parquet corpus (one or two row groups) plans 1-2 partitions, which
-    serializes millions of cosine folds onto as many cores. Measured at
-    sf1 (20k x 128 centroids): 14.4 s on the 2 scan partitions, 1.21 s
-    repartitioned to 32 — identical checksums. The round-robin shuffle
-    moves only the corpus bytes (tiny next to the fan-out compute); on
-    a real cluster where the scan already exceeds core count this is a
-    no-op.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
 
 
 def _probe_dim(codebook_vectors: DataFrame, vec_col: str) -> int:
