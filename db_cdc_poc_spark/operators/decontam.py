@@ -93,7 +93,9 @@ def contaminated_docs(
     # explode() share ONE evaluation per row (CollapseProject keeps a
     # twice-referenced non-cheap alias materialized instead of inlining
     # it into both consumers).
-    train_sh = train_df.select(
+    from db_cdc_poc_spark.partitioning import spread_scan
+
+    train_sh = spread_scan(train_df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_ngram_hashes_col(text_col, n)).alias("sh"),
     ).select(
