@@ -275,6 +275,7 @@ def _exact_pair_stats(
     docs: DataFrame,
     mode: str = "auto",
     checkpoint_dir: str | None = None,
+    max_pack_shingles: int | None = 2_000_000,
 ) -> DataFrame:
     """Dispatch the EXACT pair-stats computation by corpus size.
 
@@ -292,7 +293,11 @@ def _exact_pair_stats(
         return _pair_stats_from_rows(sh, checkpoint_dir=checkpoint_dir)
     if mode == "prefix":
         return _prefix_filtered_pair_stats(
-            sh, threshold, measure, checkpoint_dir=checkpoint_dir
+            sh,
+            threshold,
+            measure,
+            checkpoint_dir=checkpoint_dir,
+            max_pack_shingles=max_pack_shingles,
         )
     raise ValueError(f"unknown mode: {mode!r} (want 'auto'|'naive'|'prefix')")
 
@@ -302,6 +307,7 @@ def _prefix_filtered_pair_stats(
     threshold: float,
     measure: str,
     checkpoint_dir: str | None = None,
+    max_pack_shingles: int | None = 2_000_000,
 ) -> DataFrame:
     """(id_a, id_b, common, sz_a, sz_b) for every pair that can reach
     ``measure >= threshold`` — the EXACT set-similarity join with
@@ -335,6 +341,17 @@ def _prefix_filtered_pair_stats(
     Output contract: superset of all pairs reaching the threshold,
     with exact stats — callers apply the same final filter they would
     on the unfiltered core, so results are bit-identical.
+
+    Giant-document bound (``max_pack_shingles``): the verify step packs
+    each doc's distinct fingerprints into ONE array row (8 bytes each),
+    so a pathological 500 MB document (~10^8 distinct shingles) would
+    become an ~800 MB single row in a shuffle. Docs whose
+    distinct-shingle count exceeds the cap (default 2e6 = ~16 MB/row)
+    are EXCLUDED from packing; candidate pairs touching one are
+    verified by the row-form overlap count instead — the same exact
+    stats at bounded row size, paying the row-join waist only for the
+    (rare) giant-touching pairs. Nothing is truncated or dropped;
+    ``None`` disables the routing (pure array verify).
     """
     from pyspark.sql import Window as W
 
@@ -435,10 +452,40 @@ def _prefix_filtered_pair_stats(
     # array_intersect (set semantics — shingle rows are distinct per
     # doc, so the count is the exact common). Sizes come free from the
     # arrays, which also removes the final join back to `cand`.
-    arrs = sh.groupBy("id").agg(F.array_sort(F.collect_list("shingle")).alias("__arr"))
-    return (
-        cand.select("id_a", "id_b")
-        .join(
+    cand = cand.select("id_a", "id_b")
+    if max_pack_shingles is not None:
+        # route giant-touching pairs off the packed path (docstring
+        # "Giant-document bound"); giants are rare by construction, so
+        # the marker set broadcasts (one long column)
+        big = counts.filter(F.col("n") > int(max_pack_shingles)).select("id")
+        marked = cand.join(
+            F.broadcast(
+                big.select(F.col("id").alias("id_a"), F.lit(True).alias("__ga"))
+            ),
+            "id_a",
+            "left",
+        ).join(
+            F.broadcast(
+                big.select(F.col("id").alias("id_b"), F.lit(True).alias("__gb"))
+            ),
+            "id_b",
+            "left",
+        )
+        pack_cand = marked.filter(
+            F.col("__ga").isNull() & F.col("__gb").isNull()
+        ).select("id_a", "id_b")
+        giant_cand = marked.filter(
+            F.col("__ga").isNotNull() | F.col("__gb").isNotNull()
+        ).select("id_a", "id_b")
+        pack_src = sh.join(F.broadcast(big), "id", "left_anti")
+    else:
+        pack_cand, giant_cand, pack_src = cand, None, sh
+
+    arrs = pack_src.groupBy("id").agg(
+        F.array_sort(F.collect_list("shingle")).alias("__arr")
+    )
+    packed = (
+        pack_cand.join(
             arrs.select(F.col("id").alias("id_a"), F.col("__arr").alias("__arr_a")),
             "id_a",
         )
@@ -454,6 +501,22 @@ def _prefix_filtered_pair_stats(
             F.size("__arr_b").alias("sz_b"),
         )
     )
+    if giant_cand is None:
+        return packed
+    # row-form exact overlap for the giant-touching pairs: candidate
+    # pairs always share >= 1 shingle, so the groupBy drops nothing
+    giant_common = (
+        giant_cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    giant_stats = giant_common.join(
+        counts.select(F.col("id").alias("id_a"), F.col("n").alias("sz_a")), "id_a"
+    ).join(
+        counts.select(F.col("id").alias("id_b"), F.col("n").alias("sz_b")), "id_b"
+    ).select("id_a", "id_b", "common", "sz_a", "sz_b")
+    return packed.unionByName(giant_stats)
 
 
 def ngram_jaccard_pairs(
@@ -465,6 +528,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
     mode: str = "auto",
     checkpoint_dir: str | None = None,
+    max_pack_shingles: int | None = 2_000_000,
 ) -> DataFrame:
     """All pairs (a < b) whose word-n-gram Jaccard similarity >= threshold.
 
@@ -487,6 +551,7 @@ def ngram_jaccard_pairs(
             df,
             mode,
             checkpoint_dir,
+            max_pack_shingles,
         )
         if max_doc_freq is None
         else _pair_shingle_stats(df, id_col, text_col, n, max_doc_freq)
@@ -511,6 +576,7 @@ def containment_pairs(
     max_doc_freq: int | None = None,
     mode: str = "auto",
     checkpoint_dir: str | None = None,
+    max_pack_shingles: int | None = 2_000_000,
 ) -> DataFrame:
     """All pairs (a < b) with shingle containment >= threshold:
     |A ∩ B| / min(|A|, |B|) — Broder's containment measure.
@@ -536,6 +602,7 @@ def containment_pairs(
             df,
             mode,
             checkpoint_dir,
+            max_pack_shingles,
         )
         if max_doc_freq is None
         else _pair_shingle_stats(df, id_col, text_col, n, max_doc_freq)
@@ -605,6 +672,7 @@ def winnowed_containment_pairs(
     max_doc_freq: int | None = None,
     mode: str = "auto",
     checkpoint_dir: str | None = None,
+    max_pack_shingles: int | None = 2_000_000,
 ) -> DataFrame:
     """Containment over winnowed fingerprint sets — the corpus-scale
     form of ``containment_pairs``: same |A ∩ B| / min(|A|, |B|)
@@ -619,7 +687,10 @@ def winnowed_containment_pairs(
         "id", F.col("h").alias("shingle")
     )
     stats = (
-        _exact_pair_stats(fp, threshold, "containment", df, mode, checkpoint_dir)
+        _exact_pair_stats(
+            fp, threshold, "containment", df, mode, checkpoint_dir,
+            max_pack_shingles,
+        )
         if max_doc_freq is None
         else _pair_stats_from_rows(fp, max_doc_freq, checkpoint_dir)
     )

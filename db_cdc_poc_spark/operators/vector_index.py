@@ -779,6 +779,11 @@ class IvfIndex:
         routed.write.partitionBy("list_id").mode("append").parquet(
             f"{self.path}/lists"
         )
+        # keep the persisted PQ codes in step (O(batch) encode+append);
+        # ordering lists-first: a crash here leaves codes SHORT, which
+        # probe_adc's row-count guard catches loudly (refresh_pq repairs)
+        if self.has_pq():
+            self._append_pq(spark, routed)
         # fold the batch's per-list drift partials into the sketch
         # (mergeable: per-list integer sums append; the report sums
         # them). Ordering lists-first: a crash here leaves the sketch
@@ -1146,6 +1151,41 @@ class IvfIndex:
         # invalidate so a follow-up drift_report/probe re-lists
         spark.catalog.refreshByPath(lists_path)
         spark.catalog.refreshByPath(f"{self.path}/centroids")
+        if self.has_pq():
+            # the coarse codebook changed, so residual codes in the
+            # REWRITTEN region are stale: re-encode exactly the affected
+            # partitions (selected lists that survived + the untouched
+            # lists that received evacuees — untouched members elsewhere
+            # kept both their centroid and their assignment, their codes
+            # stand). The meta fp update is LAST: a crash anywhere in
+            # this block leaves a stale fingerprint and probe_adc
+            # refuses loudly until refresh_pq.
+            meta = self._pq_meta()
+            affected = sorted(kept | set(target_ids))
+            if affected:
+                prev_mode = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    self._encode_lists(
+                        spark, int(meta["m"]), list_ids=affected
+                    ).write.partitionBy("list_id").mode("overwrite").parquet(
+                        f"{self.path}/pq_codes"
+                    )
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev_mode
+                    )
+            for lid in sel - kept:
+                _sh.rmtree(
+                    _P(f"{self.path}/pq_codes") / f"list_id={lid}",
+                    ignore_errors=True,
+                )
+            self._write_pq_meta(spark, int(meta["m"]))
+            spark.catalog.refreshByPath(f"{self.path}/pq_codes")
         return {
             "lists_selected": len(list_ids),
             "members": int(stats.n) if stats else 0,
@@ -1199,6 +1239,215 @@ class IvfIndex:
             .withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+    # -- persisted PQ codes: the stored residual IVF-PQ serving path --------
+    #
+    # VERDICT r11 ask #5: q164 recomputes residual codes inline per
+    # query batch; a serving index stores them ONCE, partitioned by
+    # list_id alongside the full-precision lists, so the ADC probe is
+    # a partition-pruned scan of 8-byte codes. Layout additions:
+    #
+    #     <path>/pq_codebook/           -- residual fine codebook (k rows)
+    #     <path>/pq_codes/list_id=<n>/  -- (vec_id, pq_code, err_micro)
+    #     <path>/pq_meta.json           -- {"m", "coarse_fp"}
+    #
+    # Consistency contract: codes are valid only for the coarse
+    # codebook they were encoded against — pq_meta pins that codebook's
+    # fingerprint, build/append/recluster keep codes in step, and
+    # probe_adc refuses a stale or torn code table loudly
+    # (refresh_pq() is the repair). Encoding uses each row's STORED
+    # list assignment (equi-join residual), which equals pq_codes'
+    # argmax residual mode by construction — every assignment path
+    # (build, append, recluster) is the same argmax-vs-codebook rule.
+
+    def _pq_meta_path(self):
+        from pathlib import Path as _P
+
+        return _P(self.path) / "pq_meta.json"
+
+    def has_pq(self) -> bool:
+        return self._pq_meta_path().exists()
+
+    def _pq_meta(self) -> dict:
+        import json as _json
+
+        try:
+            return _json.loads(self._pq_meta_path().read_text())
+        except FileNotFoundError:
+            raise ValueError(
+                f"index at {self.path} has no persisted PQ codes; run "
+                "build_pq(spark, codebook_vectors, m) first"
+            ) from None
+
+    def _write_pq_meta(self, spark: SparkSession, m: int) -> None:
+        import json as _json
+
+        self._pq_meta_path().write_text(
+            _json.dumps(
+                {"m": int(m), "coarse_fp": self._codebook_fingerprint(spark)}
+            )
+        )
+
+    def _encode_lists(
+        self, spark: SparkSession, m: int, list_ids: list[int] | None = None
+    ) -> DataFrame:
+        """Residual-encode stored list rows against the CURRENT
+        codebooks: residual = cv - centroid(STORED list_id) via a
+        broadcast equi-join (never a second argmax — the stored
+        assignment IS the argmax by construction, so these codes match
+        ``pq_codes(..., coarse_centroids=...)`` pair-for-pair)."""
+        cb = spark.read.parquet(f"{self.path}/pq_codebook")
+        cent = spark.read.parquet(f"{self.path}/centroids")
+        lists = spark.read.parquet(f"{self.path}/lists")
+        if list_ids is not None:
+            lists = lists.filter(
+                F.col("list_id").isin([int(x) for x in list_ids])
+            )
+        spread = _spread(lists)
+        resid = spread.join(
+            F.broadcast(cent), spread["list_id"] == cent["cid"]
+        ).select(
+            F.col("neighbor_id").alias(self.id_col),
+            F.col("list_id").cast("long").alias("list_id"),
+            F.zip_with(
+                F.col("cv").cast("array<double>"),
+                F.col("ce").cast("array<double>"),
+                lambda a, b: a - b,
+            ).alias(self.vec_col),
+        )
+        flat = pq_codes(
+            resid, cb, id_col=self.id_col, vec_col=self.vec_col, m=m
+        )
+        return flat.join(resid.select(self.id_col, "list_id"), self.id_col)
+
+    def build_pq(
+        self, spark: SparkSession, codebook_vectors: DataFrame, m: int = 8
+    ) -> None:
+        """Encode the whole stored index with a residual fine codebook
+        (one partition-parallel pass) and persist codebook + codes.
+        The meta file is written LAST — it is the commit point; a crash
+        before it leaves has_pq() false and nothing half-served."""
+        codebook_vectors.select(self.id_col, self.vec_col).write.mode(
+            "overwrite"
+        ).parquet(f"{self.path}/pq_codebook")
+        self._encode_lists(spark, m).write.partitionBy("list_id").mode(
+            "overwrite"
+        ).parquet(f"{self.path}/pq_codes")
+        self._write_pq_meta(spark, m)
+
+    def refresh_pq(self, spark: SparkSession) -> None:
+        """Full re-encode against the current codebooks — the repair
+        for any torn/stale state probe_adc refuses."""
+        meta = self._pq_meta()
+        self._encode_lists(spark, int(meta["m"])).write.partitionBy(
+            "list_id"
+        ).mode("overwrite").parquet(f"{self.path}/pq_codes")
+        self._write_pq_meta(spark, int(meta["m"]))
+        spark.catalog.refreshByPath(f"{self.path}/pq_codes")
+
+    def _append_pq(self, spark: SparkSession, routed: DataFrame) -> None:
+        """Encode one routed append batch (neighbor_id, cv, cn,
+        list_id) and append to the code partitions — O(batch)."""
+        meta = self._pq_meta()
+        cb = spark.read.parquet(f"{self.path}/pq_codebook")
+        cent = spark.read.parquet(f"{self.path}/centroids")
+        resid = routed.join(
+            F.broadcast(cent), routed["list_id"] == cent["cid"]
+        ).select(
+            F.col("neighbor_id").alias(self.id_col),
+            F.col("list_id").cast("long").alias("list_id"),
+            F.zip_with(
+                F.col("cv").cast("array<double>"),
+                F.col("ce").cast("array<double>"),
+                lambda a, b: a - b,
+            ).alias(self.vec_col),
+        )
+        flat = pq_codes(
+            resid, cb, id_col=self.id_col, vec_col=self.vec_col,
+            m=int(meta["m"]),
+        )
+        flat.join(resid.select(self.id_col, "list_id"), self.id_col).write.partitionBy(
+            "list_id"
+        ).mode("append").parquet(f"{self.path}/pq_codes")
+
+    def probe_adc(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k_top: int = 5,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Residual-ADC top-k off the STORED codes: coarse routing
+        picks each query's nprobe lists (broadcast codebook, nlist-
+        bounded), the probed lists' code partitions are the only scan
+        (``PartitionFilters: list_id IN (...)``), and scoring is
+        :func:`pq_adc_topk` in residual candidate mode — |candidates|*m
+        LUT hits over 8-byte codes, the corpus vectors never read.
+
+        Refuses loudly when the codes can't be trusted: coarse
+        codebook changed since encoding (fingerprint pin) or the code
+        table is torn (row count != lists row count — a crash between
+        the lists append and the code append). ``refresh_pq`` repairs.
+        """
+        meta = self._pq_meta()
+        if int(meta["coarse_fp"]) != self._codebook_fingerprint(spark):
+            raise ValueError(
+                f"PQ codes at {self.path}/pq_codes were encoded against "
+                "a different coarse codebook (recluster/retrain crashed "
+                "before re-encoding?); residual ADC would be silently "
+                "wrong. Run refresh_pq(spark)."
+            )
+        codes_all = spark.read.parquet(f"{self.path}/pq_codes")
+        lists_n = spark.read.parquet(f"{self.path}/lists").count()
+        codes_n = codes_all.count()
+        if lists_n != codes_n:
+            raise ValueError(
+                f"PQ code table is torn: {codes_n} codes vs {lists_n} "
+                "list rows (crash between the lists write and the code "
+                "write?). Run refresh_pq(spark)."
+            )
+        cent = spark.read.parquet(f"{self.path}/centroids")
+        q = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.vec_col).alias("qv"),
+            norm(self.vec_col).alias("qn"),
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.col("cos_c").desc(), F.col("cid")
+        )
+        probes = (
+            q.crossJoin(F.broadcast(cent))
+            .withColumn("cos_c", paired_cosine("qv", "ce", "qn", "cen"))
+            .withColumn("pr", F.row_number().over(wp))
+            .filter(F.col("pr") <= nprobe)
+            .select("query_id", F.col("cid").alias("list_id"))
+        )
+        probed = sorted(
+            int(r.list_id)
+            for r in probes.select("list_id").distinct().collect()
+        )
+        codes = codes_all.filter(F.col("list_id").isin(probed)).withColumn(
+            "list_id", F.col("list_id").cast("long")
+        )
+        cand = probes.join(
+            codes.select(F.col(self.id_col).alias("neighbor_id"), "list_id"),
+            "list_id",
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
+        cb = spark.read.parquet(f"{self.path}/pq_codebook")
+        coarse = cent.select(
+            F.col("cid").alias("list_id"), F.col("ce").alias(self.vec_col)
+        )
+        return pq_adc_topk(
+            codes,
+            queries,
+            cb,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            m=int(meta["m"]),
+            k_top=k_top,
+            candidates=cand,
+            coarse_centroids=coarse,
         )
 
 

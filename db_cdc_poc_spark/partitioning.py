@@ -12,11 +12,23 @@ text-pipeline profile (SCALING.md round-11 entry; the same defect cost
 q147 12x on the vector side).
 
 ``spread_scan`` repartitions a DataFrame up to the session's default
-parallelism when its current plan yields fewer partitions. The
+parallelism when its SCAN looks narrower than the core count. The
 round-robin exchange moves only the INPUT bytes (trivial next to the
 fan-out's output) and is a no-op on a real cluster whose scans already
 exceed core count — which is exactly the 100 TB posture: files there
 split into thousands of tasks, and this guard never fires.
+
+Width is estimated WITHOUT compiling a physical plan (the round-11
+version called ``df.rdd.getNumPartitions()``, which forces full
+analysis + non-AQE physical planning per call — ADVICE round 11):
+``df.inputFiles()`` walks the *logical* plan for file relations, and
+each file contributes ``ceil(size / spark.sql.files.maxPartitionBytes)``
+estimated tasks (local ``file:`` sizes read directly; remote files
+count 1 each, which still never under-fires on the many-files layouts
+real clusters have). Frames with no file relation (in-memory,
+post-shuffle, streaming) are returned UNCHANGED — this helper is for
+scan-rooted frames only; callers that need a spread on a non-scan
+frame pass ``force=True``.
 
 Apply it where a stage's work-per-row is large (explodes, broadcast
 fan-outs), NOT as a blanket scan wrapper — a plain filter/projection
@@ -25,14 +37,79 @@ scan is better off with Spark's own split sizing.
 
 from __future__ import annotations
 
+import math
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
 
+_SIZE_SUFFIX = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+}
 
-def spread_scan(df: DataFrame) -> DataFrame:
+
+def _parse_bytes(v: str) -> int:
+    """Parse Spark byte-size conf strings ('134217728b', '128m', '1g')."""
+    s = str(v).strip().lower()
+    for suf in ("kb", "mb", "gb", "k", "m", "g", "b"):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * _SIZE_SUFFIX[suf])
+    return int(s)
+
+
+def _local_size(uri: str) -> int | None:
+    """Size of a file:-scheme (or bare-path) input file; None if remote
+    or unreadable — remote stores (hdfs/s3) can't be stat'd from here."""
+    parsed = urlparse(uri)
+    if parsed.scheme not in ("", "file"):
+        return None
+    path = parsed.path or uri
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
+def estimated_scan_width(df: DataFrame) -> int | None:
+    """Estimated task count of ``df``'s file scan, from the logical plan
+    only (no physical planning). None when the frame has no file
+    relation (in-memory / post-shuffle / streaming)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    max_bytes = _parse_bytes(
+        df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"
+        )
+    )
+    width = 0
+    for f in files:
+        size = _local_size(f)
+        width += 1 if size is None else max(1, math.ceil(size / max_bytes))
+    return width
+
+
+def spread_scan(df: DataFrame, *, force: bool = False) -> DataFrame:
     """Repartition ``df`` to the session default parallelism iff its
-    current partitioning is narrower. Result-identical: every consumer
-    downstream is key-based (joins/aggregations) or order-normalized."""
+    scan is estimated narrower. Result-identical: every consumer
+    downstream is key-based (joins/aggregations) or order-normalized.
+
+    ``force=True`` spreads unconditionally (for callers that know the
+    frame is narrow but scan-width can't see it, e.g. an in-memory
+    frame built on the driver)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if force:
+        return df.repartition(target)
+    width = estimated_scan_width(df)
+    if width is None or width >= target:
         return df
     return df.repartition(target)

@@ -83,9 +83,25 @@ class PipelineRunner:
             # instead — any table that has ever been skipped by due()
             # was materialized on a prior cycle (first sight is always
             # due), so the snapshot exists.
+            # ... but ONLY the non-due tables some due builder will
+            # actually read (transitive upstreams of the due set,
+            # expanding through due nodes only — a snapshot-served
+            # table's builder never runs, so its own deps are not
+            # consulted this cycle). An unconditional preload of every
+            # previously-run table costs a file listing + schema read
+            # per table per tick and fails hard if an UNRELATED table's
+            # snapshot dir was removed externally (ADVICE round 11).
             due_set = set(refreshed)
+            needed: set[str] = set()
+            stack = list(due_set)
+            while stack:
+                for dep in self.registry.definition(stack.pop()).deps:
+                    if dep not in needed:
+                        needed.add(dep)
+                        if dep in due_set:
+                            stack.append(dep)
             for name in self._last_run:
-                if name not in due_set:
+                if name not in due_set and name in needed:
                     self.registry._built[name] = self.registry.spark.read.parquet(
                         f"{self.root}/{name}"
                     )

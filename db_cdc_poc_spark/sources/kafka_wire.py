@@ -172,6 +172,13 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             str(options.get("failondataloss", "true")).lower() == "true"
         )
         self._prev_end: dict[str, int] | None = None
+        # initialOffset() is evaluated ONCE per stream start by Spark
+        # and checkpointed; cache what we returned so the first
+        # latestOffset() rate-limits against the same base instead of
+        # re-evaluating (with startingOffsets='latest', a re-eval would
+        # see records appended after start as lag 0 and let the first
+        # micro-batch bypass maxOffsetsPerTrigger entirely).
+        self._initial: dict[str, int] | None = None
 
     # -- offsets ----------------------------------------------------------
 
@@ -180,7 +187,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             p: _bounds(_pdir(self.path, p)) for p in _list_partitions(self.path)
         }
 
-    def initialOffset(self) -> dict:
+    def _compute_initial(self) -> dict:
         avail = self._avail()
         s = self.starting.strip()
         if s == "earliest":
@@ -193,6 +200,11 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             explicit.setdefault(str(p), lo)
         return explicit
 
+    def initialOffset(self) -> dict:
+        if self._initial is None:
+            self._initial = self._compute_initial()
+        return self._initial
+
     def latestOffset(self) -> dict:
         avail = self._avail()
         base = self._prev_end if self._prev_end is not None else self.initialOffset()
@@ -203,12 +215,30 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         lag = {p: max(0, avail[p][1] - start[str(p)]) for p in avail}
         total = sum(lag.values())
         if self.max_per_trigger is not None and total > self.max_per_trigger:
-            # Kafka's rate limit: split the cap proportionally to lag
-            # (floor); partitions starved by the floor still advance on
-            # later triggers because the proportion is recomputed per
-            # trigger against the remaining lag.
+            # Kafka's rate limit: split the cap proportionally to lag.
+            # Pure flooring can allocate 0 EVERYWHERE (cap < number of
+            # lagging partitions) and stall the stream permanently, so
+            # the floored remainder is handed out one offset at a time —
+            # zero-alloc lagging partitions first, then largest
+            # fractional share — guaranteeing progress on every trigger
+            # while total lag > 0 and never exceeding the cap.
             cap = self.max_per_trigger
-            alloc = {p: int(lag[p] * cap / total) for p in avail}
+            alloc = {p: lag[p] * cap // total for p in avail}
+            # each floor drops a fraction < 1, so remainder < #lagging
+            # partitions: one extra offset per partition, in priority
+            # order, always exhausts it
+            remainder = cap - sum(alloc.values())
+            if remainder > 0:
+                starved = sorted(
+                    (p for p in avail if alloc[p] < lag[p]),
+                    key=lambda p: (
+                        alloc[p] != 0,  # un-started partitions first
+                        -(lag[p] * cap % total),  # largest frac share
+                        p,
+                    ),
+                )
+                for p in starved[:remainder]:
+                    alloc[p] += 1
             end = {str(p): start[str(p)] + alloc[p] for p in avail}
         else:
             end = {str(p): avail[p][1] for p in avail}

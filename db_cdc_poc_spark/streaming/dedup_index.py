@@ -74,6 +74,7 @@ from pyspark.sql import functions as F
 from db_cdc_poc_spark.checkpointing import materialize
 from db_cdc_poc_spark.operators.dedup import est_jaccard_col, minhash_bands
 from db_cdc_poc_spark.streaming.bloom import BloomFront
+from db_cdc_poc_spark.streaming.lease import WriterLease
 from db_cdc_poc_spark.streaming.state import BucketedStateTable
 
 
@@ -100,6 +101,7 @@ class StreamingDedupIndex:
         compact_every: int | None = 64,
         bloom_bits: int = 1 << 21,
         bloom_cache_entries: int | None = None,
+        lease_ttl: float = 900.0,
     ) -> None:
         self.id_col = id_col
         self.text_col = text_col
@@ -149,6 +151,15 @@ class StreamingDedupIndex:
         )
         self._sig_bloom = BloomFront(
             "_sig_bloom.npz", bloom_bits, max_entries=bloom_cache_entries
+        )
+        # single-writer contract, ENFORCED (streaming/lease.py): every
+        # mutating entry point (process_batch, compact, migrate_legacy)
+        # holds the lease for its duration — a double-fired trigger's
+        # second writer is refused, and a writer displaced by a forced
+        # takeover fences itself before its next append. Readers
+        # (state_for / read_dirs) never touch the lease.
+        self._lease = WriterLease(
+            Path(path.rstrip("/")) / "_writer_lease.json", ttl=lease_ttl
         )
 
     # -- probe ------------------------------------------------------------
@@ -266,6 +277,17 @@ class StreamingDedupIndex:
         bands = self.state.state_for(spark)
         if bands is None or "sig" not in bands.columns:
             return 0
+        transient = not self._lease.held
+        if transient:
+            self._lease.acquire()
+        try:
+            return self._migrate_legacy_held(spark, bands)
+        finally:
+            if transient:
+                self._lease.release()
+
+    def _migrate_legacy_held(self, spark: SparkSession, bands: DataFrame) -> int:
+        self._lease.check()
         legacy_sigs = bands.select("id", "sig").dropDuplicates(["id"])
         existing = self.sigs.state_for(spark)
         if existing is not None:
@@ -371,6 +393,21 @@ class StreamingDedupIndex:
         and resume from the decisions file instead of re-probing.
         """
         spark = docs.sparkSession
+        # writer lease: held for the batch's whole mutate window; a
+        # caller that acquired explicitly (long-lived ingest loop)
+        # keeps its hold, otherwise acquire/release per batch so
+        # sequential writers (crash re-fires, resumed instances) never
+        # block each other
+        transient = not self._lease.held
+        if transient:
+            self._lease.acquire()
+        try:
+            return self._process_batch_held(spark, docs)
+        finally:
+            if transient:
+                self._lease.release()
+
+    def _process_batch_held(self, spark: SparkSession, docs: DataFrame) -> DataFrame:
         if self.compact_every is not None and (
             self._batches_since_compact >= self.compact_every
             or self._max_delta_chain() >= self.compact_every
@@ -460,6 +497,9 @@ class StreamingDedupIndex:
             # delta dir gets its Bloom summary (batch-bounded driver
             # work; a crash before the Bloom write just leaves that
             # dir unprunable, never wrong).
+            # fencing check immediately before the first mutation: a
+            # writer displaced mid-batch aborts here, never appends
+            self._lease.check()
             sig_keys: dict[int, list[int]] = {}
             for r in (
                 batch_sigs.select(
@@ -515,11 +555,31 @@ class StreamingDedupIndex:
         snapshot's Bloom is the OR of its source versions' Blooms
         (exact: a snapshot holds precisely the union of its sources'
         rows) — no key re-scan, no corpus-sized driver traffic."""
-        self._batches_since_compact = 0
-        return {
-            "bands_buckets": self._compact_table(spark, self.state, self._band_bloom),
-            "sig_buckets": self._compact_table(spark, self.sigs, self._sig_bloom),
-        }
+        transient = not self._lease.held
+        if transient:
+            self._lease.acquire()
+        try:
+            self._lease.check()
+            self._batches_since_compact = 0
+            return {
+                "bands_buckets": self._compact_table(
+                    spark, self.state, self._band_bloom
+                ),
+                "sig_buckets": self._compact_table(
+                    spark, self.sigs, self._sig_bloom
+                ),
+            }
+        finally:
+            if transient:
+                self._lease.release()
+
+    def acquire_writer_lease(self, force: bool = False) -> int:
+        """Hold the writer lease across batches (long-lived ingest
+        loop). Returns the fencing token. See ``streaming/lease.py``."""
+        return self._lease.acquire(force=force)
+
+    def release_writer_lease(self) -> None:
+        self._lease.release()
 
     @staticmethod
     def _compact_table(spark: SparkSession, table: BucketedStateTable, bloom: BloomFront) -> int:

@@ -76,6 +76,7 @@ from db_cdc_poc_spark.session import get_spark  # noqa: E402
 
 SKEW_DIR = os.environ.get("SPARK_GRAFT_SKEW_DIR", ".benchdata/sf1.0-zipf")
 HOT_DIR = os.environ.get("SPARK_GRAFT_SKEW_HOT_DIR", ".benchdata/sf30-zipf-hot1")
+GIANT_DIR = os.environ.get("SPARK_GRAFT_GIANT_DIR", ".benchdata/sf1.0-giant")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -245,6 +246,88 @@ def registry_skew_benches(spark, results: dict) -> dict:
     return ratios
 
 
+def giant_doc_benches(spark, results: dict) -> dict:
+    """Pathological-document re-anchor (VERDICT r11 ask #1): the dedup
+    family on a corpus where 5 docs are inflated to ~20,000x the median
+    word length (~1.08M DISTINCT-word shingles each, plus verbatim
+    neighbor pastes so giants enter the candidate set) vs the uniform
+    corpus at the same row count (`make_scaled_sf.py --giant-docs`).
+
+    Also measures the packed-verify row bound the round-11 verdict
+    flagged: the exact prefix-filter verify packs each doc's distinct
+    shingles into ONE array row, so the giant corpus's max row is
+    max_distinct_shingles x 8 bytes. The `max_pack_shingles` cap routes
+    giant-touching candidate pairs through the row-form verify instead
+    — results must be IDENTICAL (asserted here), only the physical row
+    bound changes. Containment is the probing measure because a doc
+    pasted inside a giant is a real candidate (jaccard's size-ratio
+    prune drops giant-vs-small pairs before any verify)."""
+    from db_cdc_poc_spark.operators.dedup import (
+        containment_pairs,
+        hashed_shingle_rows,
+        winnowed_fingerprints,
+    )
+    from db_cdc_poc_spark.queries import REGISTRY
+
+    uniform = os.environ.get("SPARK_GRAFT_UNIFORM_DIR", ".benchdata/sf1.0")
+    names = [
+        "q20_ngram_jaccard",
+        "q21_minhash_lsh",
+        "q40_dedup_fuzzy",
+        "q58_containment",
+        "q66_winnowed_containment",
+        "q155_remove_dup_spans",
+    ]
+    ratios = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        walls = {}
+        for label, sdir in (("uniform", uniform), ("giant", GIANT_DIR)):
+            dt, n = _timed(lambda: fn(spark, sdir).count())
+            walls[label] = round(dt, 2)
+            results[f"{name}_{label}"] = walls[label]
+            print(f"[{name}] {label}: {dt:.2f}s ({n} rows)")
+        ratios[name] = round(walls["giant"] / max(walls["uniform"], 0.01), 2)
+        print(f"[{name}] giant/uniform ratio: {ratios[name]}x")
+
+    docs = spark.read.parquet(f"{GIANT_DIR}/documents.parquet")
+    sh = hashed_shingle_rows(docs, "doc_id", "text", 3)
+    mx = int(sh.groupBy("id").count().agg(F.max("count")).first()[0])
+    fp = winnowed_fingerprints(docs, "doc_id", "text", 3, 4)
+    mxw = int(fp.groupBy("id").count().agg(F.max("count")).first()[0])
+    info = {
+        "max_distinct_shingles": mx,
+        "max_packed_row_bytes": 8 * mx,
+        "max_winnowed_fingerprints": mxw,
+        "max_winnowed_row_bytes": 8 * mxw,
+        "ratios": ratios,
+    }
+    print(f"packed-row bound: {info}")
+
+    def pairs(cap):
+        return {
+            (r.id_a, r.id_b)
+            for r in containment_pairs(
+                docs, n=3, threshold=0.8, mode="prefix", max_pack_shingles=cap
+            ).collect()
+        }
+
+    t0 = time.time()
+    unrouted = pairs(None)  # pure array verify: giant rows ~8.6 MB
+    results["giant_containment_unrouted"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    routed = pairs(200_000)  # giants verified row-form: rows <= 1.6 MB
+    results["giant_containment_routed_200k"] = round(time.time() - t0, 2)
+    assert routed == unrouted, "cap routing changed the result set"
+    info["containment_pairs"] = len(routed)
+    print(
+        f"giant containment: unrouted {results['giant_containment_unrouted']}s"
+        f" vs routed(200k) {results['giant_containment_routed_200k']}s, "
+        f"{len(routed)} pairs (identical sets)"
+    )
+    return info
+
+
 def main() -> None:
     spark = get_spark(app_name="bench-skew", cpus=CPUS)
     docs = spark.read.parquet(f"{SKEW_DIR}/documents.parquet")
@@ -253,6 +336,12 @@ def main() -> None:
     # round-6..8 operators under skew, before the join benches (which
     # flip broadcast/AQE confs around their own timings)
     op_ratios = registry_skew_benches(spark, results)
+
+    # round-12: the dedup family under pathological documents + the
+    # packed-verify row bound (VERDICT r11 ask #1)
+    giant_docs = (
+        giant_doc_benches(spark, results) if Path(GIANT_DIR).exists() else None
+    )
 
     # moderate skew: sf1.0, 30% of 1M events over 3 hot keys (~100k each)
     skew_zipf3 = join_benches(spark, SKEW_DIR, "zipf3", results)
@@ -289,7 +378,11 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "sf": 1.0,
-        "skew": {"zipf3": skew_zipf3, **({"giant1": giant} if giant else {})},
+        "skew": {
+            "zipf3": skew_zipf3,
+            **({"giant1": giant} if giant else {}),
+            **({"giant_docs": giant_docs} if giant_docs else {}),
+        },
     }
     print(json.dumps(line))
     Path("BENCH_skew.json").write_text(json.dumps(line) + "\n")

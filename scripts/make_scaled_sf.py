@@ -186,6 +186,43 @@ def _zipf_documents(table: pa.Table) -> pa.Table:
     return table.set_column(n_idx, table.schema.field(n_idx), n)
 
 
+def _giant_documents(table: pa.Table, n_giant: int, mult: int) -> pa.Table:
+    """Inflate the ``n_giant`` smallest doc_ids to ~``mult`` x the median
+    word length — the pathological-document fixture (VERDICT r11 ask #1).
+
+    The packed-row hazard in the exact pair verify is DISTINCT shingles,
+    so the filler is a per-doc DISTINCT word soup (repetition would
+    dedup away); two neighbor docs' full texts are pasted verbatim so
+    giants actually enter the candidate set of the containment /
+    dup-span queries instead of being all-unique islands."""
+    texts = table.column("text").to_pylist()
+    doc_ids = table.column("doc_id").to_numpy(zero_copy_only=False)
+    lens = sorted(len(t.split()) for t in texts if t)
+    median = max(lens[len(lens) // 2], 1) if lens else 50
+    target = median * mult
+    chosen = set(np.sort(doc_ids)[:n_giant].tolist())
+    out = []
+    n_docs = len(texts)
+    for i, (did, txt) in enumerate(zip(doc_ids, texts)):
+        if txt is not None and did in chosen:
+            nbrs = [texts[(i + 1) % n_docs] or "", texts[(i + 2) % n_docs] or ""]
+            soup_n = max(
+                0,
+                target - len(txt.split()) - sum(len(x.split()) for x in nbrs),
+            )
+            soup = " ".join(f"g{did}w{j}" for j in range(soup_n))
+            txt = " ".join([txt, soup, *nbrs])
+        out.append(txt)
+    t_idx = table.schema.get_field_index("text")
+    table = table.set_column(
+        t_idx, table.schema.field(t_idx), pa.array(out, pa.string())
+    )
+    n_idx = table.schema.get_field_index("n_chars")
+    n = pa.array([None if t is None else len(t) for t in out],
+                 table.schema.field(n_idx).type)
+    return table.set_column(n_idx, table.schema.field(n_idx), n)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -198,6 +235,12 @@ def main() -> None:
     ap.add_argument("--hot-keys", type=int, default=3,
                     help="number of hot user_ids splitting the 30%% "
                          "share under --zipf (1 = one giant key)")
+    ap.add_argument("--giant-docs", type=int, default=0,
+                    help="inflate this many documents to --giant-mult x "
+                         "the median word length (distinct-word soup + "
+                         "verbatim neighbor pastes)")
+    ap.add_argument("--giant-mult", type=int, default=1000,
+                    help="length multiplier for --giant-docs")
     ap.add_argument("--tables", default=None,
                     help="comma-separated subset of tables to emit "
                          "(default: all); referenced FK domains are "
@@ -235,6 +278,8 @@ def main() -> None:
             full = _zipf_events(full, n_hot=args.hot_keys)
         if args.zipf and name == "documents":
             full = _zipf_documents(full)
+        if args.giant_docs and name == "documents":
+            full = _giant_documents(full, args.giant_docs, args.giant_mult)
         pq.write_table(full, dst / f"{name}.parquet", row_group_size=200_000)
         print(f"{name}: {base.num_rows} -> {full.num_rows}")
 

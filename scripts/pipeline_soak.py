@@ -165,8 +165,12 @@ def main() -> None:
     # (changes_since), NOT a batch-derived changelog — the crash-safe
     # default (VERDICT r10 ask #2; scripts/crash_soak.py proved the
     # operator, this soak proves the composed PRODUCTION path)
+    # max_cols=["seq"] exercises the delta_minmax wiring (VERDICT r11
+    # ask #6) in the composed path: the reference's gold carries a MAX
+    # (date_time) next to its sums, and the fold must keep both exact
+    # across triggers and re-fires
     gold_fold = ChangelogFoldedAggregate(
-        target, group_keys=["source"], measures=["n_chars"]
+        target, group_keys=["source"], measures=["n_chars"], max_cols=["seq"]
     )
 
     @reg.table(tier="gold", trigger="continuous")
@@ -208,7 +212,8 @@ def main() -> None:
             # upsert is empty/idempotent, changes_since yields an EMPTY
             # delta, and gold must come out byte-identical.
             gold_before = {
-                (r.source, r.n, r.n_chars) for r in state["gold"].collect()
+                (r.source, r.n, r.n_chars, r.seq)
+                for r in state["gold"].collect()
             }
             runner.run_cycle()
             d2 = work / f"deduped_{t:02d}_refire"
@@ -217,7 +222,8 @@ def main() -> None:
             ).write.mode("overwrite").parquet(str(d2))
             seen_dirs.append(str(d2))
             gold_after = {
-                (r.source, r.n, r.n_chars) for r in state["gold"].collect()
+                (r.source, r.n, r.n_chars, r.seq)
+                for r in state["gold"].collect()
             }
             checks.append(
                 ("refire_noop", gold_before == gold_after,
@@ -252,8 +258,9 @@ def main() -> None:
         want_gold = got_silver.groupBy("source").agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("n_chars").cast("long").alias("n_chars"),
+            F.max("seq").alias("seq"),
         )
-        got_gold = state["gold"].select("source", "n", "n_chars")
+        got_gold = state["gold"].select("source", "n", "n_chars", "seq")
         gdiff = (
             want_gold.exceptAll(got_gold).count()
             + got_gold.exceptAll(want_gold).count()

@@ -86,6 +86,37 @@ def test_prefix_filtered_containment_matches_bruteforce(spark, texts, threshold)
     assert got == _naive_pairs(spark, rows, 2, threshold, "containment")
 
 
+@given(
+    texts=_corpus,
+    threshold=st.sampled_from([0.3, 0.5, 0.8, 1.0]),
+    cap=st.sampled_from([0, 1, 4]),
+)
+@_SETTINGS
+def test_giant_doc_routing_matches_bruteforce(spark, texts, threshold, cap):
+    """The giant-document bound (max_pack_shingles) routes pairs that
+    touch an over-cap doc through the row-form verify instead of the
+    packed-array verify. With cap=0 EVERY doc is a giant (pure row
+    path); cap=1/4 exercises the mixed union. All must equal brute
+    force — the bound is a physical routing decision, never a
+    truncation."""
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=threshold, mode="prefix", max_pack_shingles=cap
+        ).collect()
+    }
+    assert got == _naive_pairs(spark, rows, 2, threshold, "jaccard")
+    got_c = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(
+            df, n=2, threshold=threshold, mode="prefix", max_pack_shingles=cap
+        ).collect()
+    }
+    assert got_c == _naive_pairs(spark, rows, 2, threshold, "containment")
+
+
 def test_auto_mode_dispatches_by_corpus_size(spark):
     """mode='auto' picks naive below _PREFIX_AUTO_MIN_DOCS (no Window
     operator in the plan) and every mode returns the same pair set.
