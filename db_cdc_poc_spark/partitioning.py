@@ -76,6 +76,24 @@ def _local_size(uri: str) -> int | None:
         return None
 
 
+def _already_repartitioned(df: DataFrame) -> bool:
+    """True when the frame's ANALYZED logical plan already contains a
+    repartition/rebalance — someone upstream (e.g. ``sources/testdata.
+    load_table``'s keyed spread of compact document/embedding scans)
+    has widened it. ``estimated_scan_width`` looks through operators at
+    the leaf FILES, so without this check a second spread would STOMP a
+    keyed exchange with a round-robin one — measured +24% on q26 at
+    sf0.1, because round-robin adds the sortBeforeRepartition local
+    sort over full rows and loses the id-clustered distribution
+    downstream joins reuse. The analyzed plan already exists (no
+    physical planning is triggered)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return "Repartition" in plan or "Rebalance" in plan
+
+
 def estimated_scan_width(df: DataFrame) -> int | None:
     """Estimated task count of ``df``'s file scan, from the logical plan
     only (no physical planning). None when the frame has no file
@@ -109,6 +127,8 @@ def spread_scan(df: DataFrame, *, force: bool = False) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     if force:
         return df.repartition(target)
+    if _already_repartitioned(df):
+        return df
     width = estimated_scan_width(df)
     if width is None or width >= target:
         return df

@@ -12,9 +12,13 @@ log that honors the documented Kafka semantics for
   ``{"0": 5, "1": 0}`` (per-partition next offset). ``latest`` means
   records appended BEFORE the stream starts are never read.
 * ``maxOffsetsPerTrigger`` — total per-micro-batch record cap, split
-  across partitions PROPORTIONALLY to their lag (floor per partition,
-  at least 1 for any lagging partition when the cap allows — the same
-  rate-limit shape as Spark's Kafka connector).
+  across partitions PROPORTIONALLY to their lag: floor per partition,
+  then the floored remainder handed out one offset at a time
+  (zero-alloc lagging partitions first, then largest fractional
+  share), so at least 1 for any lagging partition when the cap allows
+  and GUARANTEED progress every trigger while lag exists — the same
+  rate-limit shape as Spark's Kafka connector. (The round-11 pure
+  floor stalled permanently when cap < number of lagging partitions.)
 * ``failOnDataLoss`` — when retention pruned records the stream still
   needs (start offset < earliest available), ``true`` raises,
   ``false`` skips forward to the earliest available offset.

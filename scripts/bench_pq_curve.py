@@ -42,10 +42,13 @@ N_QUERIES = 10
 M = 8
 
 
-def curve_for(spark, sf_dir: str, opq: str | bool = False) -> dict:
+def curve_for(
+    spark, sf_dir: str, opq: str | bool = False, stored: bool = False
+) -> dict:
     from db_cdc_poc_spark.checkpointing import materialize
     from db_cdc_poc_spark.operators.similarity import norm, paired_cosine
     from db_cdc_poc_spark.operators.vector_index import (
+        IvfIndex,
         exact_rerank,
         opq_rotation,
         pq_adc_topk,
@@ -120,10 +123,29 @@ def curve_for(spark, sf_dir: str, opq: str | bool = False) -> dict:
         "vec_id long, embedding array<double>",
     )
     qv = emb.filter(F.col("vec_id") < N_QUERIES)
-    codes = materialize(
-        pq_codes(emb, cb_df, m=M, coarse_centroids=coarse_df),
-        label="curve-codes",
-    )
+    idx = None
+    if stored:
+        # --stored: the round-12 persisted serving path — codes live on
+        # disk partitioned by list_id and each probe is a partition-
+        # pruned scan (IvfIndex.probe_adc); recall must match the
+        # inline path point-for-point (tests prove pair-for-pair; the
+        # curve documents the served operating points)
+        import tempfile as _tf
+
+        idx = IvfIndex.build(
+            emb,
+            coarse_df.select(F.col("list_id").alias("vec_id"), "embedding"),
+            path=_tf.mkdtemp(prefix="pqcurve_idx_") + "/i",
+        )
+        idx.build_pq(spark, cb_df, m=M)
+        codes = spark.read.parquet(f"{idx.path}/pq_codes").withColumn(
+            "list_id", F.col("list_id").cast("long")
+        )
+    else:
+        codes = materialize(
+            pq_codes(emb, cb_df, m=M, coarse_centroids=coarse_df),
+            label="curve-codes",
+        )
 
     # diagnostic: per-subspace variance of the FINAL residuals (the
     # distribution the PQ codewords quantize) — the balance OPQ's
@@ -186,7 +208,9 @@ def curve_for(spark, sf_dir: str, opq: str | bool = False) -> dict:
         ).filter(F.col("query_id") != F.col("neighbor_id"))
         n_cand = cand.count()
         adc = materialize(
-            pq_adc_topk(
+            idx.probe_adc(spark, qv, k_top=max(SHORTLISTS), nprobe=nprobe)
+            if stored
+            else pq_adc_topk(
                 codes, qv, cb_df, m=M, k_top=max(SHORTLISTS),
                 candidates=cand, coarse_centroids=coarse_df,
             ),
@@ -221,19 +245,21 @@ def curve_for(spark, sf_dir: str, opq: str | bool = False) -> dict:
 def main() -> None:
     from db_cdc_poc_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--opq")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     opq: str | bool = False
     if "--opq-residual" in sys.argv[1:]:
         opq = "residual"
     elif "--opq" in sys.argv[1:]:
         opq = "raw"
+    stored = "--stored" in sys.argv[1:]
     spark = get_spark()
     out = [
-        curve_for(spark, d, opq=opq)
+        curve_for(spark, d, opq=opq, stored=stored)
         for d in args or ["/root/testdata/sf0.1"]
     ]
     for o in out:
         o["opq"] = opq
+        o["stored"] = stored
         print(json.dumps(o), flush=True)
 
 

@@ -303,6 +303,23 @@ def test_spread_scan_noop_on_many_files(spark, tmp_path):
     assert spread_scan(df) is df  # untouched: no exchange inserted
 
 
+def test_spread_scan_respects_upstream_repartition(spark, tmp_path):
+    """A frame someone already spread (load_table's keyed repartition
+    of compact doc/embedding scans) must NOT be re-spread: a second
+    round-robin exchange would stomp the keyed one and add the
+    sortBeforeRepartition full-row local sort (measured +24% on q26)."""
+    src = str(tmp_path / "compact2")
+    spark.range(5_000).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(src)
+    keyed = spark.read.parquet(src).repartition(
+        spark.sparkContext.defaultParallelism, "id"
+    )
+    out = spread_scan(keyed)
+    assert out is keyed  # untouched: the upstream exchange stands
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobin" not in plan
+    assert plan.count("Exchange") == 1
+
+
 def test_spread_scan_noop_on_in_memory_frame(spark):
     df = spark.createDataFrame([(1,), (2,)], "a int")
     assert estimated_scan_width(df) is None
