@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -54,6 +55,34 @@ def _force_full_eval(df) -> int:
     return row["n"]
 
 
+def _ckpt_dir() -> Path | None:
+    d = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    return Path(d) if d else None
+
+
+def _ckpt_entries(d: Path | None) -> set[str]:
+    return {p.name for p in d.iterdir()} if d and d.is_dir() else set()
+
+
+def _ckpt_gc(d: Path | None, keep: set[str]) -> int:
+    """Delete checkpoint-step dirs created since ``keep`` was
+    snapshotted. A finished query's durable waists (``materialize``
+    write-then-read parquet) are garbage the moment its action
+    returns — every bench pass calls the query fn fresh, so nothing
+    re-reads them — but at sf30 they accumulate to ~12 GB/run and the
+    first sf30 chain died on disk pressure (SCALING.md). Returns bytes
+    freed so the run can report peak transient checkpoint footprint."""
+    if d is None or not d.is_dir():
+        return 0
+    freed = 0
+    for p in d.iterdir():
+        if p.name in keep:
+            continue
+        freed += sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+        shutil.rmtree(p, ignore_errors=True)
+    return freed
+
+
 def main() -> None:
     spark = get_spark(app_name="db-cdc-poc-spark-bench")
     headline = {n: q for n, q in Q.registry().items() if q.headline}
@@ -67,6 +96,9 @@ def main() -> None:
     )
     plans_dir.mkdir(exist_ok=True)
     timings: dict[str, float] = {}
+    ckpt = _ckpt_dir()
+    pre_existing = _ckpt_entries(ckpt)
+    peak_ckpt_bytes = 0
     for name, q in sorted(headline.items()):
         # warm-up pass: codegen/JIT/broadcast compile once, untimed
         # (the streaming entries re-stage and re-drain either way —
@@ -106,7 +138,17 @@ def main() -> None:
                 rdd.unpersist()
         except Exception:  # pragma: no cover - cleanup best-effort
             pass
+        # GC this query's durable checkpoint waists (dirs created since
+        # the run started, minus pre-existing entries) so a long chain
+        # never accumulates finished queries' state on disk
+        peak_ckpt_bytes = max(peak_ckpt_bytes, _ckpt_gc(ckpt, pre_existing))
     total = round(sum(timings.values()), 3)
+    if ckpt is not None:
+        print(
+            f"# checkpoint GC: peak transient footprint "
+            f"{peak_ckpt_bytes / 1e9:.2f} GB under {ckpt}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {

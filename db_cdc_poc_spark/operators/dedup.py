@@ -335,8 +335,12 @@ def _prefix_filtered_pair_stats(
     t*sz_a <= sz_b <= sz_a/t.
     measure='containment' (|A^B| / min(|A|,|B|)): only the SMALLER
     set's prefix is guaranteed to hold the smallest common element, so
-    the probe joins every doc's prefix against the FULL index and
-    keeps pairs once (normalized a < b). No size-ratio filter exists.
+    the probe joins every doc's prefix against the positioned index
+    and keeps pairs once (normalized a < b). No size-ratio filter
+    exists, but a positional bound does: the index-side match row must
+    satisfy 1 + n_b - pos_b >= ceil(t * min(n_a, n_b)) — a per-probe
+    index prefix that kills the quadratic posting-list growth of
+    corpus-common shingles (see the inline comment at the join).
 
     Output contract: superset of all pairs reaching the threshold,
     with exact stats — callers apply the same final filter they would
@@ -373,18 +377,19 @@ def _prefix_filtered_pair_stats(
     # exchange of the big table, no separate dfreq materialize+join);
     # per-doc size n arrives by broadcast join with the doc-count agg.
     with_df = sh.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
-    ranked = (
+    positioned = (
         with_df.join(F.broadcast(counts), "id")
         .withColumn(
             "pos",
             F.row_number().over(W.partitionBy("id").orderBy("df", "shingle")),
         )
-        .filter(
-            F.col("pos")
-            <= F.col("n") - F.ceil(F.lit(t) * F.col("n") - F.lit(eps)) + 1
-        )
         .select("id", "shingle", "pos", "n")
     )
+    _own_prefix = (
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.lit(t) * F.col("n") - F.lit(eps)) + 1
+    )
+    ranked = positioned.filter(_own_prefix)
     if measure == "jaccard":
         a, b = ranked.alias("a"), ranked.alias("b")
         # positional filter (PPJoin, Xiao et al.): matched at prefix
@@ -416,24 +421,36 @@ def _prefix_filtered_pair_stats(
             .distinct()
         )
     else:
-        full = sh.join(F.broadcast(counts), "id")
-        # probe each doc's prefix against the FULL index: only the
+        # Probe each doc's prefix against a POSITIONED index: only the
         # smaller side's prefix is guaranteed to hold the smallest
-        # common element. Positional prune on the probe side: overlap
-        # <= 1 + (n_a - pos_a) must reach t * min(n_a, n_b).
+        # common element, so the probe prefix alone can't bound the
+        # index side by the index doc's OWN size. But the smallest
+        # common element g of a true pair needs overlap
+        # c >= ceil(t * min(n_a, n_b)) elements ordered at-or-after it
+        # on BOTH sides, so 1 + n_b - pos_b >= c holds for g on the
+        # index side too — a positional bound that depends on the
+        # PROBE's size, applied per matched row (the PPJoin positional
+        # filter carried to the containment/index side; equivalently a
+        # probe-length-bucketed index prefix evaluated exactly instead
+        # of materializing per-bucket index copies). Without it every
+        # corpus-common shingle probes the FULL posting list and the
+        # candidate-join output grows ~quadratically with the corpus
+        # (measured 38.5M -> 259M joined rows at sf10 -> sf30, q66);
+        # with it the index side is cut to the rows that could still
+        # reach the threshold. EXACT: for any true pair the row where
+        # both sides match on g passes both bounds, so no pair is lost
+        # (property suite: test_prefix_filter_property.py).
+        need = F.ceil(
+            F.lit(t) * F.least(F.col("a.n"), F.col("b.n")) - F.lit(eps)
+        )
         cand = (
             ranked.alias("a")
             .join(
-                full.alias("b"),
+                positioned.alias("b"),
                 (F.col("a.shingle") == F.col("b.shingle"))
                 & (F.col("a.id") != F.col("b.id"))
-                & (
-                    F.lit(1) + F.col("a.n") - F.col("a.pos")
-                    >= F.ceil(
-                        F.lit(t) * F.least(F.col("a.n"), F.col("b.n"))
-                        - F.lit(eps)
-                    )
-                ),
+                & (F.lit(1) + F.col("a.n") - F.col("a.pos") >= need)
+                & (F.lit(1) + F.col("b.n") - F.col("b.pos") >= need),
             )
             .select(
                 F.least("a.id", "b.id").alias("id_a"),
@@ -589,9 +606,9 @@ def containment_pairs(
 
     Same core family as ``ngram_jaccard_pairs``: uncapped is EXACT
     with size-dispatched strategy (prefix-filtered join at corpus
-    scale — smaller-side prefix probed against the FULL index, the
-    containment-safe variant — naive inverted index on small corpora);
-    capped runs the approximate inverted-index path.
+    scale — smaller-side prefix probed against a positionally-bounded
+    index, the containment-safe variant — naive inverted index on
+    small corpora); capped runs the approximate inverted-index path.
     Output: (id_a, id_b, containment).
     """
     stats = (

@@ -51,16 +51,30 @@ _SIZE_SUFFIX = {
     "mb": 1 << 20,
     "g": 1 << 30,
     "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
 }
 
+_DEFAULT_MAX_PARTITION_BYTES = 128 << 20  # Spark's maxPartitionBytes default
 
-def _parse_bytes(v: str) -> int:
-    """Parse Spark byte-size conf strings ('134217728b', '128m', '1g')."""
+
+def _parse_bytes(v: str, default: int = _DEFAULT_MAX_PARTITION_BYTES) -> int:
+    """Parse Spark byte-size conf strings ('134217728b', '128m', '1t').
+
+    Covers every suffix Spark's own ``JavaUtils.byteStringAs`` accepts
+    (b/k/m/g/t/p, with optional 'b'); an unparseable value falls back
+    to ``default`` instead of raising — a width ESTIMATE must never
+    turn a legal session conf into an operator crash (ADVICE r12)."""
     s = str(v).strip().lower()
-    for suf in ("kb", "mb", "gb", "k", "m", "g", "b"):
-        if s.endswith(suf):
-            return int(float(s[: -len(suf)]) * _SIZE_SUFFIX[suf])
-    return int(s)
+    try:
+        for suf in ("kb", "mb", "gb", "tb", "pb", "k", "m", "g", "t", "p", "b"):
+            if s.endswith(suf):
+                return int(float(s[: -len(suf)]) * _SIZE_SUFFIX[suf])
+        return int(s)
+    except ValueError:
+        return default
 
 
 def _local_size(uri: str) -> int | None:
@@ -76,22 +90,51 @@ def _local_size(uri: str) -> int | None:
         return None
 
 
+# Logical node names that ARE a deliberate repartition of the frame.
+_REPARTITION_NODES = frozenset(
+    {"Repartition", "RepartitionByExpression", "RebalancePartitions"}
+)
+# Unary nodes that PRESERVE their child's output distribution — the
+# walk looks through these for an upstream repartition that still
+# governs the frame's distribution. Anything else (Join, Aggregate,
+# Window, Sort, leaf relations, ...) either sets its own distribution
+# via a fresh exchange or is the scan itself, so the walk stops there.
+_DISTRIBUTION_PRESERVING = frozenset(
+    {"Project", "Filter", "SubqueryAlias", "Generate", "ResolvedHint", "View"}
+)
+
+
 def _already_repartitioned(df: DataFrame) -> bool:
-    """True when the frame's ANALYZED logical plan already contains a
-    repartition/rebalance — someone upstream (e.g. ``sources/testdata.
-    load_table``'s keyed spread of compact document/embedding scans)
-    has widened it. ``estimated_scan_width`` looks through operators at
-    the leaf FILES, so without this check a second spread would STOMP a
-    keyed exchange with a round-robin one — measured +24% on q26 at
-    sf0.1, because round-robin adds the sortBeforeRepartition local
-    sort over full rows and loses the id-clustered distribution
-    downstream joins reuse. The analyzed plan already exists (no
+    """True when the frame's output distribution is still governed by a
+    deliberate upstream repartition/rebalance — someone (e.g.
+    ``sources/testdata.load_table``'s keyed spread of compact
+    document/embedding scans) has widened it, and a second spread
+    would STOMP the keyed exchange with a round-robin one — measured
+    +24% on q26 at sf0.1, because round-robin adds the
+    sortBeforeRepartition local sort over full rows and loses the
+    id-clustered distribution downstream joins reuse.
+
+    Structural, not textual (ADVICE r12 / VERDICT r12 #2): the
+    round-12 version substring-matched "Repartition" against the plan
+    STRING, so a column literally named ``rebalance_flag`` — or a
+    repartition buried in an unrelated join branch whose exchange the
+    root frame does not inherit — would silently disable the spread.
+    This walks the analyzed logical tree from the root through
+    distribution-preserving unary nodes only, and answers for the
+    frame's OWN lineage scope. The analyzed plan already exists (no
     physical planning is triggered)."""
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        node = df._jdf.queryExecution().analyzed()
     except Exception:
         return False
-    return "Repartition" in plan or "Rebalance" in plan
+    while True:
+        name = node.nodeName()
+        if name in _REPARTITION_NODES:
+            return True
+        if name in _DISTRIBUTION_PRESERVING and node.children().size() == 1:
+            node = node.children().apply(0)
+            continue
+        return False
 
 
 def estimated_scan_width(df: DataFrame) -> int | None:

@@ -36,11 +36,26 @@ import socket
 import time
 import uuid
 from collections.abc import Callable
+from contextlib import contextmanager
 from pathlib import Path
+
+try:  # POSIX advisory locks; absent on some platforms (then acquire
+    import fcntl  # falls back to the unserialized read-modify-write)
+except ImportError:  # pragma: no cover - non-POSIX
+    fcntl = None  # type: ignore[assignment]
 
 
 class ConcurrentWriterError(RuntimeError):
     """A live writer already holds the lease — refuse to mutate."""
+
+
+class LeaseCorruptError(RuntimeError):
+    """The lease file exists but is not valid JSON. Refusing to guess:
+    silently mapping a corrupt file to token 0 would RESET the
+    monotonic fencing floor, letting a previously-fenced writer pass
+    later check() comparisons against a regressed token space (ADVICE
+    r12). The operator inspects/repairs the file; deleting it is an
+    explicit decision to restart the token space."""
 
 
 class WriterFencedError(RuntimeError):
@@ -90,17 +105,49 @@ class WriterLease:
             return json.loads(self.path.read_text())
         except FileNotFoundError:
             return None
-        except json.JSONDecodeError:
-            # torn write of the tmp+replace pair can't happen on POSIX,
-            # but a hand-edited/corrupt file shouldn't brick the table:
-            # treat as an expired lease (token floor still advances)
-            return {"owner": "?", "token": 0, "acquired_at": 0.0, "ttl": 0.0,
-                    "pid": -1, "host": "?"}
+        except json.JSONDecodeError as e:
+            # torn write of the tmp+replace pair can't happen on POSIX;
+            # a hand-edited/corrupt file must be refused LOUDLY — the
+            # previous fallback ({"token": 0}) collapsed the monotonic
+            # fencing floor (ADVICE r12, see LeaseCorruptError)
+            raise LeaseCorruptError(
+                f"writer lease file {self.path} is corrupt ({e}); refusing "
+                "to reset the fencing-token floor. Repair the JSON (keep "
+                "'token' at or above its previous value), or delete the "
+                "file to deliberately restart the token space."
+            ) from e
 
     def _write(self, state: dict) -> None:
         tmp = self.path.with_suffix(".tmp")
         tmp.write_text(json.dumps(state))
         os.replace(tmp, self.path)
+
+    @contextmanager
+    def _mutex(self):
+        """Serialize lease-file read-modify-writes across processes.
+
+        Reclaiming an expired/released lease is read-then-replace;
+        without a mutex two processes that concurrently read the same
+        expired state would BOTH write token N+1 and both believe they
+        hold it (ADVICE r12). An exclusive flock on a sidecar ``.lock``
+        file turns the reclaim into an atomic compare-and-swap for
+        every writer that goes through this module (all of them do);
+        the kernel drops the lock when a holder dies, so no stale-lock
+        GC is needed. Advisory-lock caveat: on network filesystems
+        without flock semantics this degrades to the unserialized path,
+        where the TTL + fencing-token check() remains the (weaker,
+        eventually-caught) guard."""
+        if fcntl is None:  # pragma: no cover - non-POSIX
+            yield
+            return
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        fd = os.open(self.path.with_suffix(".lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     # -- protocol ----------------------------------------------------------
 
@@ -110,7 +157,14 @@ class WriterLease:
         Raises :class:`ConcurrentWriterError` if another holder is
         live: its pid responds on this host, and its TTL has not
         elapsed. ``force`` overrides (the displaced writer is fenced at
-        its next :meth:`check`)."""
+        its next :meth:`check`). The whole read-decide-write runs under
+        :meth:`_mutex`, so concurrent reclaims of the same expired
+        lease serialize: exactly one gets token N+1, the other sees the
+        new live holder and refuses."""
+        with self._mutex():
+            return self._acquire_locked(force)
+
+    def _acquire_locked(self, force: bool) -> int:
         cur = self.read_state()
         if cur is None:
             self.path.parent.mkdir(parents=True, exist_ok=True)
@@ -118,7 +172,9 @@ class WriterLease:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
-                return self.acquire(force=force)  # lost the creation race
+                # lost a creation race against a non-flock writer;
+                # re-read under the mutex we already hold
+                return self._acquire_locked(force)
             with os.fdopen(fd, "w") as fh:
                 json.dump(state, fh)
             self.token = 1
@@ -167,6 +223,11 @@ class WriterLease:
         (token floor for future fencing); only the holder fields clear."""
         if self.token is None:
             return
+        with self._mutex():
+            self._release_locked()
+        self.token = None
+
+    def _release_locked(self) -> None:
         cur = self.read_state()
         if cur and cur["owner"] == self.owner and int(cur["token"]) == self.token:
             self._write(
@@ -177,7 +238,6 @@ class WriterLease:
                     "ttl": 0.0,  # anyone may re-acquire immediately
                 }
             )
-        self.token = None
 
     def _state_dict(self, token: int) -> dict:
         return {

