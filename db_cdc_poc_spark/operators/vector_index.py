@@ -80,15 +80,25 @@ def _probe_dim(codebook_vectors: DataFrame, vec_col: str) -> int:
     return int(row.d)
 
 
-def _validate_pq_params(d: int, m: int, k: int) -> int:
+def _validate_pq_params(d: int, m: int, k: int, wide: bool = False) -> int:
     """PQ parameter validation (returns bits per subspace).
 
     * ``d % m != 0`` would silently TRUNCATE the trailing ``d % m``
       dimensions out of every subvector slice — recall degrades with
       no signal; reject instead.
-    * ``m * bits > 63`` would pack the top subspace's code into (or
-      past) the sign bit of the BIGINT ``pq_code`` — shiftleft aliases
-      silently (k=256, m=8 puts bit 63 in play); reject instead.
+    * In the single-word layout (``wide=False``), ``m * bits > 63``
+      would pack the top subspace's code into (or past) the sign bit
+      of the BIGINT ``pq_code`` — shiftleft aliases silently (k=256,
+      m=8 puts bit 63 in play); reject instead. The round-9/12 PQ
+      curves proved recall at fixed bits DECAYS with corpus size, so
+      a 100 TB corpus needs m*bits past 63: ``wide=True`` switches to
+      the multi-word ``array<bigint>`` layout (``_pq_words_layout``)
+      with no packing cap — each word carries ``63 // bits`` whole
+      codes (codes never straddle words, and bit 63 is never used, so
+      every word is non-negative and arithmetic vs logical shifts
+      agree between Spark and the oracle).
+    * ``bits > 63`` can't fit ONE code per word; reject (k that large
+      is never a sane PQ codebook anyway).
     """
     if d <= 0:
         raise ValueError(f"vector dim must be positive, got {d}")
@@ -101,13 +111,28 @@ def _validate_pq_params(d: int, m: int, k: int) -> int:
     if k < 1:
         raise ValueError("codebook must have at least one codeword")
     bits = max(1, (int(k) - 1).bit_length())
-    if m * bits > 63:
+    if not wide and m * bits > 63:
         raise ValueError(
             f"m*bits = {m}*{bits} = {m * bits} > 63: the packed code "
             "would overflow a signed 64-bit pq_code (k=256/m=8 packs "
-            "into the sign bit); lower k or m"
+            "into the sign bit); lower k or m, or pass wide=True for "
+            "the array<bigint> multi-word layout"
+        )
+    if bits > 63:
+        raise ValueError(
+            f"bits per code = {bits} > 63: one codeword id cannot fit "
+            "a 63-bit word; lower k"
         )
     return bits
+
+
+def _pq_words_layout(m: int, bits: int) -> tuple[int, int]:
+    """(codes_per_word, n_words) for the wide ``array<bigint>`` code
+    layout: codes pack little-endian within each word, ``63 // bits``
+    whole codes per word so no code straddles a word boundary and bit
+    63 stays clear (words are always non-negative)."""
+    cpw = 63 // bits
+    return cpw, -(-m // cpw)
 
 
 def residualize(
@@ -438,7 +463,11 @@ def pq_train(
     """
     spark = train.sparkSession
     d = _probe_dim(coarse_seeds, vec_col)
-    _validate_pq_params(d, m, cw_seeds.count())
+    # wide=True: training is layout-independent (the pack-width choice
+    # happens at pq_codes time, where the single-word cap still
+    # applies unless the caller opts into the r13 multi-word layout),
+    # so only the structural checks (d % m, k >= 1) gate training.
+    _validate_pq_params(d, m, cw_seeds.count(), wide=True)
     sub = d // m
     coarse_rows = refine_centroids(
         train, coarse_seeds, id_col, vec_col, iters=coarse_iters
@@ -1171,7 +1200,8 @@ class IvfIndex:
                 )
                 try:
                     self._encode_lists(
-                        spark, int(meta["m"]), list_ids=affected
+                        spark, int(meta["m"]), list_ids=affected,
+                        wide=bool(meta.get("wide", False)),
                     ).write.partitionBy("list_id").mode("overwrite").parquet(
                         f"{self.path}/pq_codes"
                     )
@@ -1184,7 +1214,9 @@ class IvfIndex:
                     _P(f"{self.path}/pq_codes") / f"list_id={lid}",
                     ignore_errors=True,
                 )
-            self._write_pq_meta(spark, int(meta["m"]))
+            self._write_pq_meta(
+                spark, int(meta["m"]), wide=bool(meta.get("wide", False))
+            )
             spark.catalog.refreshByPath(f"{self.path}/pq_codes")
         return {
             "lists_selected": len(list_ids),
@@ -1280,17 +1312,27 @@ class IvfIndex:
                 "build_pq(spark, codebook_vectors, m) first"
             ) from None
 
-    def _write_pq_meta(self, spark: SparkSession, m: int) -> None:
+    def _write_pq_meta(
+        self, spark: SparkSession, m: int, wide: bool = False
+    ) -> None:
         import json as _json
 
         self._pq_meta_path().write_text(
             _json.dumps(
-                {"m": int(m), "coarse_fp": self._codebook_fingerprint(spark)}
+                {
+                    "m": int(m),
+                    "wide": bool(wide),
+                    "coarse_fp": self._codebook_fingerprint(spark),
+                }
             )
         )
 
     def _encode_lists(
-        self, spark: SparkSession, m: int, list_ids: list[int] | None = None
+        self,
+        spark: SparkSession,
+        m: int,
+        list_ids: list[int] | None = None,
+        wide: bool = False,
     ) -> DataFrame:
         """Residual-encode stored list rows against the CURRENT
         codebooks: residual = cv - centroid(STORED list_id) via a
@@ -1317,33 +1359,50 @@ class IvfIndex:
             ).alias(self.vec_col),
         )
         flat = pq_codes(
-            resid, cb, id_col=self.id_col, vec_col=self.vec_col, m=m
+            resid, cb, id_col=self.id_col, vec_col=self.vec_col, m=m,
+            wide=wide,
         )
         return flat.join(resid.select(self.id_col, "list_id"), self.id_col)
 
     def build_pq(
-        self, spark: SparkSession, codebook_vectors: DataFrame, m: int = 8
+        self,
+        spark: SparkSession,
+        codebook_vectors: DataFrame,
+        m: int = 8,
+        wide: bool | None = None,
     ) -> None:
         """Encode the whole stored index with a residual fine codebook
         (one partition-parallel pass) and persist codebook + codes.
         The meta file is written LAST — it is the commit point; a crash
-        before it leaves has_pq() false and nothing half-served."""
+        before it leaves has_pq() false and nothing half-served.
+
+        ``wide`` (default auto, see :func:`pq_codes`): the multi-word
+        ``array<bigint>`` code layout for m·bits > 63 — the corpus-
+        capacity knob; the stored layout is pinned in pq_meta so every
+        later encode (refresh/append/recluster) packs identically."""
+        k = codebook_vectors.count()
+        if wide is None:
+            wide = m * max(1, (int(k) - 1).bit_length()) > 63
         codebook_vectors.select(self.id_col, self.vec_col).write.mode(
             "overwrite"
         ).parquet(f"{self.path}/pq_codebook")
-        self._encode_lists(spark, m).write.partitionBy("list_id").mode(
-            "overwrite"
-        ).parquet(f"{self.path}/pq_codes")
-        self._write_pq_meta(spark, m)
+        self._encode_lists(spark, m, wide=wide).write.partitionBy(
+            "list_id"
+        ).mode("overwrite").parquet(f"{self.path}/pq_codes")
+        self._write_pq_meta(spark, m, wide=wide)
 
     def refresh_pq(self, spark: SparkSession) -> None:
         """Full re-encode against the current codebooks — the repair
         for any torn/stale state probe_adc refuses."""
         meta = self._pq_meta()
-        self._encode_lists(spark, int(meta["m"])).write.partitionBy(
-            "list_id"
-        ).mode("overwrite").parquet(f"{self.path}/pq_codes")
-        self._write_pq_meta(spark, int(meta["m"]))
+        self._encode_lists(
+            spark, int(meta["m"]), wide=bool(meta.get("wide", False))
+        ).write.partitionBy("list_id").mode("overwrite").parquet(
+            f"{self.path}/pq_codes"
+        )
+        self._write_pq_meta(
+            spark, int(meta["m"]), wide=bool(meta.get("wide", False))
+        )
         spark.catalog.refreshByPath(f"{self.path}/pq_codes")
 
     def _append_pq(self, spark: SparkSession, routed: DataFrame) -> None:
@@ -1365,7 +1424,7 @@ class IvfIndex:
         )
         flat = pq_codes(
             resid, cb, id_col=self.id_col, vec_col=self.vec_col,
-            m=int(meta["m"]),
+            m=int(meta["m"]), wide=bool(meta.get("wide", False)),
         )
         flat.join(resid.select(self.id_col, "list_id"), self.id_col).write.partitionBy(
             "list_id"
@@ -1387,8 +1446,13 @@ class IvfIndex:
 
         Refuses loudly when the codes can't be trusted: coarse
         codebook changed since encoding (fingerprint pin) or the code
-        table is torn (row count != lists row count — a crash between
-        the lists append and the code append). ``refresh_pq`` repairs.
+        table is torn (code rows != list rows — a crash between the
+        lists append and the code append). The torn check is
+        PARTITION-PRUNED: it counts only the probed ``list_id``
+        partitions of both tables (r12 counted the WHOLE index per
+        probe — O(full file listing + footer reads) on the hot serving
+        path). A tear confined to an unprobed list surfaces the first
+        time that list is probed; ``refresh_pq`` repairs either way.
         """
         meta = self._pq_meta()
         if int(meta["coarse_fp"]) != self._codebook_fingerprint(spark):
@@ -1399,14 +1463,6 @@ class IvfIndex:
                 "wrong. Run refresh_pq(spark)."
             )
         codes_all = spark.read.parquet(f"{self.path}/pq_codes")
-        lists_n = spark.read.parquet(f"{self.path}/lists").count()
-        codes_n = codes_all.count()
-        if lists_n != codes_n:
-            raise ValueError(
-                f"PQ code table is torn: {codes_n} codes vs {lists_n} "
-                "list rows (crash between the lists write and the code "
-                "write?). Run refresh_pq(spark)."
-            )
         cent = spark.read.parquet(f"{self.path}/centroids")
         q = queries.select(
             F.col(self.id_col).alias("query_id"),
@@ -1430,6 +1486,19 @@ class IvfIndex:
         codes = codes_all.filter(F.col("list_id").isin(probed)).withColumn(
             "list_id", F.col("list_id").cast("long")
         )
+        lists_n = (
+            spark.read.parquet(f"{self.path}/lists")
+            .filter(F.col("list_id").isin(probed))
+            .count()
+        )
+        codes_n = codes.count()
+        if lists_n != codes_n:
+            raise ValueError(
+                f"PQ code table is torn in the probed lists {probed}: "
+                f"{codes_n} codes vs {lists_n} list rows (crash between "
+                "the lists write and the code write?). Run "
+                "refresh_pq(spark)."
+            )
         cand = probes.join(
             codes.select(F.col(self.id_col).alias("neighbor_id"), "list_id"),
             "list_id",
@@ -1459,6 +1528,7 @@ def pq_codes(
     m: int = 8,
     err_scale: int = 1_000_000,
     coarse_centroids: DataFrame | None = None,
+    wide: bool | None = None,
 ) -> DataFrame:
     """Product-quantization codes (Jégou et al. TPAMI'11, public
     method): split every vector into ``m`` contiguous subvectors and
@@ -1494,6 +1564,18 @@ def pq_codes(
     ``list_id`` — the FAISS-style IVF-PQ encoding, where the fine
     codebook only has to cover the residual energy. The codebook must
     then live in residual space too (:func:`pq_train`'s second output).
+
+    ``wide`` picks the packed layout: ``False`` = one BIGINT
+    ``pq_code`` (requires m·bits <= 63), ``True`` = ``array<bigint>``
+    words under the SAME ``pq_code`` column name — ``63 // bits``
+    whole codes per word, little-endian within and across words, bit
+    63 never used (see ``_pq_words_layout``) — so m·bits can scale
+    with the corpus (the PQ curve's capacity finding: recall at fixed
+    bits decays as the corpus grows; m=16/k=128 = 112 bits needs two
+    words). ``None`` (default) auto-selects: single-word when it
+    fits, wide otherwise. Downstream (:func:`pq_adc_topk`,
+    ``IvfIndex``) detects the layout from the column TYPE, so the
+    choice is stamped into the data, never carried out-of-band.
     """
     # k is read off the codebook ONCE (parameter-bounded relation, so
     # the driver count is O(k)); it only sizes the per-subspace bit
@@ -1502,7 +1584,11 @@ def pq_codes(
     # the single-partition rank window is over k rows — bounded by the
     # parameter, never the data.
     k = codebook_vectors.count()
-    bits = _validate_pq_params(_probe_dim(codebook_vectors, vec_col), m, k)
+    if wide is None:
+        wide = m * max(1, (int(k) - 1).bit_length()) > 63
+    bits = _validate_pq_params(
+        _probe_dim(codebook_vectors, vec_col), m, k, wide=wide
+    )
     carry: list[str] = []
     if coarse_centroids is not None:
         corpus = residualize(corpus, coarse_centroids, id_col, vec_col)
@@ -1570,19 +1656,52 @@ def pq_codes(
             "e2", F.struct(F.col("score"), (-F.col("code_id")).alias("nc"))
         ).alias("e2"),
     )
+    err_agg = F.sum(
+        F.floor(F.greatest(F.col("e2"), F.lit(0.0)) * err_scale).cast("long")
+    ).alias("err_micro")
+    if not wide:
+        return (
+            best.groupBy("id", *carry)
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"shiftleft(CAST(code_id AS BIGINT), sub_id * {bits})"
+                    )
+                ).alias("pq_code"),
+                err_agg,
+            )
+            .select(F.col("id").alias(id_col), *carry, "pq_code", "err_micro")
+        )
+    # wide layout: n_words per-word conditional sums inside the SAME
+    # single groupBy (n_words is a driver-side constant, so this adds
+    # agg expressions, not shuffles), assembled into one array column.
+    # Each word's codes shift by (sub_id - word_base)*bits < 63, and
+    # sub_ids outside the word contribute 0 — word w is exactly the
+    # little-endian pack of its own code slice.
+    cpw, n_words = _pq_words_layout(m, bits)
+    word_sums = [
+        F.sum(
+            F.when(
+                (F.col("sub_id") >= w * cpw) & (F.col("sub_id") < (w + 1) * cpw),
+                F.expr(
+                    f"shiftleft(CAST(code_id AS BIGINT), "
+                    f"(sub_id - {w * cpw}) * {bits})"
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(f"__w{w}")
+        for w in range(n_words)
+    ]
     return (
         best.groupBy("id", *carry)
-        .agg(
-            F.sum(
-                F.expr(f"shiftleft(CAST(code_id AS BIGINT), sub_id * {bits})")
-            ).alias("pq_code"),
-            F.sum(
-                F.floor(F.greatest(F.col("e2"), F.lit(0.0)) * err_scale).cast(
-                    "long"
-                )
-            ).alias("err_micro"),
+        .agg(*word_sums, err_agg)
+        .select(
+            F.col("id").alias(id_col),
+            *carry,
+            F.array(*[F.col(f"__w{w}") for w in range(n_words)]).alias(
+                "pq_code"
+            ),
+            "err_micro",
         )
-        .select(F.col("id").alias(id_col), *carry, "pq_code", "err_micro")
     )
 
 
@@ -1641,8 +1760,13 @@ def pq_adc_topk(
             "residual codes. Pass the same coarse_centroids used to "
             "encode, or drop('list_id') if the codes are truly flat."
         )
+    # layout is stamped into the data: an array-typed code column is
+    # the wide multi-word pack, a BIGINT the single-word one
+    wide = dict(codes.dtypes).get(code_col, "bigint").startswith("array")
     k = codebook_vectors.count()
-    bits = _validate_pq_params(_probe_dim(codebook_vectors, vec_col), m, k)
+    bits = _validate_pq_params(
+        _probe_dim(codebook_vectors, vec_col), m, k, wide=wide
+    )
     mask = (1 << bits) - 1
     wcb = Window.orderBy(F.col(id_col))
     cb = codebook_vectors.select(
@@ -1735,6 +1859,18 @@ def pq_adc_topk(
     # corpus codes -> m (subspace, codeword) rows via shift/mask only;
     # residual mode also carries the list each code was encoded against
     entry_carry = ["list_id"] if coarse_centroids is not None else []
+    if wide:
+        # multi-word pack: word = sub_id div codes_per_word (codes
+        # never straddle words), in-word shift = (sub_id mod cpw)*bits.
+        # Words never use bit 63, so shiftrightunsigned == shiftright.
+        cpw, _ = _pq_words_layout(m, bits)
+        unpack = (
+            f"shiftrightunsigned(element_at({code_col}, "
+            f"CAST((sub_id div {cpw}) AS INT) + 1), "
+            f"(sub_id % {cpw}) * {bits}) & {mask}"
+        )
+    else:
+        unpack = f"shiftrightunsigned({code_col}, sub_id * {bits}) & {mask}"
     entries = codes.select(
         F.col(id_col).alias("neighbor_id"),
         *[F.col(c) for c in entry_carry],
@@ -1744,9 +1880,7 @@ def pq_adc_topk(
         "neighbor_id",
         *entry_carry,
         "sub_id",
-        F.expr(
-            f"shiftrightunsigned({code_col}, sub_id * {bits}) & {mask}"
-        ).alias("code_id"),
+        F.expr(unpack).alias("code_id"),
     )
     if candidates is not None:
         # IVF-routed mode: score ONLY the (query, neighbor) pairs the

@@ -7740,5 +7740,127 @@ def q172_kafka_wire_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q173_pq_wide_codes",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cbv AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, e
+    FROM v WHERE vec_id % 2 = 1 AND vec_id < 256
+), subs AS (
+    SELECT vec_id AS id, j.j AS sub_id, e[j.j*4+1 : j.j*4+4] AS sv
+    FROM v, LATERAL (SELECT unnest(range(0, 16)) AS j) j
+), cw AS (
+    SELECT code_id, j.j AS sub_id, e[j.j*4+1 : j.j*4+4] AS cv,
+           list_dot_product(e[j.j*4+1 : j.j*4+4],
+                            e[j.j*4+1 : j.j*4+4]) AS cn2
+    FROM cbv, LATERAL (SELECT unnest(range(0, 16)) AS j) j
+), sc AS (
+    SELECT id, s.sub_id, code_id,
+           2 * list_dot_product(sv, cv) - cn2 AS score,
+           list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv) + cn2 AS e2
+    FROM subs s JOIN cw c ON s.sub_id = c.sub_id
+), best AS (
+    SELECT id, sub_id, code_id, e2 FROM sc
+    QUALIFY row_number() OVER (PARTITION BY id, sub_id
+                               ORDER BY score DESC, code_id) = 1
+)
+SELECT id AS vec_id,
+       [CAST(sum(CASE WHEN sub_id < 9
+                      THEN code_id << (sub_id * 7) ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN sub_id >= 9
+                      THEN code_id << ((sub_id - 9) * 7) ELSE 0 END)
+             AS BIGINT)] AS pq_code,
+       CAST(sum(CAST(floor(greatest(e2, 0) * 1000000) AS BIGINT)) AS BIGINT)
+           AS err_micro
+FROM best GROUP BY id
+""",
+)
+def q173_pq_wide_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDE product-quantization codes (vector_index.pq_codes with the
+    r13 multi-word layout): 16 subspaces x 128 sampled codewords =
+    112 bits per vector — past the single-BIGINT 63-bit cap the
+    round-9/12 PQ curves showed throttles recall as the corpus grows.
+    Codes pack little-endian into array<bigint> words, 9 seven-bit
+    codes per word (codes never straddle words, bit 63 never used, so
+    Spark's shiftleft sums and DuckDB's << sums agree exactly); the
+    oracle replays assignment AND the two-word pack value-for-value.
+    Reference parity: extends q161's flat-PQ packing
+    (notebooks have no ANN surface; this is the LLM-pipeline column)."""
+    from db_cdc_poc_spark.operators.vector_index import pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 256))
+    return pq_codes(emb, cb, m=16)  # 128 codewords -> auto-wide
+
+
+@_q(
+    "q174_pq_wide_adc",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cbv AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, e
+    FROM v WHERE vec_id % 2 = 1 AND vec_id < 256
+), subs AS (
+    SELECT vec_id AS id, j.j AS sub_id, e[j.j*4+1 : j.j*4+4] AS sv
+    FROM v, LATERAL (SELECT unnest(range(0, 16)) AS j) j
+), cw AS (
+    SELECT code_id, j.j AS sub_id, e[j.j*4+1 : j.j*4+4] AS cv,
+           list_dot_product(e[j.j*4+1 : j.j*4+4],
+                            e[j.j*4+1 : j.j*4+4]) AS cn2
+    FROM cbv, LATERAL (SELECT unnest(range(0, 16)) AS j) j
+), best AS (
+    SELECT id, sub_id, code_id FROM (
+        SELECT id, s.sub_id, code_id,
+               row_number() OVER (PARTITION BY id, s.sub_id
+                                  ORDER BY 2 * list_dot_product(sv, cv) - cn2
+                                           DESC, code_id) AS rn
+        FROM subs s JOIN cw c ON s.sub_id = c.sub_id) s
+    WHERE rn = 1
+), lut AS (
+    SELECT s.id AS query_id, s.sub_id, c.code_id,
+           CAST(floor(greatest(
+               list_dot_product(sv, sv)
+               - 2 * list_dot_product(sv, cv) + cn2, 0) * 1000000)
+               AS BIGINT) AS d_micro
+    FROM subs s JOIN cw c ON s.sub_id = c.sub_id
+    WHERE s.id < 10
+), scored AS (
+    SELECT l.query_id, b.id AS neighbor_id,
+           CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+    FROM best b
+    JOIN lut l ON l.sub_id = b.sub_id AND l.code_id = b.code_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_micro, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
+)
+def q174_pq_wide_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 over the WIDE 112-bit codes (q173's layout): queries
+    stay full-precision, the corpus is scanned as two-BIGINT packed
+    codes, unpacked per subspace with element_at + shift/mask (the
+    exact inverse of the pack — proven by the wide==narrow parity unit
+    tests), and ranked by exact floor-scaled integer LUT sums. The
+    oracle replays the LAYOUT-INDEPENDENT unpacked relations, so a
+    wrong unpack on the Spark side breaks the value hash. This is the
+    serving shape where more corpus demands more bits: same machinery
+    as q162, 3.5x the code capacity."""
+    from db_cdc_poc_spark.operators.vector_index import pq_adc_topk, pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 256))
+    codes = pq_codes(emb, cb, m=16)
+    return pq_adc_topk(
+        codes, emb.filter(F.col("vec_id") < 10), cb, m=16, k_top=5
+    )
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

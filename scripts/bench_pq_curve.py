@@ -39,7 +39,11 @@ from pyspark.sql import functions as F  # noqa: E402
 NPROBES = [1, 2, 4, 8, 16]
 SHORTLISTS = [5, 8, 16, 32, 64]
 N_QUERIES = 10
-M = 8
+# PQ_M overrides the subspace count (default 8). With PQ_K=128 and
+# PQ_M=16 the code is 112 bits — past the single-BIGINT cap — and
+# pq_codes auto-selects the r13 wide array<bigint> layout; the curve
+# machinery is layout-agnostic (ADC detects the pack from the dtype).
+M = int(__import__("os").environ.get("PQ_M", "8"))
 
 
 def curve_for(

@@ -127,7 +127,9 @@ def test_probe_adc_refuses_stale_and_torn_codes(spark):
     )
     idx.build_pq(spark, cb, m=8)
     # torn: drop one code partition (the crash window between the lists
-    # write and the code write)
+    # write and the code write). The r13 torn check is partition-
+    # pruned, so probe with nprobe >= nlist to guarantee the victim is
+    # in the probed set.
     victims = sorted(
         int(r.list_id)
         for r in spark.read.parquet(f"{idx.path}/pq_codes")
@@ -136,7 +138,19 @@ def test_probe_adc_refuses_stale_and_torn_codes(spark):
     shutil.rmtree(f"{idx.path}/pq_codes/list_id={victims[0]}")
     spark.catalog.refreshByPath(f"{idx.path}/pq_codes")
     with pytest.raises(ValueError, match="torn"):
-        idx.probe_adc(spark, emb.filter(F.col("vec_id") < 3))
+        idx.probe_adc(
+            spark, emb.filter(F.col("vec_id") < 3), nprobe=len(victims)
+        )
+    # documented r13 behavior: a tear confined to an UNPROBED list does
+    # not fire (the check only counts probed partitions — the hot-path
+    # cost fix); it surfaces when that list is probed.
+    one_q = emb.filter(F.col("vec_id") == 0)
+    try:
+        n = idx.probe_adc(spark, one_q, k_top=3, nprobe=1).count()
+        assert n >= 0  # ran without tripping on the unprobed tear
+    except ValueError as e:
+        # the single probed list CAN be the victim; only 'torn' is legal
+        assert "torn" in str(e)
     idx.refresh_pq(spark)  # the documented repair
     assert idx.probe_adc(spark, emb.filter(F.col("vec_id") < 3)).count() > 0
     # stale: swap the coarse codebook under the codes (external retrain)
