@@ -261,9 +261,13 @@ def main() -> None:
         curve_for(spark, d, opq=opq, stored=stored)
         for d in args or ["/root/testdata/sf0.1"]
     ]
+    import os as _os
+
     for o in out:
         o["opq"] = opq
         o["stored"] = stored
+        o["m"] = M
+        o["k"] = int(_os.environ.get("PQ_K", "16"))
         print(json.dumps(o), flush=True)
 
 
