@@ -7862,5 +7862,91 @@ def q174_pq_wide_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q175_binary_quantize",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), bits AS (
+    SELECT vec_id, i.i AS i,
+           CASE WHEN e[i.i + 1] > 0 THEN 1 ELSE 0 END AS b
+    FROM v, LATERAL (SELECT unnest(range(0, 64)) AS i) i
+)
+SELECT vec_id,
+       [CAST(sum(CASE WHEN i < 63 AND b = 1
+                      THEN 1::BIGINT << i ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN i >= 63 AND b = 1
+                      THEN 1::BIGINT << (i - 63) ELSE 0 END) AS BIGINT)]
+           AS bq_code
+FROM bits GROUP BY vec_id
+""",
+)
+def q175_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit sign quantization (similarity.binary_sign_codes): every
+    embedding dimension becomes one sign bit, packed little-endian
+    into 63-bit array<bigint> words (the wide-PQ word discipline —
+    bit 63 never set, Spark and DuckDB shifts agree). 64-dim float64
+    -> 16 bytes, the 32x-cheapest scan representation for a 100 TB
+    embedding column; encoding is a pure-expression map (no explode,
+    no shuffle). The oracle replays the bit pack value-for-value.
+    Reference parity: none (notebooks have no vector surface); this
+    is the LLM-pipeline similarity family's capacity floor, below
+    q161/q173's PQ codes."""
+    from db_cdc_poc_spark.operators.similarity import binary_sign_codes
+
+    return binary_sign_codes(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "q176_hamming_topk",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), bits AS (
+    SELECT vec_id, i.i AS i,
+           CASE WHEN e[i.i + 1] > 0 THEN 1 ELSE 0 END AS b
+    FROM v, LATERAL (SELECT unnest(range(0, 64)) AS i) i
+), codes AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN i < 63 AND b = 1
+                         THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS w0,
+           CAST(sum(CASE WHEN i >= 63 AND b = 1
+                         THEN 1::BIGINT << (i - 63) ELSE 0 END) AS BIGINT) AS w1
+    FROM bits GROUP BY vec_id
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(q.w0, c.w0))
+                + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+    FROM codes q JOIN codes c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
+)
+def q176_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-5 over the packed sign codes (q175): distance =
+    XOR + popcount per 63-bit word, summed — a linear scan of 16-byte
+    codes with the 10 query codes broadcast (the same bounded-query
+    contract as q24's exact cosine, at 1/32 the bytes). Exact integer
+    distances and (hamming, neighbor_id) ranking replay bit-for-bit
+    in the oracle. The serving recipe at 100 TB: this scan (or an
+    IVF-routed probe of it) produces the shortlist, exact_rerank
+    rescues the 1-bit quantization loss — the same
+    shortlist-then-rescue shape the PQ curve measured."""
+    from db_cdc_poc_spark.operators.similarity import (
+        binary_sign_codes,
+        hamming_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = binary_sign_codes(emb)
+    return hamming_topk(codes, codes.filter(F.col("vec_id") < 10))
+
+
 def registry() -> dict[str, Query]:
     return dict(REGISTRY)

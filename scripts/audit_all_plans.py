@@ -60,6 +60,12 @@ NLJ_ALLOWED = {
     # (q163 residual ADC, q166 the re-ranked serving path).
     "q163_pq_recall",
     "q166_pq_rerank_recall",
+    # binary-quantization Hamming scan: scoring has no join key by
+    # definition (every 16-byte code is XOR+popcount-scored against
+    # the 10 BROADCAST query codes — the q24 bounded-query contract at
+    # 1/32 the bytes); the linear scan IS the operator, with IVF
+    # routing / exact_rerank as the documented sublinear composition.
+    "q176_hamming_topk",
 }
 
 # BNLJs whose broadcast build side is bounded by an ALGORITHM PARAMETER
