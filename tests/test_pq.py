@@ -148,8 +148,10 @@ def test_pq_rejects_non_divisible_dim(spark):
 
 
 def test_pq_rejects_code_overflowing_sign_bit(spark):
-    # k=256 -> 8 bits; m=8 packs bit 63 (the sign bit): must raise,
-    # not silently alias (ADVICE r7 item 2)
+    # k=256 -> 8 bits; m=8 packs bit 63 (the sign bit): the SINGLE-WORD
+    # layout must raise, not silently alias (ADVICE r7 item 2). The
+    # default (wide=None) now auto-selects the multi-word array<bigint>
+    # layout instead of raising (round-13 wide-PQ ask).
     corpus = spark.createDataFrame(
         [(1, [0.0] * 64)], "vec_id long, embedding array<double>"
     )
@@ -158,7 +160,9 @@ def test_pq_rejects_code_overflowing_sign_bit(spark):
         "vec_id long, embedding array<double>",
     )
     with pytest.raises(ValueError, match="63"):
-        pq_codes(corpus, cb, m=8)
+        pq_codes(corpus, cb, m=8, wide=False)
+    auto = pq_codes(corpus, cb, m=8)  # auto-selects wide
+    assert dict(auto.dtypes)["pq_code"] == "array<bigint>"
     # k=128 -> 7 bits * 8 = 56: fine
     cb7 = spark.createDataFrame(
         [(i, [float(i)] * 64) for i in range(128)],
