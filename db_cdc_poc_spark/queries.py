@@ -7716,22 +7716,25 @@ def q172_kafka_wire_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_records(log, p, recs)
     register(spark)
     sink = f"q172_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("kafka_wire")
-        .option("path", log)
-        .option("startingOffsets", "earliest")
-        .option("maxOffsetsPerTrigger", "64")
-        .load()
-        .writeStream.format("memory")
-        .queryName(sink)
-        .trigger(processingTime="50 milliseconds")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_q172_"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+
+    with ephemeral_stream_confs(spark):
+        q = (
+            spark.readStream.format("kafka_wire")
+            .option("path", log)
+            .option("startingOffsets", "earliest")
+            .option("maxOffsetsPerTrigger", "64")
+            .load()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .trigger(processingTime="50 milliseconds")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_q172_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink).select(
         "partition",
         "offset",

@@ -281,15 +281,27 @@ def stream_apply_changes(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(source_path)
     checkpoint = checkpoint_path or tempfile.mkdtemp(prefix="ckpt_cdc_")
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch, epoch: target.upsert_batch(batch, epoch)
+    if checkpoint_path is None:
+        # throwaway checkpoint: skip the 4.1 checksum sidecars (see
+        # streaming/ephemeral.py); a caller-provided checkpoint is the
+        # RESUMABLE contract and keeps the integrity default
+        from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+
+        ctx = ephemeral_stream_confs(spark)
+    else:
+        from contextlib import nullcontext
+
+        ctx = nullcontext()
+    with ctx:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, epoch: target.upsert_batch(batch, epoch)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
         )
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return target.current(spark)
 
 

@@ -351,14 +351,17 @@ def stream_gold_inventory(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(changes_path)
+    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+
     checkpoint = tempfile.mkdtemp(prefix="ckpt_gold_")
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch, epoch: gold.apply_changes_batch(batch, epoch)
+    with ephemeral_stream_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, epoch: gold.apply_changes_batch(batch, epoch)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
         )
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return gold.current(spark)

@@ -31,17 +31,20 @@ def _drain_to_memory(
     availableNow trigger and a throwaway checkpoint, wait for the drain,
     and read the sink back as a batch DataFrame. Centralized so a fix
     to the drain (checkpoint handling, error surfacing) lands once."""
+    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
+    with ephemeral_stream_confs(agg.sparkSession):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination()
     return agg.sparkSession.table(name)
 
 
@@ -337,11 +340,14 @@ def stream_fanout(
         finally:
             df.unpersist()
 
+    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+
     checkpoint = tempfile.mkdtemp(prefix="ckpt_fanout_")
-    q = (
-        stream.writeStream.foreachBatch(_write_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
+    with ephemeral_stream_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(_write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination()

@@ -82,17 +82,20 @@ def stream_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix="ckpt_sess_")
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
+    with ephemeral_stream_confs(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -176,15 +179,18 @@ def stream_sessionize_tws(
         outputMode="Update",
         timeMode="None",
     )
+    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+
     name = f"sessions_tws_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix="ckpt_sess_tws_")
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
+    with ephemeral_stream_confs(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

@@ -38,6 +38,8 @@ def _get_spark_with_eventlog():
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", evdir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
@@ -76,15 +78,22 @@ def profile(names: list[str]) -> None:
         print(f"== {name}: {n} rows, wall {t1 - t0:.3f}s", file=sys.stderr)
     spark.stop()
 
-    # parse the event log
+    # parse the event log (Spark 4 writes a rolling-log DIRECTORY)
     logs = sorted(Path(evdir).glob("*"), key=lambda p: p.stat().st_mtime)
+    latest = logs[-1]
+    parts = (
+        sorted(p for p in latest.iterdir() if p.name.startswith("events_"))
+        if latest.is_dir()
+        else [latest]
+    )
     events = []
-    with open(logs[-1]) as f:
-        for line in f:
-            try:
-                events.append(json.loads(line))
-            except json.JSONDecodeError:
-                pass
+    for part in parts:
+        with open(part) as f:
+            for line in f:
+                try:
+                    events.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
 
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
