@@ -1102,6 +1102,8 @@ def neardup_clusters(
     if edges.count() <= max_driver_edges:
         from pyspark.sql.types import StructField, StructType
 
+        from db_cdc_poc_spark.sources.exchange import local_df
+
         spark = pairs.sparkSession
         # output ids keep the input id type (bigint doc ids, string
         # content hashes, ... — anything orderable works)
@@ -1116,8 +1118,13 @@ def neardup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.toLocalIterator():
-            ra, rb = find(r.src), find(r.dst)
+        # one Arrow pull instead of a pickled toLocalIterator: the
+        # edge list is already gated to fit the driver, and columnar
+        # transfer + plain-python values are both cheaper than Row
+        # objects (guide §6: Arrow for driver transfers)
+        epdf = edges.toPandas()
+        for src, dst in zip(epdf["src"].tolist(), epdf["dst"].tolist()):
+            ra, rb = find(src), find(dst)
             if ra != rb:
                 # union by smaller id so the root IS the cluster label
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
@@ -1132,7 +1139,15 @@ def neardup_clusters(
                 StructField("cluster_id", id_type, nullable=False),
             ]
         )
-        return spark.createDataFrame(rows, schema)
+        # LocalRelation (Arrow), not a pickled RDD: q40's executed plan
+        # scanned the cluster map THREE times through Python workers
+        # (applySchemaToPythonRDD) and sort-merge-joined it against the
+        # corpus because a LogicalRDD's size is unknown. The map is
+        # driver-bounded by the same gate that let us collect the
+        # edges, so mark it broadcastable: every downstream join
+        # (docs ⋈ clusters) becomes a broadcast hash join with zero
+        # corpus-side shuffle.
+        return F.broadcast(local_df(spark, rows, schema))
     labels = materialize(
         edges.groupBy("src")
         .agg(F.min("dst").alias("m"))

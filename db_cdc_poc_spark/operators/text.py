@@ -1358,8 +1358,10 @@ def bpe_train(
 def bpe_token_count_table(spark, model: BpeModel) -> DataFrame:
     """(word, bpe_tokens) lookup DataFrame from a trained model —
     parameter-sized, intended for ``F.broadcast``."""
+    from db_cdc_poc_spark.sources.exchange import local_df
+
     rows = sorted(model.token_counts.items())
-    return spark.createDataFrame(rows, "word string, bpe_tokens long")
+    return local_df(spark, rows, "word string, bpe_tokens long")
 
 
 def bpe_token_counts(

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from db_cdc_poc_spark.checkpointing import materialize
+from db_cdc_poc_spark.sources.exchange import local_df
 from db_cdc_poc_spark.partitioning import spread_scan as _spread
 from db_cdc_poc_spark.operators.similarity import norm, paired_cosine
 
@@ -366,8 +367,8 @@ def refine_centroids(
     )
     off = int(_MEAN_OFFSET) * _MEAN_SCALE
     for _ in range(max(0, iters)):
-        cent = spark.createDataFrame(
-            cur, schema="list_id long, ce array<double>"
+        cent = local_df(
+            spark, cur, "list_id long, ce array<double>"
         ).withColumn("cen", norm("ce"))
         tie = F.struct(F.col("__cos"), (-F.col("list_id")).alias("nc"))
         asg = (
@@ -472,8 +473,8 @@ def pq_train(
     coarse_rows = refine_centroids(
         train, coarse_seeds, id_col, vec_col, iters=coarse_iters
     )
-    coarse = spark.createDataFrame(
-        coarse_rows, schema=f"list_id long, {vec_col} array<double>"
+    coarse = local_df(
+        spark, coarse_rows, f"list_id long, {vec_col} array<double>"
     )
     # residual space: both the training cohort and the codeword seeds
     # are re-expressed as x - centroid(argmax-cosine list)
@@ -510,10 +511,11 @@ def pq_train(
         lambda acc, x: acc + x,
     )
     for _ in range(max(0, pq_iters)):
-        cw_df = spark.createDataFrame(
+        cw_df = local_df(
+            spark,
             [(cid, j, [v[j * sub + p] for p in range(sub)])
              for cid, v in cur for j in range(m)],
-            schema="code_id long, sub_id int, cv array<double>",
+            "code_id long, sub_id int, cv array<double>",
         ).withColumn("cn2", fold("cv", "cv"))
         tie = F.struct(F.col("score"), (-F.col("code_id")).alias("nc"))
         asg = (
@@ -565,8 +567,8 @@ def pq_train(
                         vec[j * sub + p] = mj[p]
             nxt.append((cid, vec))
         cur = nxt
-    codebook = spark.createDataFrame(
-        cur, schema=f"{id_col} long, {vec_col} array<double>"
+    codebook = local_df(
+        spark, cur, f"{id_col} long, {vec_col} array<double>"
     )
     return coarse, codebook
 
@@ -1066,8 +1068,8 @@ class IvfIndex:
         refined = refine_centroids(
             train, seeds, self.id_col, self.vec_col, iters=iters
         )
-        new_cent = spark.createDataFrame(
-            refined, schema="cid long, ce array<double>"
+        new_cent = local_df(
+            spark, refined, "cid long, ce array<double>"
         ).withColumn("cen", norm("ce"))
         # the updated codebook: re-trained centroids for the selected
         # lists, stored centroids for the rest — nlist rows, collected
@@ -1078,8 +1080,8 @@ class IvfIndex:
             .unionByName(new_cent)
             .collect()
         )
-        full_cent = spark.createDataFrame(
-            updated_rows, schema="cid long, ce array<double>, cen double"
+        full_cent = local_df(
+            spark, updated_rows, "cid long, ce array<double>, cen double"
         )
         # re-assign the touched members among the FULL updated codebook
         # grouped by MEMBER (not member × old_list): copies of one

@@ -122,9 +122,10 @@ def suffix_rules(spark) -> DataFrame:
     swap the full public file in for production, same schema).
     Parameter-bounded (~140 rows): always the broadcast side."""
     from db_cdc_poc_spark.data.psl_snapshot import rule_rows
+    from db_cdc_poc_spark.sources.exchange import local_df
 
-    return spark.createDataFrame(
-        rule_rows(), "suffix string, ps_len int, is_exc boolean"
+    return local_df(
+        spark, rule_rows(), "suffix string, ps_len int, is_exc boolean"
     )
 
 
@@ -169,7 +170,10 @@ def registrable_domain(
         key, cand = r.suffix, (bool(r.is_exc), int(r.ps_len))
         if key not in best or cand > best[key]:
             best[key] = cand
-    rules = rules.sparkSession.createDataFrame(
+    from db_cdc_poc_spark.sources.exchange import local_df
+
+    rules = local_df(
+        rules.sparkSession,
         [(s, pl, ex) for s, (ex, pl) in sorted(best.items())],
         "suffix string, ps_len int, is_exc boolean",
     )

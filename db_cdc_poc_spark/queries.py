@@ -37,6 +37,7 @@ from db_cdc_poc_spark.operators import similarity as sim
 from db_cdc_poc_spark.operators import text as tx
 from db_cdc_poc_spark.operators.cdc import apply_changes, latest_by_key
 from db_cdc_poc_spark.session import apply_runtime_confs
+from db_cdc_poc_spark.sources.exchange import local_df
 from db_cdc_poc_spark.sources.testdata import load_table
 
 
@@ -2678,8 +2679,10 @@ def q76_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cents(F.col("o_totalprice")).alias("total_cents"),
         )
         .unionByName(
-            spark.createDataFrame(
-                [(-1, 0, 123400)], "c_custkey bigint, n_orders bigint, total_cents bigint"
+            local_df(
+                spark,
+                [(-1, 0, 123400)],
+                "c_custkey bigint, n_orders bigint, total_cents bigint",
             )
         )
     )
@@ -6685,8 +6688,8 @@ def q160_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from db_cdc_poc_spark.operators.web import filter_blocked_domains
 
     docs = _t(spark, sf_dir, "documents").withColumn("url", _synth_url_col())
-    blocked = spark.createDataFrame(
-        [("example.com",), ("blocked.example.org",)], "domain string"
+    blocked = local_df(
+        spark, [("example.com",), ("blocked.example.org",)], "domain string"
     )
     return filter_blocked_domains(docs, blocked, "url").select(
         "doc_id", "source", "n_chars"
@@ -6731,8 +6734,8 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
         )
     crows, cbrows = _PQ_TRAINED[sf_dir]
     return (
-        spark.createDataFrame(crows, "list_id long, embedding array<double>"),
-        spark.createDataFrame(cbrows, "vec_id long, embedding array<double>"),
+        local_df(spark, crows, "list_id long, embedding array<double>"),
+        local_df(spark, cbrows, "vec_id long, embedding array<double>"),
     )
 
 

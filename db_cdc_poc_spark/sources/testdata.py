@@ -58,16 +58,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _nanos_columns(path):
         # ns -> µs truncation (floor), matching DuckDB's conversion.
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    if name in _EXPRESSION_HEAVY and df.rdd.getNumPartitions() == 1:
+    if name in _EXPRESSION_HEAVY:
         # A single-row-group parquet file scans as ONE task, so every
         # per-row HOF chain (8-gram shingles, vector norms) serializes
         # on one core. Spread it — measured ~2x on the doc-heavy
-        # headline queries at sf0.1. Gated on the 1-partition case
+        # headline queries at sf0.1. Gated on the narrow-scan case
         # only: at real scale inputs arrive pre-split and an
         # unconditional repartition would be a full-corpus shuffle.
-        df = df.repartition(
-            spark.sparkContext.defaultParallelism, F.col(_EXPRESSION_HEAVY[name])
-        )
+        # Width comes from the LOGICAL plan (file sizes vs
+        # maxPartitionBytes, partitioning.estimated_scan_width) — the
+        # previous ``df.rdd.getNumPartitions()`` probe forced full
+        # physical planning on EVERY load of these tables, a fixed
+        # driver cost paid once per query call (ADVICE r11 flagged the
+        # same probe in spread_scan; this was the remaining site).
+        from db_cdc_poc_spark.partitioning import estimated_scan_width
+
+        width = estimated_scan_width(df)
+        if width is not None and width == 1:
+            df = df.repartition(
+                spark.sparkContext.defaultParallelism,
+                F.col(_EXPRESSION_HEAVY[name]),
+            )
     return df
 
 

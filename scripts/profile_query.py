@@ -126,10 +126,18 @@ def profile(names: list[str]) -> None:
                 + acc.get("internal.metrics.shuffle.read.localBytesRead", 0),
                 "sh_write": acc.get("internal.metrics.shuffle.write.bytesWritten", 0),
                 "in_bytes": acc.get("internal.metrics.input.bytesRead", 0),
+                "gc_ms": acc.get("internal.metrics.jvmGCTime", 0),
+                "deser_ms": acc.get("internal.metrics.executorDeserializeTime", 0),
+                "fetch_ms": acc.get("internal.metrics.shuffle.read.fetchWaitTime", 0),
             }
 
+    summary = os.environ.get("PROFILE_SUMMARY") == "1"
+    if summary:
+        print(
+            f"{'query':30s} {'wall':>6s} {'jobs':>4s} {'jwall':>6s} "
+            f"{'gap':>6s} {'run_s':>7s} {'cpu_s':>7s} {'tasks':>6s} {'shMB':>6s}"
+        )
     for name, (t0, t1) in marks.items():
-        print(f"\n===== {name}  wall {t1 - t0:.3f}s =====")
         sel = [
             (jid, j)
             for jid, j in sorted(jobs.items())
@@ -138,6 +146,18 @@ def profile(names: list[str]) -> None:
         njobs = len(sel)
         jtot = sum(j.get("t1", j["t0"]) - j["t0"] for _, j in sel)
         gap = (t1 - t0) - jtot
+        if summary:
+            sids = {s for _, j in sel for s in j["stages"] if s in stages}
+            run = sum(stages[s]["runtime_ms"] for s in sids) / 1e3
+            cpu = sum(stages[s]["cpu_ms"] for s in sids) / 1e3
+            ntasks = sum(stages[s]["tasks"] for s in sids)
+            shw = sum(stages[s]["sh_write"] for s in sids) / 1e6
+            print(
+                f"{name:30s} {t1 - t0:6.2f} {njobs:4d} {jtot:6.2f} "
+                f"{gap:6.2f} {run:7.2f} {cpu:7.2f} {ntasks:6d} {shw:6.1f}"
+            )
+            continue
+        print(f"\n===== {name}  wall {t1 - t0:.3f}s =====")
         print(f"jobs: {njobs}, sum(job wall) {jtot:.3f}s, driver/plan gap {gap:.3f}s")
         for jid, j in sel:
             dur = j.get("t1", j["t0"]) - j["t0"]
@@ -149,9 +169,11 @@ def profile(names: list[str]) -> None:
                 print(
                     f"    stage: {(s['t1'] - s['t0']) * 1e3:6.0f} ms wall "
                     f"run {s['runtime_ms']:7.0f} cpu {s['cpu_ms']:7.0f} "
+                    f"gc {s['gc_ms']:5.0f} des {s['deser_ms']:5.0f} "
+                    f"fw {s['fetch_ms']:4.0f} "
                     f"tasks {s['tasks']:3d} in {s['in_bytes'] / 1e6:7.1f}MB "
                     f"shR {s['sh_read'] / 1e6:6.1f}MB shW {s['sh_write'] / 1e6:6.1f}MB "
-                    f" {s['name'][:48]}"
+                    f" {s['name'][:40]}"
                 )
 
 
