@@ -753,9 +753,14 @@ def minhash_signatures(
     ``num_hashes`` times.
     """
     sh = hashed_shingle_rows(df, id_col, text_col, shingle_n)
+    # one F.expr parse per aggregate instead of four py4j Column calls:
+    # building 128 min/xxhash64/lit/alias chains through py4j measured
+    # ~1ms per gateway call of pure DRIVER latency per query build
+    # (guide §1: the bench times construction too); the parsed
+    # expressions are identical (SQL integer literals are IntegerType,
+    # same as F.lit(int))
     mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}")
-        for i in range(num_hashes)
+        F.expr(f"min(xxhash64(shingle, {i})) AS _h{i}") for i in range(num_hashes)
     ]
     return (
         sh.groupBy("id")
@@ -787,7 +792,10 @@ def minhash_bands(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.slice("sig", i * r + 1, r).cast("string"))
+                    # single-parse expr per band (see minhash_signatures)
+                    F.expr(
+                        f"xxhash64(cast(slice(sig, {i * r + 1}, {r}) as string))"
+                    )
                     for i in range(bands)
                 ]
             )
@@ -1091,12 +1099,18 @@ def neardup_clusters(
     # below references it twice, and an unmaterialized lineage would
     # re-run the whole upstream pair pipeline (LSH, shingling, exact
     # verification) once per reference
-    p = materialize(pairs.select("id_a", "id_b"), checkpoint_dir, label="cc-pairs")
+    # lazy (eager=False): the first consumer below (edges.count())
+    # materializes both waists in ONE job instead of two standalone
+    # eager-checkpoint jobs — same blocks, two fewer driver round-trips
+    p = materialize(
+        pairs.select("id_a", "id_b"), checkpoint_dir, eager=False, label="cc-pairs"
+    )
     edges = materialize(
         p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct(),
         checkpoint_dir,
+        eager=False,
         label="cc-edges",
     )
     if edges.count() <= max_driver_edges:

@@ -52,8 +52,30 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
 _EXPRESSION_HEAVY = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
+#: Built-DataFrame cache keyed on (session, path, file stat). A
+#: DataFrame is an immutable PLAN — nothing here persists data or
+#: results: every action on a cached frame recomputes from the parquet
+#: files. What the cache skips is the per-call driver work of
+#: ``spark.read.parquet`` (file listing + footer schema inference — a
+#: visible ~50 ms "parquet at ..." job at the head of every query) and
+#: the expression rebuild, which the bench pays once per measured pass
+#: per table otherwise. Keyed on mtime+size so a regenerated file
+#: invalidates.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    key = None
+    try:
+        st = os.stat(path)
+        key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass
+    if key is not None and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
         # ns -> µs truncation (floor), matching DuckDB's conversion.
@@ -79,6 +101,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.sparkContext.defaultParallelism,
                 F.col(_EXPRESSION_HEAVY[name]),
             )
+    if key is not None:
+        _TABLE_CACHE[key] = df
     return df
 
 
