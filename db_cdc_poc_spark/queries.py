@@ -985,11 +985,13 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> st
     import os
     import tempfile
 
+    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_checkpoint_dir
+
     key = (sf_dir, n_files)
     cached = _STAGED_EVENTS.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    out = tempfile.mkdtemp(prefix="events_staged_") + "/events"
+    out = ephemeral_checkpoint_dir("events_staged_") + "/events"
     _t(spark, sf_dir, "events").repartition(n_files).write.mode("overwrite").parquet(out)
     _STAGED_EVENTS[key] = out
     return out
@@ -7719,7 +7721,10 @@ def q172_kafka_wire_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_records(log, p, recs)
     register(spark)
     sink = f"q172_sink_{uuid.uuid4().hex[:8]}"
-    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+    from db_cdc_poc_spark.streaming.ephemeral import (
+        ephemeral_checkpoint_dir,
+        ephemeral_stream_confs,
+    )
 
     with ephemeral_stream_confs(spark):
         q = (
@@ -7731,7 +7736,7 @@ def q172_kafka_wire_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.format("memory")
             .queryName(sink)
             .trigger(processingTime="50 milliseconds")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_q172_"))
+            .option("checkpointLocation", ephemeral_checkpoint_dir("ckpt_q172_"))
             .start()
         )
         try:

@@ -266,8 +266,10 @@ def stream_apply_changes(
     no double application (asserted in the restart test). This is the
     fault-tolerance contract (T6) the reference delegates to DLT.
     """
+    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_checkpoint_dir
+
     target = CdcTarget(
-        state_path or tempfile.mkdtemp(prefix="cdc_state_"),
+        state_path or ephemeral_checkpoint_dir("cdc_state_"),
         keys=keys,
         sequence_by=sequence_by,
         apply_as_deletes=apply_as_deletes,
@@ -280,7 +282,7 @@ def stream_apply_changes(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(source_path)
-    checkpoint = checkpoint_path or tempfile.mkdtemp(prefix="ckpt_cdc_")
+    checkpoint = checkpoint_path or ephemeral_checkpoint_dir("ckpt_cdc_")
     if checkpoint_path is None:
         # throwaway checkpoint: skip the 4.1 checksum sidecars (see
         # streaming/ephemeral.py); a caller-provided checkpoint is the

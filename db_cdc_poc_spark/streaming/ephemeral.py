@@ -23,30 +23,70 @@ older than Spark 4.1 simply carry an unused conf key.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
-_CHECKSUM_CONF = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+
+def ephemeral_checkpoint_dir(prefix: str) -> str:
+    """A scratch directory for state nothing will read after the call
+    returns (drain checkpoints, default-constructed state tables).
+
+    Durability is irrelevant for these BY DESIGN — the same contract
+    that lets the drain use a memory sink — so put them on RAM-backed
+    tmpfs when the host has one: the state-store delta/snapshot writes
+    and the per-batch commit-log fsyncs then never touch the (shared,
+    stall-prone) disk. Order: ``$SPARK_GRAFT_EPHEMERAL_DIR`` if set,
+    ``/dev/shm`` when writable, else the normal tempdir. Callers that
+    pass their OWN checkpoint/state path keep full durability — this
+    helper is only ever used for the ``path or ...`` default."""
+    for base in (os.environ.get("SPARK_GRAFT_EPHEMERAL_DIR"), "/dev/shm"):
+        if base and os.path.isdir(base) and os.access(base, os.W_OK):
+            return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return tempfile.mkdtemp(prefix=prefix)
+
+#: Confs a throwaway drain flips, with their drain-time values.
+#: Currently just the checksum sidecar opt-out.
+#:
+#: Negative result, recorded so the next round doesn't re-try it:
+#: ``spark.sql.streaming.stateStore.unloadOnCommit=true`` (the
+#: documented availableNow/one-shot mode) was A/B'd here to stop dead
+#: drains' providers accumulating in the executor provider cache. It
+#: LOST the paired A/B (median 3.01 s vs 2.54 s per drain over 15
+#: interleaved pairs): unloading after every commit forces the next
+#: batch — including the watermark-commit batch every drain runs — to
+#: reload all state partitions from snapshot ("state for version 1
+#: doesn't exist in loadedMaps" per partition), trading a bounded
+#: in-memory cache for per-batch disk reads. The provider pile-up it
+#: would have fixed is bounded per drain and only costs when the
+#: periodic maintenance sweep walks it, which measures smaller than
+#: the reload tax.
+_EPHEMERAL_CONFS = {
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+}
 
 
 @contextmanager
 def ephemeral_stream_confs(spark: SparkSession):
     """Disable throwaway-checkpoint overhead for the duration of a
-    synchronous drain; restores the previous setting on exit."""
-    try:
-        prev = spark.conf.get(_CHECKSUM_CONF, None)
-    except Exception:  # pragma: no cover - conf access locked down
-        prev = None
-    try:
-        spark.conf.set(_CHECKSUM_CONF, "false")
-    except Exception:  # pragma: no cover - conf access locked down
-        yield
-        return
+    synchronous drain; restores the previous settings on exit."""
+    prev: dict[str, str | None] = {}
+    for k, v in _EPHEMERAL_CONFS.items():
+        try:
+            prev[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf access locked down
+            pass
     try:
         yield
     finally:
-        if prev is None:
-            spark.conf.unset(_CHECKSUM_CONF)
-        else:
-            spark.conf.set(_CHECKSUM_CONF, prev)
+        for k, old in prev.items():
+            try:
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+            except Exception:  # pragma: no cover - conf access locked down
+                pass

@@ -340,8 +340,10 @@ def stream_gold_inventory(
     final table. Equals the batch gold recompute over the same inputs
     regardless of micro-batch boundaries (asserted in tests across >=3
     batches with ``maxFilesPerTrigger=1``)."""
+    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_checkpoint_dir
+
     gold = IncrementalGold(
-        state_path or tempfile.mkdtemp(prefix="gold_state_"),
+        state_path or ephemeral_checkpoint_dir("gold_state_"),
         snapshot,
         keys=keys,
         num_buckets=num_buckets,
@@ -351,9 +353,12 @@ def stream_gold_inventory(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(changes_path)
-    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+    from db_cdc_poc_spark.streaming.ephemeral import (
+        ephemeral_checkpoint_dir,
+        ephemeral_stream_confs,
+    )
 
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_gold_")
+    checkpoint = ephemeral_checkpoint_dir("ckpt_gold_")
     with ephemeral_stream_confs(spark):
         q = (
             stream.writeStream.foreachBatch(

@@ -31,10 +31,13 @@ def _drain_to_memory(
     availableNow trigger and a throwaway checkpoint, wait for the drain,
     and read the sink back as a batch DataFrame. Centralized so a fix
     to the drain (checkpoint handling, error surfacing) lands once."""
-    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+    from db_cdc_poc_spark.streaming.ephemeral import (
+        ephemeral_checkpoint_dir,
+        ephemeral_stream_confs,
+    )
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_")
+    checkpoint = ephemeral_checkpoint_dir(f"ckpt_{prefix}_")
     with ephemeral_stream_confs(agg.sparkSession):
         q = (
             agg.writeStream.format("memory")
@@ -340,9 +343,12 @@ def stream_fanout(
         finally:
             df.unpersist()
 
-    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+    from db_cdc_poc_spark.streaming.ephemeral import (
+        ephemeral_checkpoint_dir,
+        ephemeral_stream_confs,
+    )
 
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_fanout_")
+    checkpoint = ephemeral_checkpoint_dir("ckpt_fanout_")
     with ephemeral_stream_confs(spark):
         q = (
             stream.writeStream.foreachBatch(_write_batch)

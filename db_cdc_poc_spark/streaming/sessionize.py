@@ -82,10 +82,13 @@ def stream_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+    from db_cdc_poc_spark.streaming.ephemeral import (
+        ephemeral_checkpoint_dir,
+        ephemeral_stream_confs,
+    )
 
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_sess_")
+    checkpoint = ephemeral_checkpoint_dir("ckpt_sess_")
     with ephemeral_stream_confs(spark):
         q = (
             sessions.writeStream.format("memory")
@@ -179,10 +182,13 @@ def stream_sessionize_tws(
         outputMode="Update",
         timeMode="None",
     )
-    from db_cdc_poc_spark.streaming.ephemeral import ephemeral_stream_confs
+    from db_cdc_poc_spark.streaming.ephemeral import (
+        ephemeral_checkpoint_dir,
+        ephemeral_stream_confs,
+    )
 
     name = f"sessions_tws_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_sess_tws_")
+    checkpoint = ephemeral_checkpoint_dir("ckpt_sess_tws_")
     with ephemeral_stream_confs(spark):
         q = (
             sessions.writeStream.format("memory")
