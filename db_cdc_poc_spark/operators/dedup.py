@@ -1232,15 +1232,23 @@ def dedup_fuzzy(
     clusters (see there).
     """
     clusters = neardup_clusters(pairs, checkpoint_dir=checkpoint_dir)
+    if keep == "min_id":
+        # A cluster's label IS its smallest member id (both cluster
+        # paths converge labels to the min reachable id), so the
+        # survivor of every cluster is the row whose id equals its
+        # cluster_id — no docs ⋈ clusters outer join, no per-cluster
+        # MIN aggregate, no survivor semi-join. Dedup = drop the
+        # paired ids that are NOT their cluster's label: ONE anti-join
+        # against a pair-graph-bounded drop set (executed plan went
+        # SMJ LeftOuter + aggregate + SMJ LeftSemi + union — 4
+        # corpus-side operators — to a single broadcast anti-join).
+        drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+        return df.join(drop, df[id_col] == drop["id"], "anti")
     joined = df.join(
         clusters, df[id_col] == clusters["id"], "left"
     ).drop("id")
     member = joined.filter(F.col("cluster_id").isNotNull())
-    if keep == "min_id":
-        survivors = member.groupBy("cluster_id").agg(
-            F.min(id_col).alias("__keep_id")
-        )
-    elif keep == "best_quality":
+    if keep == "best_quality":
         if quality_col is None:
             raise ValueError("keep='best_quality' requires quality_col")
         # greatest quality wins, ties to smallest id — two aggregates so
