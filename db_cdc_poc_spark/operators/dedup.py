@@ -288,7 +288,16 @@ def _exact_pair_stats(
     only the physical plan differs.
     """
     if mode == "auto":
-        mode = "naive" if docs.count() <= _PREFIX_AUTO_MIN_DOCS else "prefix"
+        from db_cdc_poc_spark.partitioning import metadata_row_count
+
+        # parquet-footer count when the frame is a row-preserving chain
+        # over one local parquet relation (zero jobs); df.count() only
+        # as the fallback — the count job was a fixed per-construction
+        # driver cost on every auto-dispatched call
+        n_docs = metadata_row_count(docs)
+        if n_docs is None:
+            n_docs = docs.count()
+        mode = "naive" if n_docs <= _PREFIX_AUTO_MIN_DOCS else "prefix"
     if mode == "naive":
         return _pair_stats_from_rows(sh, checkpoint_dir=checkpoint_dir)
     if mode == "prefix":

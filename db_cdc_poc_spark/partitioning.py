@@ -137,6 +137,67 @@ def _already_repartitioned(df: DataFrame) -> bool:
         return False
 
 
+# Unary logical nodes that preserve their child's ROW COUNT exactly.
+# (Project renames/computes columns; repartitions move rows; hints and
+# aliases are metadata.) Filter/Generate/Join/Aggregate/Sample/Limit all
+# change cardinality, so the metadata-count walk stops there.
+_ROW_PRESERVING = frozenset(
+    {
+        "Project",
+        "SubqueryAlias",
+        "ResolvedHint",
+        "View",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Sort",
+    }
+)
+
+
+def _footer_row_count(path: str) -> int | None:
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    except Exception:
+        return None
+
+
+def metadata_row_count(df: DataFrame) -> int | None:
+    """Exact row count of ``df`` from parquet footers — zero Spark jobs.
+
+    Valid only when the frame is a chain of row-preserving unary nodes
+    (projections, repartitions, sorts, aliases) over ONE local parquet
+    relation; anything else returns None and the caller falls back to
+    ``df.count()``. Used for cost-based dispatch decisions (e.g. the
+    naive-vs-prefix pair-join mode pick), where the previous
+    ``df.count()`` cost one scan job per QUERY CONSTRUCTION — a fixed
+    per-trigger driver cost at any scale, and footers are already local
+    metadata."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        while node.nodeName() in _ROW_PRESERVING and node.children().size() == 1:
+            node = node.children().apply(0)
+        if node.nodeName() != "LogicalRelation":
+            return None
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            return None
+        n = _footer_row_count(parsed.path or f)
+        if n is None:
+            return None
+        total += n
+    return total
+
+
 def estimated_scan_width(df: DataFrame) -> int | None:
     """Estimated task count of ``df``'s file scan, from the logical plan
     only (no physical planning). None when the frame has no file
@@ -159,20 +220,85 @@ def estimated_scan_width(df: DataFrame) -> int | None:
     return width
 
 
-def spread_scan(df: DataFrame, *, force: bool = False) -> DataFrame:
-    """Repartition ``df`` to the session default parallelism iff its
-    scan is estimated narrower. Result-identical: every consumer
-    downstream is key-based (joins/aggregations) or order-normalized.
+#: Default input bytes per task for the fan-out spread. Fan-out stages
+#: multiply per-row work 10-100x (shingle explodes, x-nlist cosine
+#: passes), so a spread task earns its scheduling overhead on far less
+#: input than Spark's 128 MB scan split — but NOT on arbitrarily little:
+#: at sf0.1 a 580 KB documents table round-tripped through 32 tasks
+#: spends more wall on task launch + GC-amplification than on work, and
+#: the 8-core bench beat the 32-core one on every spread-heavy query
+#: (PERF_r13 scaling ratios 0.56-0.81). 128 KB/task ~= 3-12 MB of
+#: generated fan-out rows per task; at sf1+ every spread table already
+#: exceeds cores * 128 KB, so the cluster-scale behavior (spread to full
+#: parallelism) is unchanged.
+_SPREAD_TASK_BYTES_ENV = "SPARK_GRAFT_SPREAD_TASK_BYTES"
+_DEFAULT_SPREAD_TASK_BYTES = 128 << 10
 
-    ``force=True`` spreads unconditionally (for callers that know the
-    frame is narrow but scan-width can't see it, e.g. an in-memory
-    frame built on the driver)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+
+def spread_task_bytes() -> int:
+    return int(
+        os.environ.get(_SPREAD_TASK_BYTES_ENV, _DEFAULT_SPREAD_TASK_BYTES)
+    )
+
+
+def scaled_spread_target(
+    spark, input_bytes: int | None, per_task_bytes: int | None = None
+) -> int:
+    """Partition target for a fan-out spread: one task per
+    ``per_task_bytes`` of input, clamped to [1, defaultParallelism].
+    Unknown size -> full parallelism (never under-spread a frame we
+    cannot measure; remote-store files fall back the same way)."""
+    target = spark.sparkContext.defaultParallelism
+    if input_bytes is None:
+        return target
+    per = per_task_bytes or spread_task_bytes()
+    return max(1, min(target, math.ceil(input_bytes / max(1, per))))
+
+
+def _local_input_bytes(df: DataFrame) -> int | None:
+    """Total stat-able size of the frame's input files; None when any
+    file is remote/unreadable or the frame has no file relation."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        size = _local_size(f)
+        if size is None:
+            return None
+        total += size
+    return total
+
+
+def spread_scan(
+    df: DataFrame,
+    *,
+    force: bool = False,
+    per_task_bytes: int | None = None,
+) -> DataFrame:
+    """Repartition ``df`` for a fan-out stage iff its scan is estimated
+    narrower than the size-scaled target (``scaled_spread_target``):
+    full parallelism once the input carries ~128 KB/core, proportionally
+    fewer tasks below that so tiny inputs don't pay 32-way task +
+    exchange overhead for microseconds of work per task.
+    Result-identical: every consumer downstream is key-based
+    (joins/aggregations) or order-normalized.
+
+    ``force=True`` spreads unconditionally to full parallelism (for
+    callers that know the frame is narrow but scan-width can't see it,
+    e.g. an in-memory frame built on the driver)."""
+    spark = df.sparkSession
     if force:
-        return df.repartition(target)
+        return df.repartition(spark.sparkContext.defaultParallelism)
     if _already_repartitioned(df):
         return df
     width = estimated_scan_width(df)
-    if width is None or width >= target:
+    if width is None:
+        return df
+    target = scaled_spread_target(spark, _local_input_bytes(df), per_task_bytes)
+    if width >= target:
         return df
     return df.repartition(target)

@@ -11,9 +11,16 @@ reference lacks. Arrow transfer is enabled session-wide
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
+from pyspark.sql import types
+
+#: schemas whose Arrow LocalRelation conversion already failed once —
+#: warn once per schema, not once per call.
+_ARROW_FALLBACK_WARNED: set[str] = set()
 
 
 class DriverExchangeTooLarge(RuntimeError):
@@ -64,18 +71,40 @@ def local_df(spark, rows, schema) -> DataFrame:
 
     Falls back to the classic path if the Arrow conversion refuses the
     types (the fallback keeps the old semantics; pandas NaN/None
-    coercion differences are why callers should pass None-free rows).
+    coercion differences are why callers should pass None-free rows) —
+    and WARNS once per schema when it does, because the fallback quietly
+    reinstates the pickled-RDD plan and its measured 4x join cost
+    (ADVICE r13: a silent perf cliff is a debugging trap).
     """
     rows = rows if isinstance(rows, list) else list(rows)
+    if rows and isinstance(rows[0], dict):
+        # dict rows under integer column labels make an all-NaN frame;
+        # with a nullable schema that would silently become NULL rows
+        raise TypeError(
+            "local_df takes sequence rows (tuple/list/Row), not dicts; "
+            "pass tuples in schema field order"
+        )
     try:
+        # parse the DDL properly: str(schema).split(',') miscounts
+        # nested commas (map<k,v>, struct<a,b>) (ADVICE r13)
         ncols = (
             len(schema.fields)
             if hasattr(schema, "fields")
-            else len(str(schema).split(","))
+            else len(types.StructType.fromDDL(schema).fields)
         )
         pdf = pd.DataFrame(rows, columns=list(range(ncols)), dtype=object)
         return spark.createDataFrame(pdf, schema)
-    except Exception:
+    except Exception as e:
+        key = str(schema)
+        if key not in _ARROW_FALLBACK_WARNED:
+            _ARROW_FALLBACK_WARNED.add(key)
+            warnings.warn(
+                f"local_df: Arrow LocalRelation path failed for schema "
+                f"{key!r} ({type(e).__name__}: {e}); falling back to the "
+                "pickled-RDD plan (opaque size, no auto-broadcast)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return spark.createDataFrame(rows, schema)
 
 

@@ -49,7 +49,17 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
 #: (HashPartitioning satisfies ClusteredDistribution — no second
 #: Exchange), while paths that shuffle on other keys (shingle, band)
 #: pay the same one shuffle they would under a round-robin spread.
-_EXPRESSION_HEAVY = {"documents": "doc_id", "embeddings": "vec_id"}
+#: name -> (id column, spread bytes-per-task). The quota encodes
+#: per-row fan-out work measured at sf0.1: embeddings rows cost ~10-100x
+#: a document row per byte (x-nlist interpreted cosine folds vs shingle
+#: explodes), so they reach full parallelism on far less input — scaling
+#: them down to 7 tasks at sf0.1 cost q24 2.4x / q34 1.6x in the A/B,
+#: while documents at ~10 tasks won on q155/q158 and stayed flat
+#: elsewhere.
+_EXPRESSION_HEAVY = {
+    "documents": ("doc_id", 64 << 10),
+    "embeddings": ("vec_id", 16 << 10),
+}
 
 
 #: Built-DataFrame cache keyed on (session, path, file stat). A
@@ -93,14 +103,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # physical planning on EVERY load of these tables, a fixed
         # driver cost paid once per query call (ADVICE r11 flagged the
         # same probe in spread_scan; this was the remaining site).
-        from db_cdc_poc_spark.partitioning import estimated_scan_width
+        # The WIDTH is size-scaled (scaled_spread_target), not pinned
+        # to core count: a sub-MB table fanned out to 32 tasks pays
+        # more in task launch + exchange than the fan-out work costs —
+        # the measured cause of the r13 8-core-beats-32-core inversion
+        # (PERF_r13 scaling ratios 0.56-0.81 on every spread-heavy
+        # query). At sf1+ the tables exceed cores * 128 KB and the
+        # target is full parallelism, unchanged from before.
+        from db_cdc_poc_spark.partitioning import (
+            estimated_scan_width,
+            scaled_spread_target,
+        )
 
+        id_col, per_task = _EXPRESSION_HEAVY[name]
         width = estimated_scan_width(df)
         if width is not None and width == 1:
-            df = df.repartition(
-                spark.sparkContext.defaultParallelism,
-                F.col(_EXPRESSION_HEAVY[name]),
+            target = scaled_spread_target(
+                spark, st.st_size if key else None, per_task
             )
+            if target > 1:
+                df = df.repartition(target, F.col(id_col))
     if key is not None:
         _TABLE_CACHE[key] = df
     return df

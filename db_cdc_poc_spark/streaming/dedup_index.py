@@ -177,8 +177,14 @@ class StreamingDedupIndex:
     def _empty_pairs(self, probe: DataFrame) -> DataFrame:
         from pyspark.sql.types import StructField, StructType
 
+        from db_cdc_poc_spark.sources.exchange import local_df
+
         id_type = probe.schema["id"].dataType
-        return probe.sparkSession.createDataFrame(
+        # local_df -> JVM LocalRelation: a pickled empty RDD plans as an
+        # unknown-size LogicalRDD and poisons join-strategy choice for
+        # every consumer of the (frequently empty) first-batch pair set
+        return local_df(
+            probe.sparkSession,
             [],
             StructType(
                 [
