@@ -294,16 +294,26 @@ def stream_apply_changes(
         from contextlib import nullcontext
 
         ctx = nullcontext()
-    with ctx:
-        q = (
-            stream.writeStream.foreachBatch(
-                lambda batch, epoch: target.upsert_batch(batch, epoch)
+    try:
+        with ctx:
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda batch, epoch: target.upsert_batch(batch, epoch)
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", checkpoint)
+                .start()
             )
-            .trigger(availableNow=True)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
+    finally:
+        if checkpoint_path is None:
+            # throwaway checkpoint only; a caller-provided path is the
+            # resumable contract and must survive
+            from db_cdc_poc_spark.streaming.ephemeral import (
+                discard_ephemeral_dir,
+            )
+
+            discard_ephemeral_dir(checkpoint)
     return target.current(spark)
 
 

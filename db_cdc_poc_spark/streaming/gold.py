@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from db_cdc_poc_spark.sources.exchange import local_df
 from db_cdc_poc_spark.streaming.state import BucketedStateTable
 
 
@@ -77,7 +78,7 @@ class IncrementalGold:
                 # these buckets hold no snapshot keys: changes for
                 # unknown keys don't create gold rows (reference
                 # semantics — snapshot LEFT JOIN changes)
-                return b.sparkSession.createDataFrame([], self._schema)
+                return local_df(b.sparkSession, [], self._schema)
             deltas = (
                 b.join(state.select(*self.keys, "snapshot_ts"), self.keys)
                 .filter(F.col("date_time") >= F.col("snapshot_ts"))
@@ -252,7 +253,7 @@ class ChangelogFoldedAggregate:
             )
             base = self._agg
             if base is None:
-                base = spark.createDataFrame([], self._schema)
+                base = local_df(spark, [], self._schema)
             new_agg = delta_aggregate(
                 base,
                 changes,
@@ -262,7 +263,9 @@ class ChangelogFoldedAggregate:
             )
             # pin: the fold result is |groups|-sized (tiny); re-deriving
             # it lazily next trigger would chain every fold's plan
-            self._agg = spark.createDataFrame(new_agg.collect(), new_agg.schema)
+            # local_df (Arrow LocalRelation): the pickled re-create put a
+            # Python-worker scan in EVERY later trigger's fold plan
+            self._agg = local_df(spark, new_agg.collect(), new_agg.schema)
         if self.min_cols or self.max_cols:
             self._fold_minmax(spark, delta)
         commits = self.target.state.commits()
@@ -301,7 +304,7 @@ class ChangelogFoldedAggregate:
                 + [f"`{self.count_col}` long"]
                 + [f"`{m}` {fact_types[m]}" for m in mm_cols]
             )
-            base = spark.createDataFrame([], ddl)
+            base = local_df(spark, [], ddl)
         new_mm = delta_minmax(
             base,
             changes,
@@ -311,7 +314,7 @@ class ChangelogFoldedAggregate:
             max_cols=self.max_cols,
             count_col=self.count_col,
         )
-        self._mm = spark.createDataFrame(new_mm.collect(), new_mm.schema)
+        self._mm = local_df(spark, new_mm.collect(), new_mm.schema)
 
     def current(self, spark: SparkSession) -> DataFrame:
         if self._agg is None and self._mm is None:

@@ -32,22 +32,29 @@ def _drain_to_memory(
     and read the sink back as a batch DataFrame. Centralized so a fix
     to the drain (checkpoint handling, error surfacing) lands once."""
     from db_cdc_poc_spark.streaming.ephemeral import (
+        discard_ephemeral_dir,
         ephemeral_checkpoint_dir,
         ephemeral_stream_confs,
     )
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = ephemeral_checkpoint_dir(f"ckpt_{prefix}_")
-    with ephemeral_stream_confs(agg.sparkSession):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with ephemeral_stream_confs(agg.sparkSession):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", checkpoint)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        # the drain is synchronous and the memory sink holds the rows;
+        # nothing ever resumes from this checkpoint — release the
+        # (RAM-backed) scratch now, not at process exit
+        discard_ephemeral_dir(checkpoint)
     return agg.sparkSession.table(name)
 
 
@@ -344,16 +351,20 @@ def stream_fanout(
             df.unpersist()
 
     from db_cdc_poc_spark.streaming.ephemeral import (
+        discard_ephemeral_dir,
         ephemeral_checkpoint_dir,
         ephemeral_stream_confs,
     )
 
     checkpoint = ephemeral_checkpoint_dir("ckpt_fanout_")
-    with ephemeral_stream_confs(spark):
-        q = (
-            stream.writeStream.foreachBatch(_write_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with ephemeral_stream_confs(spark):
+            q = (
+                stream.writeStream.foreachBatch(_write_batch)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", checkpoint)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        discard_ephemeral_dir(checkpoint)

@@ -83,22 +83,26 @@ def stream_sessionize(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     from db_cdc_poc_spark.streaming.ephemeral import (
+        discard_ephemeral_dir,
         ephemeral_checkpoint_dir,
         ephemeral_stream_confs,
     )
 
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     checkpoint = ephemeral_checkpoint_dir("ckpt_sess_")
-    with ephemeral_stream_confs(spark):
-        q = (
-            sessions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with ephemeral_stream_confs(spark):
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", checkpoint)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        discard_ephemeral_dir(checkpoint)
     return spark.table(name)
 
 
@@ -183,20 +187,24 @@ def stream_sessionize_tws(
         timeMode="None",
     )
     from db_cdc_poc_spark.streaming.ephemeral import (
+        discard_ephemeral_dir,
         ephemeral_checkpoint_dir,
         ephemeral_stream_confs,
     )
 
     name = f"sessions_tws_{uuid.uuid4().hex[:8]}"
     checkpoint = ephemeral_checkpoint_dir("ckpt_sess_tws_")
-    with ephemeral_stream_confs(spark):
-        q = (
-            sessions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with ephemeral_stream_confs(spark):
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", checkpoint)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        discard_ephemeral_dir(checkpoint)
     return spark.table(name)
