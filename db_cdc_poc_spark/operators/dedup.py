@@ -1063,6 +1063,13 @@ def simhash_pairs(
 # near-dup clustering: pairs -> connected components -> survivors
 # --------------------------------------------------------------------------
 
+#: Row cap for the explicit broadcast hint on the driver-built cluster
+#: map: 2M (id, cluster_id) pairs ~= 32 MB framed — comfortably inside
+#: executor memory on any sane config. Bigger maps (possible near the
+#: 10M-edge driver-union-find gate) lose the hint and let Catalyst
+#: decide from the LocalRelation's known size.
+_BROADCAST_HINT_MAX_ROWS = 2_000_000
+
 
 def neardup_clusters(
     pairs: DataFrame,
@@ -1144,7 +1151,11 @@ def neardup_clusters(
         # one Arrow pull instead of a pickled toLocalIterator: the
         # edge list is already gated to fit the driver, and columnar
         # transfer + plain-python values are both cheaper than Row
-        # objects (guide §6: Arrow for driver transfers)
+        # objects (guide §6: Arrow for driver transfers). Peak driver
+        # memory is ~2x the framed edge list (Arrow table + pandas) —
+        # ~320 MB at the 10M-edge gate, inside the 16g driver with
+        # an order of magnitude of slack; raising max_driver_edges
+        # beyond ~100M would need a chunked pull here first.
         epdf = edges.toPandas()
         for src, dst in zip(epdf["src"].tolist(), epdf["dst"].tolist()):
             ra, rb = find(src), find(dst)
@@ -1169,8 +1180,16 @@ def neardup_clusters(
         # driver-bounded by the same gate that let us collect the
         # edges, so mark it broadcastable: every downstream join
         # (docs ⋈ clusters) becomes a broadcast hash join with zero
-        # corpus-side shuffle.
-        return F.broadcast(local_df(spark, rows, schema))
+        # corpus-side shuffle. The HINT is row-gated (ADVICE r13): near
+        # the 10M-edge driver gate the map is a multi-hundred-MB
+        # relation, and an unconditional hint would bypass
+        # autoBroadcastJoinThreshold and double driver memory; above
+        # the gate Catalyst sees the LocalRelation's true size and
+        # picks the strategy itself.
+        out = local_df(spark, rows, schema)
+        if len(rows) <= _BROADCAST_HINT_MAX_ROWS:
+            out = F.broadcast(out)
+        return out
     labels = materialize(
         edges.groupBy("src")
         .agg(F.min("dst").alias("m"))
@@ -1235,6 +1254,17 @@ def dedup_fuzzy(
     keep='best_quality': the row with the greatest ``quality_col``
     survives (ties to smallest id) — the training-data policy of
     keeping the highest-quality copy.
+
+    CONTRACT (keep='min_id'): every id in ``pairs`` must be present in
+    ``df``. The fast path keeps exactly the rows whose id equals their
+    cluster label (the cluster's min member id); if a cluster's
+    min-labeled id were paired but absent from ``df`` — pairs built
+    from a superset corpus, or df pre-filtered between pairing and
+    dedup — that cluster would lose ALL members instead of keeping its
+    smallest present one (ADVICE r13). Every in-repo pipeline derives
+    ``pairs`` from ``df`` itself, which satisfies this by construction;
+    callers pairing one corpus and deduping another must re-pair or use
+    keep='best_quality' (whose outer-join path has no such assumption).
 
     ``checkpoint_dir``: reliable-checkpoint directory forwarded to
     :func:`neardup_clusters` for fault-tolerant clustering on real

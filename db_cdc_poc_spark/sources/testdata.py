@@ -81,7 +81,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = None
     try:
         st = os.stat(path)
-        key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+        # id(spark) so spark.newSession() clones (same applicationId,
+        # possibly different session confs) never share a cached frame
+        # whose spread decision was derived under the other session's
+        # confs (ADVICE r13)
+        key = (
+            spark.sparkContext.applicationId,
+            id(spark),
+            path,
+            st.st_mtime_ns,
+            st.st_size,
+        )
     except OSError:
         pass
     if key is not None and key in _TABLE_CACHE:

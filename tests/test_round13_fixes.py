@@ -93,7 +93,9 @@ def test_already_repartitioned_ignores_lookalike_column_names(spark, tmp_path):
     ).coalesce(1).write.parquet(src)
     df = spark.read.parquet(src)
     assert not _already_repartitioned(df)
-    out = spread_scan(df)
+    # per_task_bytes=1 forces a wide size-scaled target so the test
+    # exercises the structural detection, not the r14 size policy
+    out = spread_scan(df, per_task_bytes=1)
     assert out is not df  # the spread fires despite the lookalike names
     assert out.count() == 5_000
 
