@@ -116,7 +116,9 @@ def test_already_repartitioned_scoped_to_own_lineage(spark, tmp_path):
     )
     joined = fact.join(F.broadcast(dim), "k")
     assert not _already_repartitioned(joined)
-    out = spread_scan(joined)
+    # per_task_bytes=1: wide size-scaled target, so the assertion tests
+    # lineage scoping rather than the r14 size policy
+    out = spread_scan(joined, per_task_bytes=1)
     assert out is not joined  # narrow fact scan still gets the spread
     assert out.count() == 5_000
 
