@@ -654,45 +654,106 @@ def ivf_assignment_stats(
     maintenance, where assignments never go stale but the codebook
     stops matching the data.
 
-    Plan: corpus scan -> broadcast codebook cross join (build side =
-    nlist rows, an algorithm parameter) -> argmax per vector -> one
+    Plan: corpus scan -> numpy-batched argmax assignment (mapInPandas,
+    driver-collected codebook of nlist rows, an algorithm parameter;
+    sequential-order accumulation keeps every cosine bit-identical to
+    the expression fold, see the inline comment) -> one
     groupBy(list_id). Linear in the corpus, O(nlist) per row — which
     means ``centroids`` MUST be a parameter-bounded sample (fixed
     nlist), same contract as ``ivf_topk``/``IvfIndex.build``: a
     codebook derived as a fixed FRACTION of the corpus makes the
-    assignment quadratic (n * n/16 pairs of interpreted
-    aggregate/zip_with dot products — measured pathological at 60k
-    vectors), exactly the degenerate case the q43-family big-SF
-    exclusions document.
+    assignment quadratic (n * n/16 pairs — measured pathological at
+    60k vectors), exactly the degenerate case the q43-family big-SF
+    exclusions document. Corpus ids are expected unique (the earlier
+    per-vector groupBy collapsed exact duplicate ids; this form counts
+    each corpus ROW once) and embeddings non-null.
     """
-    cent = centroids.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("ce"),
-        norm(vec_col).alias("cen"),
+    import numpy as np
+
+    # The assignment is numpy-vectorized inside mapInPandas with
+    # SEQUENTIAL-ORDER accumulation, bit-identical to the
+    # aggregate/zip_with fold it replaces: float32 elements widen to
+    # float64 exactly, each product is one correctly-rounded double op
+    # on both paths, and the dim loop adds products in the same order
+    # starting from 0.0 — so every cosine, and hence every downstream
+    # ppm integer, hashes identically (asserted element-for-element in
+    # tests/test_round14_fixes.py and by the oracle). Motivation (guide
+    # §4.2: batch native kernels beat per-row JVM expressions): the
+    # interpreted fold costs ~0.3 ms per (vector, centroid) PAIR and
+    # dominated q147's profile (80 s task-time over 2.6 s wall at
+    # sf0.1, ~70% GC from per-pair zip_with array churn); the JVM
+    # unrolled-dot alternative measured SLOWER still (SCALING.md r11
+    # negative — JIT method-size cliff). One outer-product pass per
+    # dim over the whole Arrow batch removes both the lambda dispatch
+    # and the per-pair allocations. Centroids are parameter-bounded by
+    # contract (nlist, never a corpus fraction), so collecting them to
+    # the driver is the same boundedness bet the broadcast made.
+    crows = sorted(
+        centroids.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+        ).collect(),
+        key=lambda r: r.cid,
     )
+    if not crows:
+        raise ValueError("ivf_assignment_stats: empty centroid set")
+    cids_np = np.array([r.cid for r in crows])
+    cent_mat = np.array([r.ce for r in crows], dtype=np.float64)
+    nlist, dim = cent_mat.shape
+    cen_acc = np.zeros(nlist)
+    for j in range(dim):
+        cen_acc += cent_mat[:, j] * cent_mat[:, j]
+    cen_np = np.sqrt(cen_acc)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def _assign(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            n = cm.shape[0]
+            cn_acc = np.zeros(n)
+            for j in range(dim):
+                cn_acc += cm[:, j] * cm[:, j]
+            cn = np.sqrt(cn_acc)
+            acc = np.zeros((n, nlist))
+            for j in range(dim):
+                acc += cm[:, j, None] * cent_mat[None, :, j]
+            denom = cn[:, None] * cen_np[None, :]
+            cos = np.where(
+                denom > 0.0, acc / np.where(denom == 0.0, 1.0, denom), 0.0
+            )
+            # first max along sorted-ascending cids == ties to min cid,
+            # the max_by(cid, struct(cos, -cid)) rule
+            best = np.argmax(cos, axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "is_new": pdf["is_new"],
+                    "list_id": cids_np[best],
+                    "best_cos": cos[np.arange(n), best],
+                }
+            )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        norm(vec_col).alias("cn"),
         (cohort if cohort is not None else F.lit(False)).alias("is_new"),
     )
-    # SPREAD the corpus before the x nlist fan-out: the pair pass
-    # inherits the parquet scan's partition count, and a compact
-    # corpus file (sf10: 200k rows in 2 splits) serializes the whole
-    # n x nlist assignment onto 2 cores — the measured r10 sf10 cost
-    # (134.9 s; repartition to cluster width = 12x on the same pass,
-    # SCALING.md round-11 entry; the unrolled-dot alternative measured
-    # SLOWER and is documented there as a negative)
-    assign = (
-        _spread(c).crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", paired_cosine("cv", "ce", "cn", "cen"))
-        .groupBy("neighbor_id", "is_new")
-        .agg(
-            F.max_by(
-                "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc"))
-            ).alias("list_id"),
-            F.max("cos_c").alias("best_cos"),
-        )
+    # SPREAD the corpus before the x nlist fan-out: the pass inherits
+    # the parquet scan's partition count, and a compact corpus file
+    # (sf10: 200k rows in 2 splits) serializes the whole n x nlist
+    # assignment onto 2 cores — the measured r10 sf10 cost (134.9 s;
+    # repartition to cluster width = 12x on the same pass, SCALING.md
+    # round-11 entry)
+    assign = _spread(c).mapInPandas(
+        _assign,
+        schema=(
+            f"neighbor_id {id_type}, is_new boolean, "
+            f"list_id {id_type}, best_cos double"
+        ),
     )
     per_list = assign.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_vectors"),
