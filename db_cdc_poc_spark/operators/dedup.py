@@ -51,9 +51,22 @@ def dedup_exact(
 # --------------------------------------------------------------------------
 
 
+def _ident(name: str) -> str:
+    """Backtick-quote a column name for embedding in an F.expr SQL
+    string (the tokenize/shingle helpers below are built as ONE parsed
+    expression each: the lambda-builder API costs ~20 ms of py4j
+    round-trips per higher-order function, and these helpers sit in
+    every text query's per-trigger construction path — guide §1)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _tokens_sql(text: str) -> str:
+    return rf"filter(split({_ident(text)}, '\\s+'), t -> t != '')"
+
+
 def tokens_col(text: str = "text") -> F.Column:
     """Whitespace tokens, empties removed."""
-    return F.filter(F.split(F.col(text), r"\s+"), lambda t: t != F.lit(""))
+    return F.expr(_tokens_sql(text))
 
 
 def word_ngrams_col(text: str = "text", n: int = 3) -> F.Column:
@@ -71,19 +84,15 @@ def word_ngrams_col(text: str = "text", n: int = 3) -> F.Column:
     slower than this form at sf1.0 for n=8.)
     """
 
-    def grams_of(t: F.Column) -> F.Column:
-        idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
-        return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
-
-    wrapped = F.transform(
-        F.array(tokens_col(text)),
-        # size < n would make the sequence bound < 1 and sequence()
-        # helpfully counts DOWN — guard to an empty array instead
-        lambda t: F.when(F.size(t) >= n, grams_of(t)).otherwise(
-            F.array().cast("array<string>")
-        ),
+    # single parse (see _ident); size < n would make the sequence bound
+    # < 1 and sequence() helpfully counts DOWN — guard to empty instead
+    return F.expr(
+        f"""element_at(transform(array({_tokens_sql(text)}),
+        t -> CASE WHEN size(t) >= {n}
+             THEN transform(sequence(1, size(t) - {n - 1}),
+                            i -> array_join(slice(t, i, {n}), ' '))
+             ELSE cast(array() as array<string>) END), 1)"""
     )
-    return F.element_at(wrapped, 1)
 
 
 def word_shingles_col(text: str = "text", n: int = 3) -> F.Column:
@@ -112,25 +121,16 @@ def word_ngram_hashes_col(text: str = "text", n: int = 3) -> F.Column:
     nested one-element-array ``transform`` wrappers.
     """
 
-    def grams_of(hs: F.Column) -> F.Column:
-        idx = F.sequence(F.lit(1), F.size(hs) - F.lit(n - 1))
-        return F.transform(idx, lambda i: F.xxhash64(F.slice(hs, i, n)))
-
-    wrapped = F.transform(
-        F.array(tokens_col(text)),
-        lambda t: F.element_at(
-            F.transform(
-                F.array(F.transform(t, lambda tok: F.xxhash64(tok))),
-                # size < n would make the sequence bound < 1 and
-                # sequence() counts DOWN — guard to empty instead
-                lambda hs: F.when(F.size(hs) >= n, grams_of(hs)).otherwise(
-                    F.array().cast("array<bigint>")
-                ),
-            ),
-            1,
-        ),
+    # single parse (see _ident); size < n would make the sequence bound
+    # < 1 and sequence() counts DOWN — guard to empty instead
+    return F.expr(
+        f"""element_at(transform(array({_tokens_sql(text)}),
+        t -> element_at(transform(array(transform(t, tok -> xxhash64(tok))),
+             hs -> CASE WHEN size(hs) >= {n}
+                   THEN transform(sequence(1, size(hs) - {n - 1}),
+                                  i -> xxhash64(slice(hs, i, {n})))
+                   ELSE cast(array() as array<bigint>) END), 1)), 1)"""
     )
-    return F.element_at(wrapped, 1)
 
 
 def hashed_shingle_rows(
@@ -762,20 +762,16 @@ def minhash_signatures(
     ``num_hashes`` times.
     """
     sh = hashed_shingle_rows(df, id_col, text_col, shingle_n)
-    # one F.expr parse per aggregate instead of four py4j Column calls:
-    # building 128 min/xxhash64/lit/alias chains through py4j measured
-    # ~1ms per gateway call of pure DRIVER latency per query build
-    # (guide §1: the bench times construction too); the parsed
-    # expressions are identical (SQL integer literals are IntegerType,
-    # same as F.lit(int))
-    mins = [
-        F.expr(f"min(xxhash64(shingle, {i})) AS _h{i}") for i in range(num_hashes)
-    ]
-    return (
-        sh.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
-    )
+    # ONE F.expr parse for the whole signature instead of one per
+    # aggregate (r13 had already collapsed four py4j calls per hash
+    # into one parse each; 64-128 parses still measured ~0.2-0.3 s of
+    # pure DRIVER latency per query build, and the bench times
+    # construction — guide §1). Catalyst extracts the embedded min()
+    # aggregates and projects the array afterwards, so the physical
+    # aggregate is identical to the per-column form; SQL integer
+    # literals stay IntegerType, so the hashes are bit-identical.
+    sig = ", ".join(f"min(xxhash64(shingle, {i}))" for i in range(num_hashes))
+    return sh.groupBy("id").agg(F.expr(f"array({sig}) AS sig"))
 
 
 def minhash_bands(
@@ -795,20 +791,15 @@ def minhash_bands(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # one parse for all bands (see minhash_signatures)
+    band_arr = ", ".join(
+        f"xxhash64(cast(slice(sig, {i * r + 1}, {r}) as string))"
+        for i in range(bands)
+    )
     return sigs.select(
         "id",
         "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    # single-parse expr per band (see minhash_signatures)
-                    F.expr(
-                        f"xxhash64(cast(slice(sig, {i * r + 1}, {r}) as string))"
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
+        F.expr(f"posexplode(array({band_arr}))").alias("band_id", "band_hash"),
     )
 
 

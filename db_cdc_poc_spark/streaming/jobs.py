@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _drain_to_memory(
-    agg: DataFrame, prefix: str, output_mode: str
+    agg: DataFrame,
+    prefix: str,
+    output_mode: str,
+    source_path: str | None = None,
 ) -> DataFrame:
     """Shared drain mechanics for the synchronous streaming jobs: write
     the streaming frame to a uniquely-named memory sink with an
@@ -33,14 +36,20 @@ def _drain_to_memory(
     to the drain (checkpoint handling, error surfacing) lands once."""
     from db_cdc_poc_spark.streaming.ephemeral import (
         discard_ephemeral_dir,
+        drain_shuffle_partitions,
         ephemeral_checkpoint_dir,
         ephemeral_stream_confs,
     )
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = ephemeral_checkpoint_dir(f"ckpt_{prefix}_")
+    parts = (
+        drain_shuffle_partitions(agg.sparkSession, source_path)
+        if source_path is not None
+        else None
+    )
     try:
-        with ephemeral_stream_confs(agg.sparkSession):
+        with ephemeral_stream_confs(agg.sparkSession, shuffle_partitions=parts):
             q = (
                 agg.writeStream.format("memory")
                 .queryName(name)
@@ -82,7 +91,7 @@ def stream_dedup_keys(
         .dropDuplicates(list(keys))
         .select(*keys)
     )
-    return _drain_to_memory(deduped, "dedup_keys", "append")
+    return _drain_to_memory(deduped, "dedup_keys", "append", source_path)
 
 
 def stream_windowed_counts(
@@ -114,7 +123,7 @@ def stream_windowed_counts(
         F.count("*").alias("n"),
         F.sum(F.round(F.col(value_col) * 100, 0)).cast("long").alias("value_cents"),
     )
-    return _drain_to_memory(agg, "win_counts", "complete").select(
+    return _drain_to_memory(agg, "win_counts", "complete", source_path).select(
         F.col("w.start").alias("window_start"), "n", "value_cents"
     )
 
@@ -148,7 +157,7 @@ def stream_session_counts(
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col(value_col) * 100, 0)).cast("long").alias("total_cents"),
     )
-    return _drain_to_memory(agg, "sess_counts", "complete").select(
+    return _drain_to_memory(agg, "sess_counts", "complete", source_path).select(
         key_col,
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
@@ -194,7 +203,7 @@ def stream_session_counts_append(
         .groupBy(key_col, F.session_window(F.col(ts_col), gap).alias("w"))
         .agg(F.count("*").alias("n_events"))
     )
-    return _drain_to_memory(agg, "sess_append", "append").select(
+    return _drain_to_memory(agg, "sess_append", "append", source_path).select(
         key_col,
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),

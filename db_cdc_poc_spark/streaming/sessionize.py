@@ -84,14 +84,16 @@ def stream_sessionize(
     )
     from db_cdc_poc_spark.streaming.ephemeral import (
         discard_ephemeral_dir,
+        drain_shuffle_partitions,
         ephemeral_checkpoint_dir,
         ephemeral_stream_confs,
     )
 
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     checkpoint = ephemeral_checkpoint_dir("ckpt_sess_")
+    parts = drain_shuffle_partitions(spark, source_path)
     try:
-        with ephemeral_stream_confs(spark):
+        with ephemeral_stream_confs(spark, shuffle_partitions=parts):
             q = (
                 sessions.writeStream.format("memory")
                 .queryName(name)
@@ -188,14 +190,16 @@ def stream_sessionize_tws(
     )
     from db_cdc_poc_spark.streaming.ephemeral import (
         discard_ephemeral_dir,
+        drain_shuffle_partitions,
         ephemeral_checkpoint_dir,
         ephemeral_stream_confs,
     )
 
     name = f"sessions_tws_{uuid.uuid4().hex[:8]}"
     checkpoint = ephemeral_checkpoint_dir("ckpt_sess_tws_")
+    parts = drain_shuffle_partitions(spark, source_path)
     try:
-        with ephemeral_stream_confs(spark):
+        with ephemeral_stream_confs(spark, shuffle_partitions=parts):
             q = (
                 sessions.writeStream.format("memory")
                 .queryName(name)
