@@ -228,7 +228,16 @@ def _pair_stats_from_rows(
     """
     # corpus-sized waist: see prefix-rows for the measured 100x guidance
     sh = materialize(sh, checkpoint_dir, eager=False, label="pair-rows")
-    counts = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    # counts is consumed twice (sz_a join, sz_b join) and Spark plans
+    # the aggregate + exchange + broadcast build once PER consumer
+    # (verified: no ReusedExchange in the executed plan — the subtrees
+    # canonicalize differently). One row per doc, so the waist is tiny.
+    counts = materialize(
+        sh.groupBy("id").agg(F.count("*").alias("n_shingles")),
+        checkpoint_dir,
+        eager=False,
+        label="pair-counts",
+    )
     if max_doc_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -381,7 +390,15 @@ def _prefix_filtered_pair_stats(
     # SCALING.md "Waist storage at 100x"). Memory stays the default:
     # it measured fastest at <= sf3 and the knobs are zero-code.
     sh = materialize(sh, checkpoint_dir, eager=False, label="prefix-rows")
-    counts = sh.groupBy("id").agg(F.count("*").alias("n"))
+    # 2-4 consumers (positioned broadcast join, giant markers, giant
+    # stats joins); one row per doc — same no-ReusedExchange rationale
+    # as the pair-counts waist in _pair_stats_from_rows
+    counts = materialize(
+        sh.groupBy("id").agg(F.count("*").alias("n")),
+        checkpoint_dir,
+        eager=False,
+        label="prefix-counts",
+    )
     # document frequency via a window over the shingle partition (one
     # exchange of the big table, no separate dfreq materialize+join);
     # per-doc size n arrives by broadcast join with the doc-count agg.
@@ -507,8 +524,16 @@ def _prefix_filtered_pair_stats(
     else:
         pack_cand, giant_cand, pack_src = cand, None, sh
 
-    arrs = pack_src.groupBy("id").agg(
-        F.array_sort(F.collect_list("shingle")).alias("__arr")
+    # consumed twice (id_a join, id_b join): without the waist the
+    # collect_list aggregate over the full shingle table runs once per
+    # consumer (no ReusedExchange — see pair-counts note)
+    arrs = materialize(
+        pack_src.groupBy("id").agg(
+            F.array_sort(F.collect_list("shingle")).alias("__arr")
+        ),
+        checkpoint_dir,
+        eager=False,
+        label="prefix-arrs",
     )
     packed = (
         pack_cand.join(
