@@ -1551,7 +1551,19 @@ def remove_duplicate_spans(
         F.col(id_col).alias("id"),
         F.posexplode_outer(tokens_col(text_col)).alias("pos", "tok"),
     )
-    totals = toks.groupBy("id").agg(F.count("tok").alias("n_tokens"))
+    # map-only: size() of the token array per row replaces a second
+    # explode + groupBy pass over the corpus (the count was the only
+    # consumer that needed no positions). null text -> 0 tokens,
+    # matching count('tok') over posexplode_outer; cast keeps the
+    # count()'s long type so the output schema is unchanged.
+    tokens_arr = tokens_col(text_col)
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.when(tokens_arr.isNull(), F.lit(0))
+        .otherwise(F.size(tokens_arr))
+        .cast("long")
+        .alias("n_tokens"),
+    )
     clean = (
         toks.join(covered, ["id", "pos"], "left_anti")
         .groupBy("id")
