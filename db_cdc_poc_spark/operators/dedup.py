@@ -390,15 +390,16 @@ def _prefix_filtered_pair_stats(
     # SCALING.md "Waist storage at 100x"). Memory stays the default:
     # it measured fastest at <= sf3 and the knobs are zero-code.
     sh = materialize(sh, checkpoint_dir, eager=False, label="prefix-rows")
-    # 2-4 consumers (positioned broadcast join, giant markers, giant
-    # stats joins); one row per doc — same no-ReusedExchange rationale
-    # as the pair-counts waist in _pair_stats_from_rows
-    counts = materialize(
-        sh.groupBy("id").agg(F.count("*").alias("n")),
-        checkpoint_dir,
-        eager=False,
-        label="prefix-counts",
-    )
+    # NOT waisted (r14 negative, recorded): checkpointing counts/arrs
+    # here deduped their aggregates (no ReusedExchange — subtrees
+    # canonicalize differently) but SERIALIZED work the cluster ran in
+    # parallel: interleaved sf1 A/B measured q20 consistently ~1.5 s
+    # SLOWER with the waists (9.4/12.1 s vs 7.8/10.7 s matched rounds).
+    # The prefix path is the at-scale path; recomputing a thin
+    # aggregate on idle cores beats pinning + re-reading blocks. The
+    # NAIVE path keeps its counts waist — it is small-corpus by
+    # construction, where the duplicate exchanges dominate instead.
+    counts = sh.groupBy("id").agg(F.count("*").alias("n"))
     # document frequency via a window over the shingle partition (one
     # exchange of the big table, no separate dfreq materialize+join);
     # per-doc size n arrives by broadcast join with the doc-count agg.
@@ -524,16 +525,10 @@ def _prefix_filtered_pair_stats(
     else:
         pack_cand, giant_cand, pack_src = cand, None, sh
 
-    # consumed twice (id_a join, id_b join): without the waist the
-    # collect_list aggregate over the full shingle table runs once per
-    # consumer (no ReusedExchange — see pair-counts note)
-    arrs = materialize(
-        pack_src.groupBy("id").agg(
-            F.array_sort(F.collect_list("shingle")).alias("__arr")
-        ),
-        checkpoint_dir,
-        eager=False,
-        label="prefix-arrs",
+    # consumed twice (id_a join, id_b join) but deliberately NOT
+    # waisted — see the prefix-counts note above (sf1 A/B negative)
+    arrs = pack_src.groupBy("id").agg(
+        F.array_sort(F.collect_list("shingle")).alias("__arr")
     )
     packed = (
         pack_cand.join(
