@@ -287,11 +287,29 @@ def test_spread_scan_fires_on_compact_file(spark, tmp_path):
     spark.range(10_000).coalesce(1).write.parquet(src)
     df = spark.read.parquet(src)
     assert estimated_scan_width(df) == 1
-    out = spread_scan(df)
+    # r14: the spread target is size-scaled; pin per_task_bytes=1 to
+    # assert the full-parallelism case on this tiny file
+    out = spread_scan(df, per_task_bytes=1)
     assert out is not df
     target = spark.sparkContext.defaultParallelism
     assert out.rdd.getNumPartitions() == target
     assert out.count() == 10_000
+    # and under the default policy a sub-quota file spreads to its
+    # size-scaled width (>= 1), never past core count
+    out2 = spread_scan(df)
+    import math
+    import os
+
+    size = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    from db_cdc_poc_spark.partitioning import spread_task_bytes
+
+    expect = max(1, min(target, math.ceil(size / spread_task_bytes())))
+    got = out2.rdd.getNumPartitions() if out2 is not df else 1
+    assert got == expect
 
 
 def test_spread_scan_noop_on_many_files(spark, tmp_path):
