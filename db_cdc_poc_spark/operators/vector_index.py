@@ -769,8 +769,9 @@ def ivf_assignment_stats(
     # per_list (nlist rows) feeds BOTH the grand total and the output
     # join; un-cut, Catalyst re-runs the corpus x codebook assignment
     # once per consumer (measured 2x wall at sf1.0). Materializing
-    # nlist rows is free.
-    per_list = materialize(per_list, label="ivf-per-list")
+    # nlist rows is free; lazy so the first consumer's job does it
+    # (one fewer driver round-trip per trigger).
+    per_list = materialize(per_list, eager=False, label="ivf-per-list")
     total = per_list.agg(F.sum("n_vectors").alias("__n_tot"))
     out = per_list.crossJoin(F.broadcast(total)).select(
         "list_id",
